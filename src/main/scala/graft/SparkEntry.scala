@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are grouped by domain:
+  *   - [[graft.cdc.CdcQueries]]      — the CDC dataflow (SURVEY §2.2-2.4)
+  *   - [[graft.admin.ControlPlane]]  — relational control-plane ops (§2.3-2.8)
+  *   - [[graft.rel.Relational]]      — join/agg/window/set-op capability
+  *   - [[graft.llm.LlmQueries]]      — dedup / similarity / text analysis
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full CDC route (decode-shaped view → normalize → since-filter
+    * → fan-out → flash gate → payload projection).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    cdc.Pipeline.deliveries(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cdc.CdcQueries.queries ++
+      admin.ControlPlane.queries ++
+      rel.Relational.queries ++
+      llm.LlmQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    cdc.CdcQueries.oracle ++
+      admin.ControlPlane.oracle ++
+      rel.Relational.oracle ++
+      llm.LlmQueries.oracle
 }

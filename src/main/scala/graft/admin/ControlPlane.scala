@@ -1,0 +1,139 @@
+package graft.admin
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Control-plane/relational queries (SURVEY §2.3 F4/F5, §2.5 A1-A3,
+  * §2.6 J1, §2.7 O1/O2, §2.8 K5). The reference ships these to Postgres
+  * (`app/routers/clients.py`, `app/services/listener_manager.py`); here
+  * they are plain Catalyst plans over the harness tables, with `customer`
+  * standing in for the `clients` table and `orders` for operational rows.
+  */
+object ControlPlane {
+
+  /** Derived listener-status table: rows exist for every third client only,
+    * so the left join exercises the missing-side default (reference
+    * `app/routers/clients.py:166-187`).
+    */
+  def listenerStatus(customer: DataFrame): DataFrame =
+    customer.filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey").as("client_id"),
+        element_at(
+          array(lit("running"), lit("error"), lit("stopped"), lit("starting")),
+          (graft.cdc.ops.Normalize.intDiv(col("c_custkey"), lit(3L)) % 4).cast("int") + 1).as("status"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — order_by + limit + offset pagination (clients list).
+    "cp_pagination" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+        .offset(20).limit(10)),
+
+    // A1 + P10 — filtered count with ilike-style search (pagination total).
+    "cp_count_filtered" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(lower(col("c_name")).contains("1") && col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("total"))),
+
+    // A2 — group-by state count (pool diagnostics shape).
+    "cp_groupby_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus"))),
+
+    // A3 / O2 — latest row per key (stored-offset lookup shape).
+    "cp_latest_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("last_orderdate_ms"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // J1 — clients ⟕ listener-status with missing-side default "stopped".
+    "cp_status_left_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.join(broadcast(listenerStatus(c)), col("c_custkey") === col("client_id"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("status"), lit("stopped")).as("status"),
+          (coalesce(col("status"), lit("stopped")) === "running").as("running"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F5 — duplicate-key existence check (uniqueness guard shape).
+    "cp_dup_check" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("o_custkey"), col("o_orderstatus"))),
+
+    // K5 — config upsert as a batch merge: updates override base rows.
+    "cp_upsert_merge" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("bal") + 100).as("new_bal"))
+      base.join(updates, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("new_bal").cast("decimal(19,2)"), col("bal").cast("decimal(19,2)"))
+            .cast("double").as("bal"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "cp_pagination" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
+
+    "cp_count_filtered" ->
+      "SELECT count(*) AS total FROM customer WHERE lower(c_name) LIKE '%1%' AND c_acctbal > 0",
+
+    "cp_groupby_count" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "cp_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey, epoch_ms(o_orderdate) AS last_orderdate_ms
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "cp_status_left_join" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  COALESCE(s.status, 'stopped') AS status,
+        |  COALESCE(s.status, 'stopped') = 'running' AS running
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT c_custkey AS client_id,
+        |    ['running','error','stopped','starting'][CAST((c_custkey // 3) % 4 AS INT) + 1] AS status
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |) s ON c.c_custkey = s.client_id
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "cp_dup_check" ->
+      """SELECT o_custkey, o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
+
+    "cp_upsert_merge" ->
+      """SELECT b.c_custkey,
+        |  CAST(COALESCE(u.new_bal, b.bal) AS DOUBLE) AS bal
+        |FROM (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer) b
+        |FULL OUTER JOIN (
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS new_bal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |) u ON b.c_custkey = u.c_custkey
+        |ORDER BY b.c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,253 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
+  * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), approximate-nearest-neighbor similarity search, and
+  * text analysis — all over the driver's `documents` / `embeddings` tables.
+  *
+  * Cross-engine determinism rules (so the DuckDB oracle hash-matches):
+  *   - every hash is the first 14 hex chars of md5, read as a 56-bit int —
+  *     `conv(substr(md5(x),1,14),16,10)` in Spark ≡
+  *     `CAST('0x'||substr(md5(x),1,14) AS BIGINT)` in DuckDB;
+  *   - every float computation is an ordered left-fold over doubles
+  *     (`aggregate(sequence...)` ≡ `list_reduce(list_transform(range...))`),
+  *     so FP addition order — and hence every bit — is identical;
+  *   - duplicate corpora are *injected* deterministically (the synthetic
+  *     corpus has no natural dups): doc_id%10 exact copies at +20000000,
+  *     doc_id%7 near copies (4-token tail appended) at +10000000,
+  *     vec_id%10 perturbed vectors (±0.01 per dim by i%3) at +1000000.
+  *
+  * Scale notes (designed for 100 TB, tested at sf0.1): every dedup variant
+  * is blocked/bucketed — candidate pairs come from LSH band keys, prefix
+  * blocks, or sign buckets, never an unblocked O(n²) self-join; the only
+  * cross join is against a broadcast 8-row query set.
+  */
+object LlmOps {
+
+  /** 56-bit md5-prefix hash of a SQL string expression (Spark SQL text). */
+  def h56(sqlArg: String): String =
+    s"cast(conv(substr(md5($sqlArg), 1, 14), 16, 10) as bigint)"
+
+  /** Same hash in DuckDB SQL text. */
+  def h56Duck(sqlArg: String): String =
+    s"CAST('0x'||substr(md5($sqlArg),1,14) AS BIGINT)"
+
+  // ---------------------------------------------------------------- corpora
+
+  /** documents ∪ exact copies of every 10th doc (id +20000000). */
+  def exactDupCorpus(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+
+  val ExactCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** documents ∪ near copies of every 7th doc (id +10000000, tail appended). */
+  def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" graft near dup tail")).as("text")))
+
+  val NearCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000000, text || ' graft near dup tail' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact dedup by content hash: one group per md5(text), keep the lowest
+    * doc_id. Single hash-shuffle on a 32-hex key — at 100 TB this is the
+    * canonical map-side-combine groupBy, no row ever carries the text
+    * through the shuffle.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    exactDupCorpus(docs)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies", "content_hash")
+      .orderBy("keeper_id")
+
+  // --------------------------------------------------- shingles + MinHash
+
+  /** Distinct word-3-shingles from space-tokenized text (≤2 tokens → the
+    * whole doc is its one shingle).
+    */
+  def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+
+  val NumHashes = 12 // 4 bands × rows of 3
+  val Bands     = 4
+
+  /** MinHash signature: mh_j = min over shingles of h56("j|"+shingle) —
+    * 12 independent salted hashes, grouped into 4 band keys of 3.
+    */
+  def withMinHashBands(df: DataFrame): DataFrame = {
+    val withMh = (1 to NumHashes).foldLeft(df) { (d, j) =>
+      d.withColumn(s"mh$j",
+        expr(s"array_min(transform(shingles, s -> ${h56(s"concat('$j|', s)")}))"))
+    }
+    (0 until Bands).foldLeft(withMh) { (d, b) =>
+      val parts = (1 to 3).map(r => s"cast(mh${3 * b + r} as string)").mkString(", ',', ")
+      d.withColumn(s"band$b", expr(s"md5(concat($parts))"))
+    }
+  }
+
+  /** MinHash+LSH near-dup detection: shingle → minhash → band → bucket-join
+    * → exact-Jaccard verify ≥ 0.6. The self-join is on (band_idx, band_key)
+    * buckets only — at 100 TB the shuffle key space is ~n_docs×4 and bucket
+    * sizes stay tiny, so no quadratic blowup; signatures travel without the
+    * text (arrays re-joined only for surviving candidate pairs).
+    */
+  def dedupMinHash(docs: DataFrame): DataFrame = {
+    val shingled = withShingles(nearDupCorpus(docs)).select("doc_id", "shingles")
+    val mh       = withMinHashBands(shingled)
+    val bands = mh.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(shingled.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shingled.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
+          size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  val SimHashBits = 16
+
+  /** 16-bit SimHash per document: distinct tokens → h56 → per-bit ±1 votes
+    * → sign. One explode + one map-side-combinable groupBy — linear at any
+    * scale. Docs sharing a simhash are near-dup candidates.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", expr(h56("tok")))
+    val bitAggs = (0 until SimHashBits).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sums = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- n-gram Jaccard dedup
+
+  /** Word-bigram Jaccard near-dup with prefix blocking: candidate pairs
+    * share the first 20 chars (cheap block key — near copies produced by
+    * tail-append share it by construction), verified by exact bigram
+    * Jaccard ≥ 0.5. Blocking keeps the join linear-ish at scale.
+    */
+  def dedupNgram(docs: DataFrame): DataFrame = {
+    val g = nearDupCorpus(docs)
+      .withColumn("blk", substring(col("text"), 1, 20))
+      .withColumn("sp", split(col("text"), " "))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(size(sp)-1, 1)), i -> concat_ws(' ', slice(sp, i, 2))))"))
+      .select("doc_id", "blk", "grams")
+    g.as("a").join(g.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------- embedding cosine
+
+  /** Ordered-fold dot product of two array<double> columns (Spark SQL text):
+    * identical FP addition order to DuckDB's list_reduce, hence bit-exact.
+    */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(sequence(1, size($a)), cast(0.0 as double), (acc, i) -> acc + element_at($a, i) * element_at($b, i))"
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** embeddings with the vector widened to array<double> (exact). */
+  def embBase(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+
+  /** base vectors ∪ perturbed copies of every 10th (±0.01 per dim by i%3). */
+  def cosineCorpus(base: DataFrame): DataFrame =
+    base.select("vec_id", "e").unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(sequence(1, size(e)), i -> element_at(e, i) + (i % 3 - 1) * cast(0.01 as double))").as("e")))
+
+  /** 8-bit sign-projection bucket key — the LSH for cosine space. */
+  def signBucketSql(e: String): String =
+    "concat(" + (1 to 8).map(i =>
+      s"case when element_at($e, $i) >= cast(0.0 as double) then '1' else '0' end").mkString(", ") + ")"
+
+  /** Embedding near-dup: bucket by 8 sign bits (hyperplane LSH), verify
+    * cosine ≥ 0.99 within buckets only. 2^8 buckets ⇒ bucket-local joins;
+    * at 100 TB you widen the code length, the plan shape is unchanged.
+    */
+  def dedupCosine(emb: DataFrame): DataFrame = {
+    val c = cosineCorpus(embBase(emb)).withColumn("bucket", expr(signBucketSql("e")))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr(cosineSql("a.e", "b.e")).as("cosine"))
+      .filter(col("cosine") >= 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: the 8 query vectors are broadcast, the scan
+    * over candidates is embarrassingly parallel, ranking is a per-query
+    * window. The baseline ANN; linear in corpus size.
+    */
+  def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val base = embBase(emb)
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(cosineSql("qe", "e")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  /** IVF-style ANN: the `label` column acts as the coarse quantizer
+    * (cluster assignment); each query probes only its own cell — the
+    * scale path where the scan cost drops by the cell count.
+    */
+  def annIvf(emb: DataFrame, k: Int = 5): DataFrame = {
+    val base = embBase(emb)
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("label").as("qlabel"))
+    val scored = base.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(cosineSql("qe", "e")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "cosine")
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** LLM-pipeline query registry + DuckDB oracle SQL. Each oracle mirrors the
+  * Spark formula construct-for-construct (same hash derivation, same
+  * ordered FP folds) — see [[LlmOps]] for the cross-engine determinism
+  * rules. `mm_decode_stub` is typed mapPartitions (not SQL-expressible) and
+  * is intentionally absent from the oracle map → rows-only check.
+  */
+object LlmQueries {
+  import LlmOps.{h56Duck, ExactCorpusSql, NearCorpusSql, NumHashes, Bands, SimHashBits}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(Tables.documents(s, d))),
+    "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(Tables.documents(s, d))),
+    "llm_dedup_simhash" -> ((s, d) => LlmOps.simHash(Tables.documents(s, d))),
+    "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(Tables.documents(s, d))),
+    "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(Tables.embeddings(s, d))),
+    "llm_ann_topk"      -> ((s, d) => LlmOps.annTopK(Tables.embeddings(s, d))),
+    "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
+    "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "mm_media_meta"     -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    "mm_frame_sample"   -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d)))
+  )
+
+  // --------------------------------------------------------- oracle SQL
+
+  /** DuckDB: distinct word-3-shingles from `toks` (mirrors withShingles). */
+  private val shinglesDuck =
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
+
+  private val mhCols = (1 to NumHashes).map(j =>
+    s"list_min(list_transform(shingles, s -> ${h56Duck(s"concat('$j|', s)")})) AS mh$j").mkString(",\n    ")
+
+  private val bandUnion = (0 until Bands).map { b =>
+    val key = (1 to 3).map(r => s"CAST(mh${3 * b + r} AS VARCHAR)").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  private def jaccardDuck(a: String, b: String): String =
+    s"CAST(len(list_filter($a, v -> list_contains($b, v))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
+
+  private val simBitSums = (0 until SimHashBits).map(j =>
+    s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+  private val simAssemble = (0 until SimHashBits).map(j =>
+    s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"
+  private def cosineDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+  private def signBucketDuck(e: String): String =
+    "concat(" + (1 to 8).map(i =>
+      s"CASE WHEN $e[$i] >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END").mkString(", ") + ")"
+
+  private val langs = TextAnalysis.Profiles.map(_._1)
+  private def inListDuck(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private val langScoreCols = TextAnalysis.Profiles.map { case (l, ws) =>
+    s"CAST(len(list_filter(toks, v -> v IN (${inListDuck(ws)}))) AS BIGINT) AS s_$l"
+  }.mkString(",\n    ")
+  private val langAllZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+  private val langArgmax = langs.map { l =>
+    val isMax = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+    s"WHEN $isMax THEN '$l'"
+  }.mkString("\n      ")
+
+  private val enStops = inListDuck(TextAnalysis.Profiles(1)._2)
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      s"""WITH corpus AS ($ExactCorpusSql)
+         |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies, md5(text) AS content_hash
+         |FROM corpus GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "llm_dedup_minhash" ->
+      s"""WITH corpus AS ($NearCorpusSql),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
+         |mh AS (SELECT doc_id, shingles,
+         |    $mhCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandUnion
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b, ${jaccardDuck("sa.shingles", "sb.shingles")} AS jaccard
+         |  FROM pairs p
+         |  JOIN sh sa ON p.id_a = sa.doc_id
+         |  JOIN sh sb ON p.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         |th AS (SELECT doc_id, ${h56Duck("tok")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |    $simBitSums
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($simAssemble AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_ngram" ->
+      s"""WITH corpus AS ($NearCorpusSql),
+         |g AS (
+         |  SELECT doc_id, substr(text, 1, 20) AS blk,
+         |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS grams
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus)
+         |),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardDuck("a.grams", "b.grams")} AS jaccard
+         |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_dedup_cosine" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE))
+         |  FROM base WHERE vec_id % 10 = 0
+         |),
+         |bk AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket FROM corpus),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineDuck("a.e", "b.e")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_ann_topk" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.qid, b.vec_id, ${cosineDuck("q.qe", "b.e")} AS cosine
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+         |),
+         |r AS (SELECT qid, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "llm_ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel FROM base WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.qid, b.vec_id, b.label, ${cosineDuck("q.qe", "b.e")} AS cosine
+         |  FROM base b JOIN q ON b.label = q.qlabel AND b.vec_id <> q.qid
+         |),
+         |r AS (SELECT qid, vec_id, label, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, vec_id, label, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "llm_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_n,
+         |    CAST(len(list_filter(toks, v -> v IN ($enStops))) AS DOUBLE) / len(toks) AS stop_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, len_chars, avg_token_len, punct_n, stop_ratio,
+         |  least(CAST(1.0 AS DOUBLE), n_tokens / CAST(50.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |    + stop_ratio * CAST(0.3 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - punct_n / CAST(greatest(len_chars, 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    $langScoreCols
+         |  FROM t)
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE WHEN $langAllZero THEN 'und'
+         |      $langArgmax
+         |      ELSE 'und' END AS predicted,
+         |  lang AS labeled
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, text, $shinglesDuck AS shingles FROM t)
+         |SELECT doc_id,
+         |  list_reduce(list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
+         |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  ['png','jpeg','mp4'][CAST(doc_id % 3 AS INT) + 1] AS codec,
+        |  64 + (doc_id % 16) * 8 AS width,
+        |  64 + ((doc_id // 16) % 16) * 8 AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+        |    CAST(octet_length(encode(text)) AS BIGINT) // (doc_id % 4 + 1) AS step
+        |  FROM documents
+        |),
+        |f AS (SELECT doc_id, text, step, CAST(u.k AS BIGINT) AS frame_idx FROM m, UNNEST(range(0, n_frames)) AS u(k))
+        |SELECT doc_id, frame_idx, frame_idx * step AS frame_off,
+        |  substr(text, CAST(frame_idx * step + 1 AS INT), 12) AS frame_sig
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * language ID, token counting, document fingerprinting. All pure
+  * narrow projections (scan → project), codegen-friendly, linear at any
+  * scale; every formula is mirrored verbatim in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram-heuristic language ID. The synthetic
+    * corpus is English-shaped regardless of its `lang` label, so the
+    * heuristic (deterministically) leans `en` — the *operator* is what is
+    * under test, and both engines score identically.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "ni"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Per-doc quality stats: token count, chars, avg token length, punct
+    * count, stopword ratio, and a composite quality score. Ratios are
+    * double divisions of exact ints — bit-identical cross-engine.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("len_chars"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
+          .as("avg_token_len"),
+        expr("cast(regexp_count(text, '[^a-z0-9 ]') as bigint)").as("punct_n"),
+        expr(s"cast(size(filter(toks, t -> t in (${inList(Profiles(1)._2)}))) as double) / size(toks)")
+          .as("stop_ratio"))
+      .withColumn("quality_score", expr(
+        "least(cast(1.0 as double), n_tokens / cast(50.0 as double)) * cast(0.5 as double)" +
+          " + stop_ratio * cast(0.3 as double)" +
+          " + (cast(1.0 as double) - punct_n / cast(greatest(len_chars, 1) as double)) * cast(0.2 as double)"))
+      .orderBy("doc_id")
+
+  /** Language ID by stopword-profile hit counts; argmax with a fixed
+    * alphabetical preference order (de,en,es,fr,zh), all-zero → 'und'.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Profiles.foldLeft(docs.withColumn("toks", split(col("text"), " "))) {
+      case (d, (lang, ws)) =>
+        d.withColumn(s"s_$lang", expr(s"cast(size(filter(toks, t -> t in (${inList(ws)}))) as bigint)"))
+    }
+    val langs = Profiles.map(_._1)
+    val allZero = langs.map(l => col(s"s_$l") === 0).reduce(_ && _)
+    val argmax = langs.foldRight(lit("und")) { (l, alt) =>
+      val isMax = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(alt)
+    }
+    scored.select(
+        (Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
+          Seq(when(allZero, lit("und")).otherwise(argmax).as("predicted"),
+            col("lang").as("labeled"))): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenization
+    * (letter/digit runs + single punctuation marks), plus chars/token.
+    */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        expr("cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') as bigint)").as("re_tokens"),
+        (length(col("text")).cast("double") / size(split(col("text"), " ")))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: a char-level rolling polynomial hash
+    * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
+    * min-shingle-hash fingerprint (the winnowing-style content signature).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    LlmOps.withShingles(docs.select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), cast(0 as bigint), (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)")
+          .as("rolling_fp"),
+        expr(s"array_min(transform(shingles, s -> ${LlmOps.h56("s")}))").as("min_shingle_fp"))
+      .orderBy("doc_id")
+}
