@@ -1,0 +1,123 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis semantics on tiny controlled frames. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+
+  test("exact dedup groups identical text, keeps min doc_id") {
+    val d = docs(0L -> "alpha beta gamma", 3L -> "other text here")
+    val out = LlmOps.dedupExact(d).collect()
+    // corpus injects a copy of doc 0 at 20000000 → group of 2 + singleton
+    assert(out.length === 2)
+    val g = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(0L) === 2L)
+    assert(g(3L) === 1L)
+  }
+
+  test("minhash LSH finds the injected near-duplicate pairs") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(0L -> text, 7L -> text.replace("tok5", "tok5x"),
+      2L -> "completely different words entirely unrelated content")
+    // corpus injects near-copies of ids 0 and 7 (both %7==0) at +10000000
+    val pairs = LlmOps.dedupMinHash(d)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10000000L)))
+    assert(pairs.contains((7L, 10000007L)))
+    // the unrelated doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical text → identical hash; disjoint text → different") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zeta eta theta iota kappa lambda")
+    val m = LlmOps.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("ngram jaccard: prefix-blocked pair scores high, jaccard in (0,1]") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(0L -> text)
+    val out = LlmOps.dedupNgram(d).collect()
+    assert(out.nonEmpty)
+    val j = out.head.getDouble(2)
+    assert(j > 0.5 && j <= 1.0)
+  }
+
+  test("cosine dedup: perturbed copy of every 10th vector is found") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pairs = LlmOps.dedupCosine(vecs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000000L)))
+    assert(pairs.contains((10L, 1000010L)))
+  }
+
+  test("ann topk: k rows per query, self excluded, descending cosine") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = LlmOps.annTopK(vecs, k = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q)) // self excluded
+      val cs = rows.sortBy(_.getLong(1)).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("text stats: token counts and ratios") {
+    val d = docs(1L -> "the cat sat, on the mat!")
+    val r = TextAnalysis.textStats(d).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 6L)
+    assert(r.getAs[Long]("punct_n") === 2L) // ',' and '!'
+    assert(r.getAs[Double]("stop_ratio") === 2.0 / 6.0) // two 'the'
+  }
+
+  test("lang id: profile hits drive prediction, no hits → und") {
+    val d = Seq((1L, "the fast data of the table", "en"),
+        (2L, "zzz qqq xxx", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", lit(1L))
+    val m = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted")).toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "und")
+  }
+
+  test("fingerprint: deterministic and content-sensitive") {
+    val a = TextAnalysis.fingerprint(docs(1L -> "alpha beta gamma delta")).collect()(0)
+    val b = TextAnalysis.fingerprint(docs(1L -> "alpha beta gamma delta")).collect()(0)
+    val c = TextAnalysis.fingerprint(docs(1L -> "alpha beta gamma delts")).collect()(0)
+    assert(a.getLong(1) === b.getLong(1))
+    assert(a.getLong(1) !== c.getLong(1))
+  }
+
+  test("multimodal: meta prunes payload, frame fan-out is 1+id%4") {
+    val d = docs(5L -> ("x" * 100))
+    val meta = Multimodal.mediaMeta(d).collect()(0)
+    assert(meta.getAs[Long]("n_bytes") === 100L)
+    val frames = Multimodal.frameSample(d).collect()
+    assert(frames.length === 2) // 1 + 5%4
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L, 1L))
+  }
+
+  test("multimodal decode stub preserves row count and schema") {
+    val d = docs(1L -> "abc", 2L -> "defg")
+    val out = Multimodal.decodeStub(spark, d)
+    assert(out.columns.toSeq === Seq("doc_id", "fake_luma", "width", "height", "n_bytes"))
+    assert(out.count() === 2L)
+  }
+}
