@@ -1,18 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/timing probe: runMain graft.Probe <queryName> [sfDir] [explain] */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, false)
-    import org.apache.spark.sql.functions._
-    ev.select(unix_millis(col("ts"))).show(3, false)
+    val fn = SparkEntry.queries(name)
+    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
     spark.stop()
   }
 }

@@ -85,14 +85,23 @@ object LlmOps {
 
   val NumHashes = 12 // 4 bands × rows of 3
   val Bands     = 4
+  val MersenneP = 2147483647L // 2^31-1
 
-  /** MinHash signature: mh_j = min over shingles of h56("j|"+shingle) —
-    * 12 independent salted hashes, grouped into 4 band keys of 3.
+  /** Affine rehash constants: mh_j = min((a_j·g + b_j) mod 2^31-1) over the
+    * per-shingle base hash g. One md5 per shingle total (not per hash
+    * function) — the classic universal-hashing MinHash construction; at
+    * 100 TB the md5 count is the dominant cost and this cuts it 12×.
     */
+  def affineA(j: Int): Long = 2L * j + 1
+  def affineB(j: Int): Long = 104729L * j
+
+  /** MinHash signature over the base-hash array `gs`, banded into 4 keys. */
   def withMinHashBands(df: DataFrame): DataFrame = {
-    val withMh = (1 to NumHashes).foldLeft(df) { (d, j) =>
+    val withG = df.withColumn("gs",
+      expr(s"transform(shingles, s -> ${h56("s")} % $MersenneP)"))
+    val withMh = (1 to NumHashes).foldLeft(withG) { (d, j) =>
       d.withColumn(s"mh$j",
-        expr(s"array_min(transform(shingles, s -> ${h56(s"concat('$j|', s)")}))"))
+        expr(s"array_min(transform(gs, g -> (${affineA(j)} * g + ${affineB(j)}) % $MersenneP))"))
     }
     (0 until Bands).foldLeft(withMh) { (d, b) =>
       val parts = (1 to 3).map(r => s"cast(mh${3 * b + r} as string)").mkString(", ',', ")
@@ -176,9 +185,13 @@ object LlmOps {
 
   /** Ordered-fold dot product of two array<double> columns (Spark SQL text):
     * identical FP addition order to DuckDB's list_reduce, hence bit-exact.
+    * zip_with (not element_at over an index sequence) so a computed input
+    * array is evaluated once per row, not once per element — with indexed
+    * access Catalyst inlines the producing expression into every
+    * element_at, turning a 64-dim dot into O(64²) work.
     */
   def dotSql(a: String, b: String): String =
-    s"aggregate(sequence(1, size($a)), cast(0.0 as double), (acc, i) -> acc + element_at($a, i) * element_at($b, i))"
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -202,13 +215,17 @@ object LlmOps {
   /** Embedding near-dup: bucket by 8 sign bits (hyperplane LSH), verify
     * cosine ≥ 0.99 within buckets only. 2^8 buckets ⇒ bucket-local joins;
     * at 100 TB you widen the code length, the plan shape is unchanged.
+    * Norms are precomputed per vector *before* the join — O(n) instead of
+    * O(pairs) norm work.
     */
   def dedupCosine(emb: DataFrame): DataFrame = {
-    val c = cosineCorpus(embBase(emb)).withColumn("bucket", expr(signBucketSql("e")))
+    val c = cosineCorpus(embBase(emb))
+      .withColumn("bucket", expr(signBucketSql("e")))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        expr(cosineSql("a.e", "b.e")).as("cosine"))
+        expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)").as("cosine"))
       .filter(col("cosine") >= 0.99)
       .orderBy("id_a", "id_b")
   }
@@ -220,12 +237,12 @@ object LlmOps {
     * window. The baseline ANN; linear in corpus size.
     */
   def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val base = embBase(emb)
+    val base = embBase(emb).withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     val q = base.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine", expr(cosineSql("qe", "e")))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
@@ -238,12 +255,13 @@ object LlmOps {
     * scale path where the scan cost drops by the cell count.
     */
   def annIvf(emb: DataFrame, k: Int = 5): DataFrame = {
-    val base = embBase(emb)
+    val base = embBase(emb).withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     val q = base.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("label").as("qlabel"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("label").as("qlabel"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine", expr(cosineSql("qe", "e")))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)

@@ -36,7 +36,8 @@ object LlmQueries {
     "list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
 
   private val mhCols = (1 to NumHashes).map(j =>
-    s"list_min(list_transform(shingles, s -> ${h56Duck(s"concat('$j|', s)")})) AS mh$j").mkString(",\n    ")
+    s"list_min(list_transform(gs, g -> (${LlmOps.affineA(j)} * g + ${LlmOps.affineB(j)}) % ${LlmOps.MersenneP})) AS mh$j")
+    .mkString(",\n    ")
 
   private val bandUnion = (0 until Bands).map { b =>
     val key = (1 to 3).map(r => s"CAST(mh${3 * b + r} AS VARCHAR)").mkString(" || ',' || ")
@@ -82,9 +83,12 @@ object LlmQueries {
       s"""WITH corpus AS ($NearCorpusSql),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
          |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
+         |shg AS (SELECT doc_id, shingles,
+         |    list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP}) AS gs
+         |  FROM sh),
          |mh AS (SELECT doc_id, shingles,
          |    $mhCols
-         |  FROM sh),
+         |  FROM shg),
          |bands AS (
          |  $bandUnion
          |),
@@ -131,19 +135,20 @@ object LlmQueries {
          |  SELECT vec_id + 1000000, list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE))
          |  FROM base WHERE vec_id % 10 = 0
          |),
-         |bk AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket FROM corpus),
+         |bk AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM corpus),
          |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineDuck("a.e", "b.e")} AS cosine
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotDuck("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 
     "llm_ann_topk" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+         |based AS (SELECT vec_id, e, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM based WHERE vec_id < 8),
          |scored AS (
-         |  SELECT q.qid, b.vec_id, ${cosineDuck("q.qe", "b.e")} AS cosine
-         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b CROSS JOIN q WHERE b.vec_id <> q.qid
          |),
          |r AS (SELECT qid, vec_id, cosine,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
@@ -152,10 +157,11 @@ object LlmQueries {
 
     "llm_ann_ivf" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
-         |q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel FROM base WHERE vec_id < 8),
+         |based AS (SELECT vec_id, e, label, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, label AS qlabel, nrm AS qnrm FROM based WHERE vec_id < 8),
          |scored AS (
-         |  SELECT q.qid, b.vec_id, b.label, ${cosineDuck("q.qe", "b.e")} AS cosine
-         |  FROM base b JOIN q ON b.label = q.qlabel AND b.vec_id <> q.qid
+         |  SELECT q.qid, b.vec_id, b.label, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b JOIN q ON b.label = q.qlabel AND b.vec_id <> q.qid
          |),
          |r AS (SELECT qid, vec_id, label, cosine,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
