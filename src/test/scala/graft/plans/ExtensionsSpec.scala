@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.cdc.ops.Normalize
+import graft.functions.NormalizeEpochMillis
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst surface: the codegen'd expression, its SQL registration,
+  * and the strength-reduction rule rewriting the P3 when-chain into it.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val regimes = Seq(
+    1704067200000000000L, // ns
+    1704067200000L,       // ms
+    1704067200L,          // s
+    5L,                   // small passthrough
+    100000000000000L,     // ns-threshold boundary (not >) → passthrough
+    100000000000L)        // ms-threshold boundary → seconds branch
+
+  test("normalize_epoch_millis SQL function is registered and codegen-correct") {
+    val got = regimes.toDF("v")
+      .selectExpr("normalize_epoch_millis(v) as n")
+      .as[Long].collect().toSeq
+    assert(got === regimes.map(NormalizeEpochMillis.normalize))
+  }
+
+  test("native expression matches the SQL-expressible when-chain bit-for-bit") {
+    val df = regimes.toDF("v")
+    val chain = df.select(Normalize.commitMsLong(col("v")).as("n")).as[Long].collect().toSeq
+    val native = df.selectExpr("normalize_epoch_millis(v) as n").as[Long].collect().toSeq
+    assert(chain === native)
+  }
+
+  test("strength-reduction rule rewrites the when-chain to the native expression") {
+    // a parquet-backed plan (a local literal relation constant-folds away
+    // before the rule can be observed) — this is the production cdc plan.
+    val df = graft.cdc.CdcView(spark, "/root/testdata/sf0.001")
+      .transform(graft.cdc.ops.Route.withCommitMs)
+      .select(col("event_id"), col("commit_raw"), col("commit_ms"))
+    val optimized = df.queryExecution.optimizedPlan
+    val hasNative = optimized.expressions.exists(_.exists(_.isInstanceOf[NormalizeEpochMillis]))
+    assert(hasNative, s"expected NormalizeEpochMillis in:\n$optimized")
+    // and the rewrite preserves results vs the unoptimized chain semantics
+    val viaNative = df.select(col("event_id"), col("commit_ms"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val direct = graft.cdc.CdcView(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"),
+        expr("normalize_epoch_millis(commit_raw)").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaNative === direct)
+  }
+
+  test("null propagates through the native expression") {
+    val r = Seq[java.lang.Long](null).toDF("v")
+      .selectExpr("normalize_epoch_millis(v) as n").collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
