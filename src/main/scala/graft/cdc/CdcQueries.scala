@@ -77,6 +77,32 @@ object CdcQueries {
         .orderBy(col("event_id"), col("idx"))
     }),
 
+    // P5/P7 — webhook payload projection serialized as the JSON body the
+    // reference POSTs (`app/services/sf_pubsub.py:736-744`); deterministic
+    // string construction so the oracle is byte-identical.
+    "cdc_payload_json" -> ((s, d) =>
+      Pipeline.deliveries(CdcView(s, d))
+        .select(col("id"), concat(
+          lit("""{"data":[{"Id":""""), col("id"),
+          lit("""","subscriptionTopic":""""), col("subscription_topic"),
+          lit("""","instanceUrl":""""), col("instance_url"),
+          lit(""""}]}""")).as("payload_json"))
+        .orderBy(col("id"))),
+
+    // A4 — running per-entity counters (batch form of the streaming agg;
+    // reference `app/services/sf_pubsub.py:782-785`).
+    "cdc_counters" -> ((s, d) =>
+      Streaming.runningCounters(Pipeline.deliveries(CdcView(s, d)))
+        .orderBy(col("entity"))),
+
+    // P7 — JSON field extraction from the raw event props.
+    "cdc_props_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          col("value"))
+        .orderBy(col("event_id"))),
+
     // P8 — secret masking over customer names (clients stand-in).
     "cdc_mask_secret" -> ((s, d) =>
       Tables.customer(s, d)
@@ -142,6 +168,26 @@ object CdcQueries {
         |  CROSS JOIN LATERAL (SELECT list_slice(['true','0','maybe'], 1, CAST(c.event_id % 3 AS INT)) AS flash_list) fl,
         |  UNNEST(range(0, len(c.record_ids))) AS u(i)
         |) ORDER BY event_id, idx""".stripMargin),
+
+    "cdc_payload_json" -> (oracleCte +
+      """SELECT id, '{"data":[{"Id":"' || id || '","subscriptionTopic":"' || subscription_topic || '","instanceUrl":"' || instance_url || '"}]}' AS payload_json
+        |FROM (
+        |  SELECT c.record_ids[CAST(u.i AS INT) + 1] AS id, c.subscription_topic, c.instance_url
+        |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)
+        |  WHERE c.commit_ms >= 1704412800000 AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
+        |) ORDER BY id""".stripMargin),
+
+    "cdc_counters" -> (oracleCte +
+      """SELECT entity, CAST(count(*) AS BIGINT) AS events_received, max(commit_ms) AS last_commit_ms
+        |FROM (
+        |  SELECT c.entity, c.commit_ms
+        |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)
+        |  WHERE c.commit_ms >= 1704412800000 AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
+        |) GROUP BY entity ORDER BY entity""".stripMargin),
+
+    "cdc_props_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "value"
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "cdc_mask_secret" ->
       """SELECT c_custkey,

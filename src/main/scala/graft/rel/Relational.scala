@@ -133,6 +133,29 @@ object Relational {
           col("n"), col("total_price"))
         .orderBy(col("status"), col("priority"))),
 
+    // Distinct aggregation: exact distinct customers per order status.
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+
+    // TPC-H Q17 shape: correlated aggregate (below 20% of per-part avg
+    // quantity), decorrelated as a pre-aggregated broadcast join. The
+    // threshold is a double derived from exact decimal sums, so the
+    // comparison is bit-identical cross-engine.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
+      li.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(dec(col("l_quantity")).cast("double") < lit(0.2) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+    }),
+
     // Pivot-style conditional aggregation: priority counts per status.
     "q_pivot_priority" -> ((s, d) =>
       Tables.orders(s, d)
@@ -226,6 +249,22 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |) ON l_partkey = ap_partkey
+        |WHERE p_size <= 5
+        |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
 
     "q_pivot_priority" ->
       """SELECT o_orderstatus,
