@@ -116,7 +116,12 @@ object LlmOps {
     * text (arrays re-joined only for surviving candidate pairs).
     */
   def dedupMinHash(docs: DataFrame): DataFrame = {
+    // persist: the shingle+signature subtree is referenced 4× (band
+    // self-join + both sides of the verify join); without it Spark
+    // re-tokenizes and re-hashes the corpus on every reference. At 100 TB
+    // this is the materialized signature table every MinHash pipeline keeps.
     val shingled = withShingles(nearDupCorpus(docs)).select("doc_id", "shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh       = withMinHashBands(shingled)
     val bands = mh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
@@ -172,6 +177,7 @@ object LlmOps {
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, greatest(size(sp)-1, 1)), i -> concat_ws(' ', slice(sp, i, 2))))"))
       .select("doc_id", "blk", "grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     g.as("a").join(g.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -208,7 +208,7 @@ object LlmQueries {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, text, $shinglesDuck AS shingles FROM t)
          |SELECT doc_id,
-         |  list_reduce(list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
+         |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
          |FROM sh ORDER BY doc_id""".stripMargin,
 

@@ -81,12 +81,15 @@ object TextAnalysis {
   /** Document fingerprinting: a char-level rolling polynomial hash
     * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
     * min-shingle-hash fingerprint (the winnowing-style content signature).
+    * The char array comes from regexp_extract_all('.') so the fold is
+    * linear — indexing with substr(text,i,1) is O(n²) per doc (substr
+    * re-scans codepoints from the start in both engines).
     */
   def fingerprint(docs: DataFrame): DataFrame =
     LlmOps.withShingles(docs.select(col("doc_id"), col("text")))
       .select(
         col("doc_id"),
-        expr("aggregate(sequence(1, length(text)), cast(0 as bigint), (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)")
+        expr("aggregate(regexp_extract_all(text, '.', 0), cast(0 as bigint), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
           .as("rolling_fp"),
         expr(s"array_min(transform(shingles, s -> ${LlmOps.h56("s")}))").as("min_shingle_fp"))
       .orderBy("doc_id")
