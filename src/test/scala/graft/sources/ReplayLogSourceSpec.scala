@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** The custom DSv2 replay-log source: credit batching, replay presets,
+  * checkpointed resume from a committed replay id, and composition with
+  * the CDC route transforms.
+  */
+class ReplayLogSourceSpec extends SparkSpec {
+
+  private def writeLog(n: Int): String = {
+    val f = Files.createTempFile("graft-replaylog", ".jsonl")
+    val lines = (0 until n).map { i =>
+      val ids = (0 until i % 3).map(j => s""""R$i-$j"""").mkString(",")
+      s"""{"entity":"Account","change_type":"UPDATE","record_ids":[$ids],"commit_raw":${1704067200L + i},"flash_raw":"${if (i % 2 == 0) "true" else "no"}"}"""
+    }
+    Files.write(f, lines.mkString("\n").getBytes)
+    f.toString
+  }
+
+  private def readStream(log: String, opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(spark.readStream.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log))( { case (r, (k, v)) => r.option(k, v) }).load()
+
+  test("batch read returns every event with replay ids in order") {
+    val log = writeLog(10)
+    val df = spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load()
+    assert(df.count() === 10L)
+    assert(df.select("replay_id").collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    assert(df.filter(col("flash_raw") === "true").count() === 5L)
+  }
+
+  test("credit-based flow control: each micro-batch admits at most maxEventsPerTrigger") {
+    val log = writeLog(10)
+    val sizes = mutable.ArrayBuffer.empty[Long]
+    val q = readStream(log, Map("maxEventsPerTrigger" -> "3"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => sizes += b.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(sizes.sum === 10L)
+    assert(sizes.forall(_ <= 3L), s"credit violated: $sizes")
+    assert(sizes.length >= 4) // 3+3+3+1
+  }
+
+  test("replay presets: custom replay id starts mid-log; latest starts empty") {
+    val log = writeLog(8)
+    val got = mutable.ArrayBuffer.empty[Long]
+    val q = readStream(log, Map("startingReplay" -> "5"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.select("replay_id").collect().map(_.getLong(0)); ()
+      }.start()
+    q.awaitTermination()
+    assert(got.sorted.toSeq === Seq(5L, 6L, 7L))
+  }
+
+  test("checkpointed resume: restart continues from the committed replay id") {
+    val log = writeLog(6)
+    val ckp = Files.createTempDirectory("graft-replay-ckp").toString
+    val first = mutable.ArrayBuffer.empty[Long]
+    @volatile var fail = true
+    // run 1: deliver batch 0, then crash before batch 1 commits
+    val q1 = readStream(log, Map("maxEventsPerTrigger" -> "2"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckp)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        if (epoch >= 1 && fail) { fail = false; sys.error("sink down") }
+        first ++= b.select("replay_id").collect().map(_.getLong(0)); ()
+      }.start()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(first.sorted.toSeq === Seq(0L, 1L))
+    // run 2: resumes at replay 2 — events 0/1 are NOT re-delivered
+    val second = mutable.ArrayBuffer.empty[Long]
+    val q2 = readStream(log, Map("maxEventsPerTrigger" -> "2"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckp)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        second ++= b.select("replay_id").collect().map(_.getLong(0)); ()
+      }.start()
+    q2.awaitTermination()
+    assert(second.sorted.toSeq === Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("composes with the CDC route transforms end-to-end") {
+    import graft.cdc.ops.Route
+    val log = writeLog(12)
+    val out = mutable.ArrayBuffer.empty[String]
+    val q = readStream(log)
+      .transform(Route.withCommitMs)
+      .transform(Route.sinceFilter(0L))
+      .transform(Route.nonEmptyIds)
+      .transform(Route.fanOut)
+      .transform(Route.flashGate)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out ++= b.select("record_id").collect().map(_.getString(0)); ()
+      }.start()
+    q.awaitTermination()
+    // flash=true on even replay ids; record count = replay % 3
+    val expected = (0 until 12).filter(i => i % 2 == 0 && i % 3 > 0)
+      .flatMap(i => (0 until i % 3).map(j => s"R$i-$j"))
+    assert(out.sorted.toSeq === expected.sorted)
+  }
+}
