@@ -6,25 +6,28 @@ import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
   * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
-  * embedding-cosine), approximate-nearest-neighbor similarity search, and
-  * text analysis — all over the driver's `documents` / `embeddings` tables.
+  * embedding-cosine), approximate-nearest-neighbor similarity search.
+  * Library API: every operator takes its id/text/vector column names (with
+  * `doc_id`/`text`/`vec_id`/`embedding` defaults) and operates on the given
+  * corpus verbatim; the `*Corpus` builders that inject deterministic
+  * duplicates are harness fixtures, composed by [[LlmQueries]], not part of
+  * the operators.
   *
   * Cross-engine determinism rules (so the DuckDB oracle hash-matches):
   *   - every hash is the first 14 hex chars of md5, read as a 56-bit int —
   *     `conv(substr(md5(x),1,14),16,10)` in Spark ≡
   *     `CAST('0x'||substr(md5(x),1,14) AS BIGINT)` in DuckDB;
   *   - every float computation is an ordered left-fold over doubles
-  *     (`aggregate(sequence...)` ≡ `list_reduce(list_transform(range...))`),
+  *     (`aggregate(zip_with...)` ≡ `list_reduce(list_transform(range...))`),
   *     so FP addition order — and hence every bit — is identical;
-  *   - duplicate corpora are *injected* deterministically (the synthetic
-  *     corpus has no natural dups): doc_id%10 exact copies at +20000000,
+  *   - harness dup injection: doc_id%10 exact copies at +20000000,
   *     doc_id%7 near copies (4-token tail appended) at +10000000,
   *     vec_id%10 perturbed vectors (±0.01 per dim by i%3) at +1000000.
   *
   * Scale notes (designed for 100 TB, tested at sf0.1): every dedup variant
   * is blocked/bucketed — candidate pairs come from LSH band keys, prefix
   * blocks, or sign buckets, never an unblocked O(n²) self-join; the only
-  * cross join is against a broadcast 8-row query set.
+  * cross join is against a broadcast query set.
   */
 object LlmOps {
 
@@ -36,9 +39,13 @@ object LlmOps {
   def h56Duck(sqlArg: String): String =
     s"CAST('0x'||substr(md5($sqlArg),1,14) AS BIGINT)"
 
-  // ---------------------------------------------------------------- corpora
+  /** Canonicalize a text corpus to (doc_id, text). */
+  private def textCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-  /** documents ∪ exact copies of every 10th doc (id +20000000). */
+  // ------------------------------------------- harness dup-injection fixtures
+
+  /** corpus ∪ exact copies of every 10th doc (id +20000000). */
   def exactDupCorpus(docs: DataFrame): DataFrame =
     docs.select("doc_id", "text").unionByName(
       docs.filter(col("doc_id") % 10 === 0)
@@ -48,7 +55,7 @@ object LlmOps {
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** documents ∪ near copies of every 7th doc (id +10000000, tail appended). */
+  /** corpus ∪ near copies of every 7th doc (id +10000000, tail appended). */
   def nearDupCorpus(docs: DataFrame): DataFrame =
     docs.select("doc_id", "text").unionByName(
       docs.filter(col("doc_id") % 7 === 0)
@@ -59,15 +66,32 @@ object LlmOps {
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 10000000, text || ' graft near dup tail' FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** vectors (as array<double>) ∪ perturbed copies of every 10th. */
+  def cosineCorpus(base: DataFrame): DataFrame =
+    base.select("vec_id", "e").unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(sequence(1, size(e)), i -> element_at(e, i) + (i % 3 - 1) * cast(0.01 as double))").as("e")))
+
+  /** embeddings with the vector widened to array<double> (exact). */
+  def embBase(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(
+      (Seq(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e")) ++
+        (if (emb.columns.contains("label") && idCol != "label") Seq(col("label")) else Nil)): _*)
+    base
+  }
+
   // ----------------------------------------------------------- exact dedup
 
   /** Exact dedup by content hash: one group per md5(text), keep the lowest
-    * doc_id. Single hash-shuffle on a 32-hex key — at 100 TB this is the
+    * id. Single hash-shuffle on a 32-hex key — at 100 TB this is the
     * canonical map-side-combine groupBy, no row ever carries the text
     * through the shuffle.
     */
-  def dedupExact(docs: DataFrame): DataFrame =
-    exactDupCorpus(docs)
+  def dedupExact(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    textCorpus(corpus, idCol, textCol)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies", "content_hash")
@@ -110,19 +134,22 @@ object LlmOps {
   }
 
   /** MinHash+LSH near-dup detection: shingle → minhash → band → bucket-join
-    * → exact-Jaccard verify ≥ 0.6. The self-join is on (band_idx, band_key)
-    * buckets only — at 100 TB the shuffle key space is ~n_docs×4 and bucket
-    * sizes stay tiny, so no quadratic blowup; signatures travel without the
-    * text (arrays re-joined only for surviving candidate pairs).
+    * → exact-Jaccard verify ≥ threshold. The self-join is on
+    * (band_idx, band_key) buckets only — at 100 TB the shuffle key space is
+    * ~n_docs×4 and bucket sizes stay tiny, so no quadratic blowup;
+    * signatures travel without the text (arrays re-joined only for
+    * surviving candidate pairs).
     */
-  def dedupMinHash(docs: DataFrame): DataFrame = {
+  def dedupMinHash(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.6): DataFrame = {
     // persist: the shingle+signature subtree is referenced 4× (band
     // self-join + both sides of the verify join); without it Spark
     // re-tokenizes and re-hashes the corpus on every reference. At 100 TB
     // this is the materialized signature table every MinHash pipeline keeps.
-    val shingled = withShingles(nearDupCorpus(docs)).select("doc_id", "shingles")
+    val shingled = withShingles(textCorpus(corpus, idCol, textCol))
+      .select("doc_id", "shingles")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh       = withMinHashBands(shingled)
+    val mh = withMinHashBands(shingled)
     val bands = mh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_key")))
@@ -138,7 +165,7 @@ object LlmOps {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
           size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -150,9 +177,10 @@ object LlmOps {
     * → sign. One explode + one map-side-combinable groupBy — linear at any
     * scale. Docs sharing a simhash are near-dup candidates.
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+  def simHash(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = textCorpus(corpus, idCol, textCol)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", expr(h56("tok")))
     val bitAggs = (0 until SimHashBits).map(j =>
       sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j"))
@@ -166,13 +194,15 @@ object LlmOps {
   // ------------------------------------------------- n-gram Jaccard dedup
 
   /** Word-bigram Jaccard near-dup with prefix blocking: candidate pairs
-    * share the first 20 chars (cheap block key — near copies produced by
-    * tail-append share it by construction), verified by exact bigram
-    * Jaccard ≥ 0.5. Blocking keeps the join linear-ish at scale.
+    * share the first `blockLen` chars (cheap block key), verified by exact
+    * bigram Jaccard ≥ threshold. Blocking keeps the join linear-ish at
+    * scale.
     */
-  def dedupNgram(docs: DataFrame): DataFrame = {
-    val g = nearDupCorpus(docs)
-      .withColumn("blk", substring(col("text"), 1, 20))
+  def dedupNgram(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5,
+      blockLen: Int = 20): DataFrame = {
+    val g = textCorpus(corpus, idCol, textCol)
+      .withColumn("blk", substring(col("text"), 1, blockLen))
       .withColumn("sp", split(col("text"), " "))
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, greatest(size(sp)-1, 1)), i -> concat_ws(' ', slice(sp, i, 2))))"))
@@ -183,7 +213,7 @@ object LlmOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
           size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -202,49 +232,43 @@ object LlmOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** embeddings with the vector widened to array<double> (exact). */
-  def embBase(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
-
-  /** base vectors ∪ perturbed copies of every 10th (±0.01 per dim by i%3). */
-  def cosineCorpus(base: DataFrame): DataFrame =
-    base.select("vec_id", "e").unionByName(
-      base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          expr("transform(sequence(1, size(e)), i -> element_at(e, i) + (i % 3 - 1) * cast(0.01 as double))").as("e")))
-
   /** 8-bit sign-projection bucket key — the LSH for cosine space. */
   def signBucketSql(e: String): String =
     "concat(" + (1 to 8).map(i =>
       s"case when element_at($e, $i) >= cast(0.0 as double) then '1' else '0' end").mkString(", ") + ")"
 
   /** Embedding near-dup: bucket by 8 sign bits (hyperplane LSH), verify
-    * cosine ≥ 0.99 within buckets only. 2^8 buckets ⇒ bucket-local joins;
-    * at 100 TB you widen the code length, the plan shape is unchanged.
-    * Norms are precomputed per vector *before* the join — O(n) instead of
-    * O(pairs) norm work.
+    * cosine ≥ threshold within buckets only. 2^8 buckets ⇒ bucket-local
+    * joins; at 100 TB you widen the code length, the plan shape is
+    * unchanged. Norms are precomputed per vector *before* the join — O(n)
+    * instead of O(pairs) norm work.
     */
-  def dedupCosine(emb: DataFrame): DataFrame = {
-    val c = cosineCorpus(embBase(emb))
+  def dedupCosine(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "e", threshold: Double = 0.99): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
       .withColumn("bucket", expr(signBucketSql("e")))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)").as("cosine"))
-      .filter(col("cosine") >= 0.99)
+      .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
   // --------------------------------------------------- similarity search
 
-  /** Brute-force cosine top-k: the 8 query vectors are broadcast, the scan
-    * over candidates is embarrassingly parallel, ranking is a per-query
-    * window. The baseline ANN; linear in corpus size.
+  /** Brute-force cosine top-k: the query vectors (ids < nQueries) are
+    * broadcast, the scan over candidates is embarrassingly parallel,
+    * ranking is a per-query window. The baseline ANN; linear in corpus
+    * size.
     */
-  def annTopK(emb: DataFrame, k: Int = 10): DataFrame = {
-    val base = embBase(emb).withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
-    val q = base.filter(col("vec_id") < 8)
+  def annTopK(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8): DataFrame = {
+    val base = embBase(emb, idCol, vecCol)
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
@@ -256,13 +280,17 @@ object LlmOps {
       .orderBy("qid", "rnk")
   }
 
-  /** IVF-style ANN: the `label` column acts as the coarse quantizer
-    * (cluster assignment); each query probes only its own cell — the
-    * scale path where the scan cost drops by the cell count.
+  /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
+    * assignment); each query probes only its own cell — the scale path
+    * where the scan cost drops by the cell count.
     */
-  def annIvf(emb: DataFrame, k: Int = 5): DataFrame = {
-    val base = embBase(emb).withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
-    val q = base.filter(col("vec_id") < 8)
+  def annIvf(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      nQueries: Int = 8): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("label").as("qlabel"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(q),

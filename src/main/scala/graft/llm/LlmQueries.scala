@@ -13,11 +13,12 @@ object LlmQueries {
   import LlmOps.{h56Duck, ExactCorpusSql, NearCorpusSql, NumHashes, Bands, SimHashBits}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(Tables.documents(s, d))),
-    "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(Tables.documents(s, d))),
+    "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
+    "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_simhash" -> ((s, d) => LlmOps.simHash(Tables.documents(s, d))),
-    "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(Tables.documents(s, d))),
-    "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(Tables.embeddings(s, d))),
+    "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
+    "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
+      LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
     "llm_ann_topk"      -> ((s, d) => LlmOps.annTopK(Tables.embeddings(s, d))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),

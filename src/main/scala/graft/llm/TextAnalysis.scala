@@ -28,8 +28,9 @@ object TextAnalysis {
     * count, stopword ratio, and a composite quality score. Ratios are
     * double divisions of exact ints — bit-identical cross-engine.
     */
-  def textStats(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(col("text"), " "))
+  def textStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text")).withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
@@ -48,8 +49,11 @@ object TextAnalysis {
   /** Language ID by stopword-profile hit counts; argmax with a fixed
     * alphabetical preference order (de,en,es,fr,zh), all-zero → 'und'.
     */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = Profiles.foldLeft(docs.withColumn("toks", split(col("text"), " "))) {
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "lang"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(labelCol).as("lang"))
+    val scored = Profiles.foldLeft(base.withColumn("toks", split(col("text"), " "))) {
       case (d, (lang, ws)) =>
         d.withColumn(s"s_$lang", expr(s"cast(size(filter(toks, t -> t in (${inList(ws)}))) as bigint)"))
     }
@@ -69,8 +73,9 @@ object TextAnalysis {
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
     * (letter/digit runs + single punctuation marks), plus chars/token.
     */
-  def tokenCount(docs: DataFrame): DataFrame =
-    docs.select(
+  def tokenCount(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text")).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
         expr("cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') as bigint)").as("re_tokens"),
@@ -85,8 +90,9 @@ object TextAnalysis {
     * linear — indexing with substr(text,i,1) is O(n²) per doc (substr
     * re-scans codepoints from the start in both engines).
     */
-  def fingerprint(docs: DataFrame): DataFrame =
-    LlmOps.withShingles(docs.select(col("doc_id"), col("text")))
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(
         col("doc_id"),
         expr("aggregate(regexp_extract_all(text, '.', 0), cast(0 as bigint), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")

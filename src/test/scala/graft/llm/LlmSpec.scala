@@ -15,7 +15,7 @@ class LlmSpec extends SparkSpec {
 
   test("exact dedup groups identical text, keeps min doc_id") {
     val d = docs(0L -> "alpha beta gamma", 3L -> "other text here")
-    val out = LlmOps.dedupExact(d).collect()
+    val out = LlmOps.dedupExact(LlmOps.exactDupCorpus(d)).collect()
     // corpus injects a copy of doc 0 at 20000000 → group of 2 + singleton
     assert(out.length === 2)
     val g = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -28,7 +28,7 @@ class LlmSpec extends SparkSpec {
     val d = docs(0L -> text, 7L -> text.replace("tok5", "tok5x"),
       2L -> "completely different words entirely unrelated content")
     // corpus injects near-copies of ids 0 and 7 (both %7==0) at +10000000
-    val pairs = LlmOps.dedupMinHash(d)
+    val pairs = LlmOps.dedupMinHash(LlmOps.nearDupCorpus(d))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 10000000L)))
     assert(pairs.contains((7L, 10000007L)))
@@ -47,7 +47,7 @@ class LlmSpec extends SparkSpec {
   test("ngram jaccard: prefix-blocked pair scores high, jaccard in (0,1]") {
     val text = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = docs(0L -> text)
-    val out = LlmOps.dedupNgram(d).collect()
+    val out = LlmOps.dedupNgram(LlmOps.nearDupCorpus(d)).collect()
     assert(out.nonEmpty)
     val j = out.head.getDouble(2)
     assert(j > 0.5 && j <= 1.0)
@@ -57,7 +57,7 @@ class LlmSpec extends SparkSpec {
     val vecs = (0L until 20L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
-    val pairs = LlmOps.dedupCosine(vecs)
+    val pairs = LlmOps.dedupCosine(LlmOps.cosineCorpus(LlmOps.embBase(vecs)))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1000000L)))
     assert(pairs.contains((10L, 1000010L)))
