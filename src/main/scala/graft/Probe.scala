@@ -13,12 +13,27 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (name == "_micro") {
+      for (i <- 1 to 4) {
+        var t0 = System.nanoTime()
+        spark.range(10).write.format("noop").mode("overwrite").save()
+        println(f"[probe] range-noop run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
+        println(f"[probe] docs-noop run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+        println(f"[probe] docs-count run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.sqlContext.clearCache()
     }
     spark.stop()
   }

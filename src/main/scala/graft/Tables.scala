@@ -21,9 +21,18 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Memoized per (session, dir, table): re-listing the file and re-reading
+    * parquet footers/schema for every query costs ~100-200ms each — the
+    * resolved relation (metadata only; scans still read the files) is
+    * reused across queries in a process.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     setup(spark)
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    relCache.computeIfAbsent((System.identityHashCode(spark), sfDir, table),
+      _ => spark.read.parquet(s"$sfDir/$table.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ord._
 
 /** Control-plane/relational queries (SURVEY §2.3 F4/F5, §2.5 A1-A3,
   * §2.6 J1, §2.7 O1/O2, §2.8 K5). The reference ships these to Postgres
@@ -45,7 +46,7 @@ object ControlPlane {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
-        .orderBy(col("o_orderstatus"))),
+        .orderedBy(col("o_orderstatus"))),
 
     // A3 / O2 — latest row per key (stored-offset lookup shape).
     "cp_latest_per_key" -> ((s, d) => {
@@ -56,7 +57,7 @@ object ControlPlane {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("last_orderdate_ms"))
-        .orderBy(col("o_custkey"))
+        .orderedBy(col("o_custkey"))
     }),
 
     // J1 — clients ⟕ listener-status with missing-side default "stopped".
@@ -66,7 +67,7 @@ object ControlPlane {
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("status"), lit("stopped")).as("status"),
           (coalesce(col("status"), lit("stopped")) === "running").as("running"))
-        .orderBy(col("c_custkey"))
+        .orderedBy(col("c_custkey"))
     }),
 
     // F5 — duplicate-key existence check (uniqueness guard shape).
@@ -75,7 +76,7 @@ object ControlPlane {
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
-        .orderBy(col("o_custkey"), col("o_orderstatus"))),
+        .orderedBy(col("o_custkey"), col("o_orderstatus"))),
 
     // K5 — config upsert as a batch merge: updates override base rows.
     "cp_upsert_merge" -> ((s, d) => {
@@ -87,7 +88,7 @@ object ControlPlane {
         .select(col("c_custkey"),
           coalesce(col("new_bal").cast("decimal(19,2)"), col("bal").cast("decimal(19,2)"))
             .cast("double").as("bal"))
-        .orderBy(col("c_custkey"))
+        .orderedBy(col("c_custkey"))
     })
   )
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.cdc.ops.{Normalize, Route}
+import graft.Ord._
 
 /** CDC-dataflow queries (SURVEY §2.2-2.4, §2.8) with their DuckDB oracle
   * SQL. Spark and SQL sides are derived from the same `events` columns so
@@ -50,14 +51,14 @@ object CdcQueries {
     "cdc_commit_ts_norm" -> ((s, d) =>
       CdcView(s, d).transform(Route.withCommitMs)
         .select(col("event_id"), col("commit_raw"), col("commit_ms"))
-        .orderBy(col("event_id"))),
+        .orderedBy(col("event_id"))),
 
     // P4 — messy-boolean truth table over the 11 encodings + null override.
     "cdc_bool_norm" -> ((s, d) =>
       CdcView(s, d)
         .select(col("event_id"), col("flash_raw"),
           Normalize.boolNorm(col("flash_raw")).as("flash_norm"))
-        .orderBy(col("event_id"))),
+        .orderedBy(col("event_id"))),
 
     // E1 — positional list alignment: list-valued flash field aligned with
     // recordIds by index, out-of-range → null, then normalized.
@@ -74,7 +75,7 @@ object CdcQueries {
         .select(col("event_id"), col("idx").cast("bigint").as("idx"), col("record_id"),
           col("flash_aligned"),
           Normalize.boolNorm(col("flash_aligned")).as("flash_norm"))
-        .orderBy(col("event_id"), col("idx"))
+        .orderedBy(col("event_id"), col("idx"))
     }),
 
     // P5/P7 — webhook payload projection serialized as the JSON body the
@@ -87,13 +88,13 @@ object CdcQueries {
           lit("""","subscriptionTopic":""""), col("subscription_topic"),
           lit("""","instanceUrl":""""), col("instance_url"),
           lit(""""}]}""")).as("payload_json"))
-        .orderBy(col("id"))),
+        .orderedBy(col("id"))),
 
     // A4 — running per-entity counters (batch form of the streaming agg;
     // reference `app/services/sf_pubsub.py:782-785`).
     "cdc_counters" -> ((s, d) =>
       Streaming.runningCounters(Pipeline.deliveries(CdcView(s, d)))
-        .orderBy(col("entity"))),
+        .orderedBy(col("entity"))),
 
     // P7 — JSON field extraction from the raw event props.
     "cdc_props_extract" -> ((s, d) =>
@@ -101,20 +102,20 @@ object CdcQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"),
           col("value"))
-        .orderBy(col("event_id"))),
+        .orderedBy(col("event_id"))),
 
     // P8 — secret masking over customer names (clients stand-in).
     "cdc_mask_secret" -> ((s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"), Normalize.maskSecret(col("c_name")).as("masked"))
-        .orderBy(col("c_custkey"))),
+        .orderedBy(col("c_custkey"))),
 
     // P6 — base64 encode/decode round trip of replay ids.
     "cdc_b64_roundtrip" -> ((s, d) =>
       CdcView(s, d)
         .select(col("event_id"), Normalize.b64(encode(col("replay_b64"), "UTF-8")).as("b64"))
         .withColumn("back", decode(Normalize.unb64(col("b64")), "UTF-8"))
-        .orderBy(col("event_id"))),
+        .orderedBy(col("event_id"))),
 
     // P9 — validation scalars: URL normalization, topic + email shape.
     "cdc_validate" -> ((s, d) => {
@@ -135,7 +136,7 @@ object CdcQueries {
         Normalize.validHostPort(
           when(col("c_custkey") % 5 === 0, lit("api.pubsub.example.com"))
             .otherwise(lit("api.pubsub.example.com:7443"))).as("host_ok"))
-        .orderBy(col("c_custkey"))
+        .orderedBy(col("c_custkey"))
     })
   )
 

@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.ops.Route
+import graft.Ord._
 
 /** The composed CDC delivery pipeline — batch form. The identical transform
   * chain runs under Structured Streaming in [[Streaming]]; batch-first so
@@ -31,5 +32,5 @@ object Pipeline {
 
   /** Deliveries ordered for the deterministic Verify dump. */
   def deliveriesOrdered(spark: SparkSession, sfDir: String): DataFrame =
-    deliveries(spark, sfDir).orderBy(col("id"))
+    deliveries(spark, sfDir).orderedBy(col("id"))
 }

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ord._
 
 /** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
   * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -95,7 +96,7 @@ object LlmOps {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies", "content_hash")
-      .orderBy("keeper_id")
+      .orderedBy("keeper_id")
 
   // --------------------------------------------------- shingles + MinHash
 
@@ -150,9 +151,12 @@ object LlmOps {
       .select("doc_id", "shingles")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = withMinHashBands(shingled)
+    // persist the band table as well: it feeds both sides of the self-join,
+    // and without it the whole hash+signature derivation runs twice.
     val bands = mh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -166,7 +170,7 @@ object LlmOps {
         (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
           size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
+      .orderedBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------- SimHash
@@ -188,7 +192,7 @@ object LlmOps {
     val sh = (0 until SimHashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sums.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), sh.as("simhash")).orderedBy("doc_id")
   }
 
   // ------------------------------------------------- n-gram Jaccard dedup
@@ -214,7 +218,7 @@ object LlmOps {
         (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
           size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
+      .orderedBy("id_a", "id_b")
   }
 
   // --------------------------------------------------- embedding cosine
@@ -254,7 +258,7 @@ object LlmOps {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)").as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy("id_a", "id_b")
+      .orderedBy("id_a", "id_b")
   }
 
   // --------------------------------------------------- similarity search
@@ -277,7 +281,7 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "cosine")
-      .orderBy("qid", "rnk")
+      .orderedBy("qid", "rnk")
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
@@ -300,6 +304,6 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "label", "cosine")
-      .orderBy("qid", "rnk")
+      .orderedBy("qid", "rnk")
   }
 }

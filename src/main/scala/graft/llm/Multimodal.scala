@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ord._
 
 /** Multimodal-column handling: image/audio/video as opaque `binary`
   * payloads with typed metadata. The container has no media codecs, so the
@@ -34,7 +35,7 @@ object Multimodal {
         col("doc_id"), col("codec"), col("width"), col("height"),
         octet_length(col("payload")).cast("bigint").as("n_bytes"),
         md5(col("payload")).as("checksum"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** Frame sampling: each media row fans out to 1+doc_id%4 evenly-spaced
     * "frames"; the frame signature is a deterministic fake (a 12-char
@@ -52,7 +53,7 @@ object Multimodal {
         col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
         (col("frame_idx").cast("bigint") * col("step")).as("frame_off"),
         expr("substr(text, frame_idx * step + 1, 12)").as("frame_sig"))
-      .orderBy("doc_id", "frame_idx")
+      .orderedBy("doc_id", "frame_idx")
 
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
@@ -74,6 +75,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fake_luma", "width", "height", "n_bytes")
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ord._
 
 /** Text-analysis operators for training-data curation: quality scoring,
   * language ID, token counting, document fingerprinting. All pure
@@ -44,7 +45,7 @@ object TextAnalysis {
         "least(cast(1.0 as double), n_tokens / cast(50.0 as double)) * cast(0.5 as double)" +
           " + stop_ratio * cast(0.3 as double)" +
           " + (cast(1.0 as double) - punct_n / cast(greatest(len_chars, 1) as double)) * cast(0.2 as double)"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** Language ID by stopword-profile hit counts; argmax with a fixed
     * alphabetical preference order (de,en,es,fr,zh), all-zero → 'und'.
@@ -67,7 +68,7 @@ object TextAnalysis {
         (Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
           Seq(when(allZero, lit("und")).otherwise(argmax).as("predicted"),
             col("lang").as("labeled"))): _*)
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
@@ -81,7 +82,7 @@ object TextAnalysis {
         expr("cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') as bigint)").as("re_tokens"),
         (length(col("text")).cast("double") / size(split(col("text"), " ")))
           .as("chars_per_token"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** Document fingerprinting: a char-level rolling polynomial hash
     * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
@@ -98,5 +99,5 @@ object TextAnalysis {
         expr("aggregate(regexp_extract_all(text, '.', 0), cast(0 as bigint), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
           .as("rolling_fp"),
         expr(s"array_min(transform(shingles, s -> ${LlmOps.h56("s")}))").as("min_shingle_fp"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ord._
 
 /** Relational capability queries beyond the reference's own surface
   * (SURVEY §7.2 step 5): multi-way equi-joins, aggregations, windows,
@@ -34,7 +35,7 @@ object Relational {
           sum(revenue * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))).cast("double").as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+        .orderedBy(col("l_returnflag"), col("l_linestatus"))),
 
     // TPC-H Q3 shape: 3-way join + grouped top-k. Dimension side broadcast.
     "q3_topk_orders" -> ((s, d) => {
@@ -68,7 +69,7 @@ object Relational {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(revenue).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .orderedBy(col("revenue").desc, col("n_name"))
     }),
 
     // Window functions: per-customer order sequence + running spend.
@@ -81,7 +82,7 @@ object Relational {
           sum(dec(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_spend"))
-        .orderBy(col("o_custkey"), col("rn"))
+        .orderedBy(col("o_custkey"), col("rn"))
     }),
 
     // Top-k with dimension join: top 10 parts by revenue.
@@ -101,7 +102,7 @@ object Relational {
       building.intersect(withOrders).withColumn("op", lit("intersect"))
         .unionAll(building.except(withOrders).withColumn("op", lit("except")))
         .select(col("op"), col("custkey"))
-        .orderBy(col("op"), col("custkey"))
+        .orderedBy(col("op"), col("custkey"))
     }),
 
     // Semi join: active customers that have at least one order (EXISTS).
@@ -109,7 +110,7 @@ object Relational {
       val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
       c.join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+        .orderedBy(col("c_custkey"))
     }),
 
     // Anti join: customers with no pending ('P') order (NOT EXISTS shape;
@@ -119,7 +120,7 @@ object Relational {
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
+        .orderedBy(col("c_custkey"))),
 
     // Rollup: subtotals over (status, priority); null markers normalized.
     "q_rollup_sales" -> ((s, d) =>
@@ -131,7 +132,7 @@ object Relational {
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total_price"))
-        .orderBy(col("status"), col("priority"))),
+        .orderedBy(col("status"), col("priority"))),
 
     // Distinct aggregation: exact distinct customers per order status.
     "q_distinct_agg" -> ((s, d) =>
@@ -139,7 +140,7 @@ object Relational {
         .groupBy(col("o_orderstatus"))
         .agg(countDistinct(col("o_custkey")).as("n_custs"),
           count(lit(1)).as("n_orders"))
-        .orderBy(col("o_orderstatus"))),
+        .orderedBy(col("o_orderstatus"))),
 
     // TPC-H Q17 shape: correlated aggregate (below 20% of per-part avg
     // quantity), decorrelated as a pre-aggregated broadcast join. The
@@ -166,7 +167,7 @@ object Relational {
           sum(when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(0L)).as("medium"),
           sum(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1L).otherwise(0L)).as("notspec"),
           sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("low"))
-        .orderBy(col("o_orderstatus")))
+        .orderedBy(col("o_orderstatus")))
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
