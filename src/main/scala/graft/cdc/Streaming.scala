@@ -79,6 +79,25 @@ object Streaming {
         .write.mode("append").parquet(outDir)
     }
 
+  /** Effectively-once delivery log: like [[startToParquet]] but idempotent
+    * under replay — each epoch writes to a partition directory keyed by its
+    * epoch id with dynamic partition overwrite, so a replayed epoch
+    * *replaces* its own partial output instead of appending duplicates.
+    * This upgrades the reference's at-least-once contract (duplicates on
+    * replay are the consumer's problem, `app/services/sf_pubsub.py:753-754`)
+    * to exactly-once observable output — the standard foreachBatch
+    * idempotent-sink pattern.
+    */
+  def startToParquetIdempotent(spark: SparkSession, spec: PipelineSpec,
+      outDir: String): StreamingQuery =
+    start(spark, spec) { (batch, epochId) =>
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("client_id", lit(spec.clientId))
+        .withColumn("epoch", lit(epochId))
+        .write.mode("overwrite").partitionBy("epoch").parquet(outDir)
+    }
+
   /** A4 — running per-entity counters as a stateful streaming agg
     * (`events_received`, last-seen), the only cross-event state beyond the
     * offset in the reference (`app/services/sf_pubsub.py:782-785`).

@@ -134,6 +134,31 @@ object Relational {
           col("n"), col("total_price"))
         .orderedBy(col("status"), col("priority"))),
 
+    // TPC-H Q19 shape: disjunctive multi-column predicate — Catalyst pushes
+    // the common conjuncts into the scan and keeps the OR residual.
+    "q19_disjunctive" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            dec(col("l_quantity")).cast("double") >= 1 && dec(col("l_quantity")).cast("double") <= 30) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            dec(col("l_quantity")).cast("double") >= 10 && dec(col("l_quantity")).cast("double") <= 40))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // Cube: all grouping-set combinations over (status, priority).
+    "q_cube_sales" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total_price"))
+        .orderedBy(col("status"), col("priority"))),
+
     // Distinct aggregation: exact distinct customers per order status.
     "q_distinct_agg" -> ((s, d) =>
       Tables.orders(s, d)
@@ -249,6 +274,24 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) >= 1
+         |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) <= 30)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+         |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) >= 10
+         |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) <= 40)""".stripMargin,
+
+    "q_cube_sales" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
     "q_distinct_agg" ->

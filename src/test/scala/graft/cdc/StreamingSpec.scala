@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.get() === (expected - afterFail))
   }
 
+  test("effectively-once: replayed epoch overwrites its own partial output") {
+    val src = tmp("graft-src4"); val ckp = tmp("graft-ckp4"); val out = tmp("graft-out4")
+    writeSlices(src)
+    val spec = Streaming.PipelineSpec("c1", src, ckp)
+    // run 1: epoch 1 writes its files, THEN fails → partial output exists
+    @volatile var failedOnce = false
+    val q1 = Streaming.start(spark, spec) { (batch, epoch) =>
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("client_id", lit("c1")).withColumn("epoch", lit(epoch))
+        .write.mode("overwrite").partitionBy("epoch").parquet(out)
+      if (epoch >= 1 && !failedOnce) { failedOnce = true; sys.error("post-write crash") }
+    }
+    intercept[Exception] { q1.awaitTermination() }
+    val afterCrash = spark.read.parquet(out).count()
+    // restart: epoch 1 replays and OVERWRITES its partition — no duplicates
+    val q2 = Streaming.startToParquetIdempotent(spark, spec, out)
+    q2.awaitTermination()
+    val streamed = spark.read.parquet(out).drop("client_id", "epoch")
+    val batchRun = Pipeline.deliveries(CdcView(spark, "/root/testdata/sf0.001"))
+    assert(streamed.count() === batchRun.count(), s"afterCrash=$afterCrash")
+    assert(streamed.exceptAll(batchRun).isEmpty && batchRun.exceptAll(streamed).isEmpty)
+  }
+
   test("K4 alert listener captures terminated-with-error") {
     val src = tmp("graft-src3"); val ckp = tmp("graft-ckp3")
     writeSlices(src)
