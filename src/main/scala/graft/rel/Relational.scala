@@ -134,6 +134,19 @@ object Relational {
           col("n"), col("total_price"))
         .orderedBy(col("status"), col("priority"))),
 
+    // TPC-H Q6 shape through the spark.sql front door: temp view + SQL text
+    // (the DataFrame DSL and SQL surface compile to the same Catalyst plan).
+    "q6_sql_interface" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.07
+          |  AND CAST(l_quantity AS DECIMAL(18,2)) < 24""".stripMargin)
+    }),
+
     // TPC-H Q19 shape: disjunctive multi-column predicate — Catalyst pushes
     // the common conjuncts into the scan and keeps the OR residual.
     "q19_disjunctive" -> ((s, d) =>
@@ -275,6 +288,14 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q6_sql_interface" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.07
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) < 24""".stripMargin,
 
     "q19_disjunctive" ->
       s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n
