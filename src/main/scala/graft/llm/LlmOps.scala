@@ -120,13 +120,22 @@ object LlmOps {
   def affineA(j: Int): Long = 2L * j + 1
   def affineB(j: Int): Long = 104729L * j
 
-  /** MinHash signature over the base-hash array `gs`, banded into 4 keys. */
+  /** MinHash signature over the base-hash array `gs`, banded into 4 keys.
+    * All 12 minima fold in ONE pass over the shingle hashes (an
+    * array-accumulator aggregate) instead of 12 array traversals; values
+    * are identical to the per-j array_min formulation, so the oracle SQL
+    * (which keeps the legible per-j form) is unaffected.
+    */
   def withMinHashBands(df: DataFrame): DataFrame = {
-    val withG = df.withColumn("gs",
-      expr(s"transform(shingles, s -> ${h56("s")} % $MersenneP)"))
-    val withMh = (1 to NumHashes).foldLeft(withG) { (d, j) =>
-      d.withColumn(s"mh$j",
-        expr(s"array_min(transform(gs, g -> (${affineA(j)} * g + ${affineB(j)}) % $MersenneP))"))
+    val affines = (1 to NumHashes)
+      .map(j => s"(${affineA(j)} * g + ${affineB(j)}) % $MersenneP").mkString(", ")
+    val init = (1 to NumHashes).map(_ => s"${MersenneP}L").mkString(", ")
+    val withMins = df
+      .withColumn("gs", expr(s"transform(shingles, s -> ${h56("s")} % $MersenneP)"))
+      .withColumn("mins", expr(
+        s"aggregate(gs, array($init), (acc, g) -> zip_with(acc, array($affines), (x, y) -> least(x, y)))"))
+    val withMh = (1 to NumHashes).foldLeft(withMins) { (d, j) =>
+      d.withColumn(s"mh$j", expr(s"element_at(mins, $j)"))
     }
     (0 until Bands).foldLeft(withMh) { (d, b) =>
       val parts = (1 to 3).map(r => s"cast(mh${3 * b + r} as string)").mkString(", ',', ")
