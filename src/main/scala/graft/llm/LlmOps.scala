@@ -120,22 +120,16 @@ object LlmOps {
   def affineA(j: Int): Long = 2L * j + 1
   def affineB(j: Int): Long = 104729L * j
 
-  /** MinHash signature over the base-hash array `gs`, banded into 4 keys.
-    * All 12 minima fold in ONE pass over the shingle hashes (an
-    * array-accumulator aggregate) instead of 12 array traversals; values
-    * are identical to the per-j array_min formulation, so the oracle SQL
-    * (which keeps the legible per-j form) is unaffected.
+  /** MinHash signature over a `gs` column (the per-doc distinct shingle
+    * hashes), banded into 4 keys. Per-j `array_min(transform(...))` passes
+    * measured faster than a single array-accumulator fold (the per-element
+    * accumulator array allocation dominates); values are identical either
+    * way.
     */
   def withMinHashBands(df: DataFrame): DataFrame = {
-    val affines = (1 to NumHashes)
-      .map(j => s"(${affineA(j)} * g + ${affineB(j)}) % $MersenneP").mkString(", ")
-    val init = (1 to NumHashes).map(_ => s"${MersenneP}L").mkString(", ")
-    val withMins = df
-      .withColumn("gs", expr(s"transform(shingles, s -> ${h56("s")} % $MersenneP)"))
-      .withColumn("mins", expr(
-        s"aggregate(gs, array($init), (acc, g) -> zip_with(acc, array($affines), (x, y) -> least(x, y)))"))
-    val withMh = (1 to NumHashes).foldLeft(withMins) { (d, j) =>
-      d.withColumn(s"mh$j", expr(s"element_at(mins, $j)"))
+    val withMh = (1 to NumHashes).foldLeft(df) { (d, j) =>
+      d.withColumn(s"mh$j",
+        expr(s"array_min(transform(gs, g -> (${affineA(j)} * g + ${affineB(j)}) % $MersenneP))"))
     }
     (0 until Bands).foldLeft(withMh) { (d, b) =>
       val parts = (1 to 3).map(r => s"cast(mh${3 * b + r} as string)").mkString(", ',', ")
@@ -152,14 +146,19 @@ object LlmOps {
     */
   def dedupMinHash(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.6): DataFrame = {
-    // persist: the shingle+signature subtree is referenced 4× (band
-    // self-join + both sides of the verify join); without it Spark
+    // persist the hashed-shingle table: it is referenced 3× (signature
+    // derivation + both sides of the verify join); without it Spark
     // re-tokenizes and re-hashes the corpus on every reference. At 100 TB
-    // this is the materialized signature table every MinHash pipeline keeps.
-    val shingled = withShingles(textCorpus(corpus, idCol, textCol))
-      .select("doc_id", "shingles")
+    // this is the materialized signature table every MinHash pipeline
+    // keeps. Verification compares the 31-bit shingle hashes, not the
+    // shingle strings (smaller state, cheaper intersects) — both engines
+    // derive identical hashes, so the Jaccard is identical too.
+    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = withMinHashBands(shingled)
+    val mh = withMinHashBands(hashed)
     // persist the band table as well: it feeds both sides of the self-join,
     // and without it the whole hash+signature derivation runs twice.
     val bands = mh.select(col("doc_id"),
@@ -173,11 +172,11 @@ object LlmOps {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     pairs
-      .join(shingled.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(shingled.as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(hashed.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(hashed.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double") /
-          size(array_union(col("sa.shingles"), col("sb.shingles")))).as("jaccard"))
+        (size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
+          size(array_union(col("sa.gs"), col("sb.gs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderedBy("id_a", "id_b")
   }

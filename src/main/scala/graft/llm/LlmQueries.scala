@@ -84,10 +84,10 @@ object LlmQueries {
       s"""WITH corpus AS ($NearCorpusSql),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
          |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
-         |shg AS (SELECT doc_id, shingles,
-         |    list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP}) AS gs
+         |shg AS (SELECT doc_id,
+         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
          |  FROM sh),
-         |mh AS (SELECT doc_id, shingles,
+         |mh AS (SELECT doc_id,
          |    $mhCols
          |  FROM shg),
          |bands AS (
@@ -99,10 +99,10 @@ object LlmQueries {
          |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
          |),
          |verified AS (
-         |  SELECT p.id_a, p.id_b, ${jaccardDuck("sa.shingles", "sb.shingles")} AS jaccard
+         |  SELECT p.id_a, p.id_b, ${jaccardDuck("sa.gs", "sb.gs")} AS jaccard
          |  FROM pairs p
-         |  JOIN sh sa ON p.id_a = sa.doc_id
-         |  JOIN sh sb ON p.id_b = sb.doc_id
+         |  JOIN shg sa ON p.id_a = sa.doc_id
+         |  JOIN shg sb ON p.id_b = sb.doc_id
          |)
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 

@@ -1,0 +1,48 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Regression tests for plan *shape* — the properties README claims are
+  * asserted, not just documented: broadcast dimension joins, filter
+  * pushdown into scans, top-k without a global sort, and a shuffle-free
+  * CDC route.
+  */
+class PlanQualitySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5: every dimension joins as broadcast, date filter pushed to scan") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected at this SF")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter must reach the scan")
+  }
+
+  test("q1: aggregation is two-phase (partial + final)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "map-side combine expected")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q3 top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q3_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("cdc_route is shuffle-free up to the single output-ordering exchange") {
+    val p = plan("cdc_route")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most the final SinglePartition exchange, got $exchanges:\n${p.take(1200)}")
+    assert(p.contains("Generate posexplode"), "fan-out must be the built-in generator")
+  }
+
+  test("the strength-reduced native expression is in the executed cdc plan") {
+    assert(plan("cdc_commit_ts_norm").contains("normalize_epoch_millis"))
+  }
+
+  test("ann topk: query side is broadcast") {
+    assert(plan("llm_ann_topk").contains("BroadcastExchange"))
+  }
+}
