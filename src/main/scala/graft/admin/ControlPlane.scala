@@ -34,6 +34,14 @@ object ControlPlane {
         .orderBy(col("c_custkey"))
         .offset(20).limit(10)),
 
+    // P10 — ILIKE pattern search (reference `client_name ILIKE '%q%'`,
+    // `app/routers/clients.py:208-211`), via Spark's native ilike.
+    "cp_search_ilike" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_name").ilike("%CUSTOMER#00000001%"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderedBy(col("c_custkey"))),
+
     // A1 + P10 — filtered count with ilike-style search (pagination total).
     "cp_count_filtered" -> ((s, d) =>
       Tables.customer(s, d)
@@ -95,6 +103,10 @@ object ControlPlane {
   def oracle: Map[String, String] = Map(
     "cp_pagination" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
+
+    "cp_search_ilike" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name ILIKE '%CUSTOMER#00000001%' ORDER BY c_custkey""".stripMargin,
 
     "cp_count_filtered" ->
       "SELECT count(*) AS total FROM customer WHERE lower(c_name) LIKE '%1%' AND c_acctbal > 0",

@@ -1,0 +1,84 @@
+package graft.cdc
+
+import graft.SparkSpec
+import scala.collection.mutable
+
+/** K1 retry + §2.9 restart-policy semantics, including composition with a
+  * real streaming query.
+  */
+class ReliabilitySpec extends SparkSpec {
+
+  private def noSleep: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty[Long]
+
+  test("retry: transient failures retried with exponential capped backoff") {
+    val delays = noSleep
+    var calls = 0
+    val sink = Reliability.withRetry(maxAttempts = 4, baseDelayMs = 1000,
+      capMs = 3000, sleep = d => { delays += d; () })( (_, _) =>
+      { calls += 1; if (calls < 4) sys.error("503") })
+    sink(null, 0L)
+    assert(calls === 4)
+    assert(delays.toSeq === Seq(1000L, 2000L, 3000L)) // ×2, capped
+  }
+
+  test("retry: exhausted attempts rethrow (epoch aborts → gated replay)") {
+    var calls = 0
+    val sink = Reliability.withRetry(maxAttempts = 3, sleep = _ => ())(
+      (_, _) => { calls += 1; sys.error("down") })
+    intercept[Exception] { sink(null, 0L) }
+    assert(calls === 3)
+  }
+
+  test("retry: fatal config error is never retried") {
+    var calls = 0
+    val sink = Reliability.withRetry(maxAttempts = 3, sleep = _ => ())(
+      (_, _) => { calls += 1; throw new Reliability.FatalConfigError("bad topic") })
+    intercept[Reliability.FatalConfigError] { sink(null, 0L) }
+    assert(calls === 1)
+  }
+
+  test("restart policy: transient failures restart, fatal stops, bound enforced") {
+    var runs = 0
+    val n = Reliability.runWithRestarts(maxRestarts = 5, sleep = _ => ())(
+      () => { runs += 1; if (runs < 3) sys.error("net blip") })
+    assert(n === 3)
+    // fatal (even nested as a cause) propagates without restart
+    var fatalRuns = 0
+    intercept[Reliability.FatalConfigError] {
+      Reliability.runWithRestarts(maxRestarts = 5, sleep = _ => ())(() => {
+        fatalRuns += 1
+        throw new Reliability.FatalConfigError("invalid credentials")
+      })
+    }
+    assert(fatalRuns === 1)
+    // bound: persistent transient failure gives up after maxRestarts
+    var always = 0
+    intercept[Exception] {
+      Reliability.runWithRestarts(maxRestarts = 2, sleep = _ => ())(
+        () => { always += 1; sys.error("flaky") })
+    }
+    assert(always === 3) // initial + 2 restarts
+  }
+
+  test("end-to-end: retrying sink + restart policy deliver everything exactly like batch") {
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("graft-rel-src").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-rel-ckp").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-rel-out").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    @volatile var flaky = 3 // three transient sink failures across the run
+    val spec = Streaming.PipelineSpec("c1", src, ckp)
+    val runs = Reliability.runWithRestarts(maxRestarts = 5, sleep = _ => ()) { () =>
+      val q = Streaming.start(spark, spec)(
+        Reliability.withRetry(maxAttempts = 2, sleep = _ => ()) { (batch, _) =>
+          if (flaky > 0) { flaky -= 1; sys.error("webhook 503") }
+          batch.write.mode("append").parquet(out)
+        })
+      q.awaitTermination()
+    }
+    assert(runs >= 2) // at least one restart was needed (retry ate one failure)
+    val delivered = spark.read.parquet(out).count()
+    assert(delivered === Pipeline.deliveries(CdcView(spark, "/root/testdata/sf0.001")).count())
+  }
+}
