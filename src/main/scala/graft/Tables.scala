@@ -35,6 +35,12 @@ object Tables {
       _ => spark.read.parquet(s"$sfDir/$table.parquet"))
   }
 
+  /** Register every harness table as a SQL temp view — the spark.sql front
+    * door (`SELECT ... FROM lineitem`) for library users.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -1,7 +1,9 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Ord._
 
 /** LLM-pipeline query registry + DuckDB oracle SQL. Each oracle mirrors the
   * Spark formula construct-for-construct (same hash derivation, same
@@ -25,6 +27,20 @@ object LlmQueries {
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // Cross-modal composition: media metadata joined to its embedding row
+    // (vec_id = doc_id % n_vectors), nearest same-label neighbor count —
+    // the metadata-filter → vector-search shape of a multimodal pipeline.
+    "mm_embed_join" -> ((s, d) => {
+      val meta = Multimodal.mediaMeta(Tables.documents(s, d))
+        .filter(col("codec") === "png")
+      val emb = Tables.embeddings(s, d)
+      meta.join(emb, meta("doc_id") % 2000 === emb("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderedBy(col("label"))
+    }),
+
     "mm_media_meta"     -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample"   -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d)))
@@ -212,6 +228,15 @@ object LlmQueries {
          |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "mm_embed_join" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |FROM (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |  WHERE ['png','jpeg','mp4'][CAST(doc_id % 3 AS INT) + 1] = 'png'
+        |) m JOIN embeddings e ON m.doc_id % 2000 = e.vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id,
