@@ -27,6 +27,15 @@ object LlmQueries {
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "llm_repetition"    -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    // PII injected deterministically (every 5th doc gets an email + a long
+    // number appended), then scrubbed — the corpus itself is PII-free.
+    "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
+      Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com ref 12345678"), col("doc_id").cast("string")))
+          .otherwise(col("text"))))),
     // Cross-modal composition: media metadata joined to its embedding row
     // (vec_id = doc_id % n_vectors), nearest same-label neighbor count —
     // the metadata-filter → vector-search shape of a multimodal pipeline.
@@ -228,6 +237,30 @@ object LlmQueries {
          |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "llm_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS all3
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(all3) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(all3)) AS BIGINT) AS n_distinct,
+         |  1.0 - CAST(len(list_distinct(all3)) AS DOUBLE) / len(all3) AS rep3_frac
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "llm_scrub_pii" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ref 12345678' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "mm_embed_join" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes

@@ -84,6 +84,39 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderedBy("doc_id")
 
+  /** Intra-document repetition scoring — the standard "fraction of
+    * duplicated word n-grams" curation signal (a high score marks
+    * boilerplate/looping text): rep_n = 1 - distinct/total over word
+    * trigrams. Narrow projection, linear.
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumn("all3", expr(
+        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .select(
+        col("doc_id"),
+        size(col("all3")).cast("bigint").as("n_grams"),
+        size(col("shingles")).cast("bigint").as("n_distinct"),
+        (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
+          .as("rep3_frac"))
+      .orderedBy(col("doc_id"))
+
+  /** PII scrubbing: mask email-shaped and long-digit-run tokens — the
+    * text-cleaning pass every corpus pipeline runs before training. The
+    * regexes stay in the Java∩RE2 common dialect so the oracle matches.
+    */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>").as("scrubbed"),
+        expr("cast(regexp_count(text, '[a-z0-9._]+@[a-z0-9.-]+') as bigint)").as("n_emails"))
+      .orderedBy(col("doc_id"))
+
   /** Document fingerprinting: a char-level rolling polynomial hash
     * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
     * min-shingle-hash fingerprint (the winnowing-style content signature).

@@ -44,6 +44,18 @@ object Windows {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Consumer-side replay dedup: the reference's at-least-once contract
+    * makes duplicate deliveries "the consumer's job" (comment at reference
+    * `app/services/sf_pubsub.py:753-754`) — this is that consumer,
+    * as a streaming operator: exact dedup on `event_id` with state bounded
+    * by the watermark (a replayed event arrives close to its original, so
+    * a short horizon suffices; state cannot grow unboundedly).
+    */
+  def dedupStream(events: DataFrame, delay: String = "2 days"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running session state via flatMapGroupsWithState — the
     * custom-state extension point (KeyValueGroupedDataset) the reference's
     * per-listener counters would need if they were keyed and unbounded.

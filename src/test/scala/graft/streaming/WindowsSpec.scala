@@ -75,6 +75,34 @@ class WindowsSpec extends SparkSpec {
     assert(batch.count() === 6L) // batch mode: watermark is a no-op
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // batch 0: events 1,2; batch 1: replay of 2 + new 3 (same event times)
+    val batches = Seq(
+      Seq(row(1, 10, 1, "click", 1.0), row(2, 11, 1, "click", 2.0)),
+      Seq(row(2, 11, 1, "click", 2.0), row(3, 12, 2, "view", 3.0)))
+    val d = new java.io.File(dir)
+    for ((rows, i) <- batches.zipWithIndex) {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/tmp$i")
+      val part = new java.io.File(d, s"tmp$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, s"b$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d, s"tmp$i"))
+    }
+    val q = Windows.dedupStream(stream(dir))
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.sql("SELECT event_id FROM dedup_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L)) // the replayed 2 appears exactly once
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
     val dir = Files.createTempDirectory("graft-fmgs").toString
     writeBatches(dir)
