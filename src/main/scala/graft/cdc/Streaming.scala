@@ -79,6 +79,15 @@ object Streaming {
         .write.mode("append").parquet(outDir)
     }
 
+  /** Delivery-log storage layout for 100 TB: partition by entity so
+    * downstream per-entity consumers read only their slice (partition
+    * pruning — `PartitionFilters` in the read plan; asserted in
+    * PlanQualitySpec). A date partition column derived from `commit_ms`
+    * would be the second level in production.
+    */
+  def writePartitionedLog(deliveries: DataFrame, outDir: String): Unit =
+    deliveries.write.mode("append").partitionBy("entity").parquet(outDir)
+
   /** Effectively-once delivery log: like [[startToParquet]] but idempotent
     * under replay — each epoch writes to a partition directory keyed by its
     * epoch id with dynamic partition overwrite, so a replayed epoch

@@ -44,6 +44,19 @@ object Windows {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Session windows: activity bursts per user separated by `gap` of
+    * silence — the third window family (tumbling/sliding/session), state
+    * bounded by the watermark.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "2 days",
+      delay: String = "2 days"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n"))
+
   /** Consumer-side replay dedup: the reference's at-least-once contract
     * makes duplicate deliveries "the consumer's job" (comment at reference
     * `app/services/sf_pubsub.py:753-754`) — this is that consumer,

@@ -45,4 +45,16 @@ class PlanQualitySpec extends SparkSpec {
   test("ann topk: query side is broadcast") {
     assert(plan("llm_ann_topk").contains("BroadcastExchange"))
   }
+
+  test("partitioned delivery log prunes partitions on entity filters") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
+    graft.cdc.Streaming.writePartitionedLog(
+      graft.cdc.Pipeline.deliveries(graft.cdc.CdcView(spark, sf)), out)
+    val read = spark.read.parquet(out).filter(col("entity") === "click")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("entity"),
+      s"expected entity partition pruning:\n${p.take(600)}")
+    assert(read.count() > 0)
+  }
 }

@@ -75,6 +75,25 @@ class WindowsSpec extends SparkSpec {
     assert(batch.count() === 6L) // batch mode: watermark is a no-op
   }
 
+  test("session windows merge activity bursts and close at the gap") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    writeBatches(dir) // user 1 active days 10,15,21,22; user 2 days 20 (+late 5)
+    // gap 5d merges days 10+15 into one session ending day 20; delay 1d
+    // pushes the final watermark to day 21 so that session closes+emits.
+    val q = Windows.sessionCounts(stream(dir), gap = "5 days", delay = "1 day")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT user_id, n, date_format(sess_start, 'dd') d FROM sess_win_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // user 1: days 10 and 15 merge into one session; it closes once the
+    // watermark passes its end — emitted in append mode. Later sessions
+    // (days 20-22) are still open, the day-5 row is too late → dropped.
+    assert(rows === Set((1L, 2L, "10")), s"got $rows")
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     // batch 0: events 1,2; batch 1: replay of 2 + new 3 (same event times)
