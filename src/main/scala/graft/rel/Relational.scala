@@ -172,6 +172,31 @@ object Relational {
           col("n"), col("total_price"))
         .orderedBy(col("status"), col("priority"))),
 
+    // Exact lower-median order value per status via deterministic rank
+    // indexing (no interpolation arithmetic → bit-exact cross-engine).
+    "q_median_manual" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .filter(expr("rn = (cnt + 1) div 2"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+        .orderedBy(col("o_orderstatus"))
+    }),
+
+    // lag/lead analytics: days since the customer's previous order.
+    "q_window_lag" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("ms"), col("o_orderkey"))))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ((col("ms") - col("prev_ms")) / 86400000L).cast("bigint").as("days_since_prev"))
+        .orderedBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Distinct aggregation: exact distinct customers per order status.
     "q_distinct_agg" -> ((s, d) =>
       Tables.orders(s, d)
@@ -314,6 +339,23 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q_median_manual" ->
+      """SELECT o_orderstatus, median_price FROM (
+        |  SELECT o_orderstatus, o_totalprice AS median_price,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders
+        |) WHERE rn = (cnt + 1) // 2 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST((ms - prev_ms) / 86400000 AS BIGINT) AS days_since_prev
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms,
+        |    lag(epoch_ms(o_orderdate), 1) OVER (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey) AS prev_ms
+        |  FROM orders
+        |) ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, COUNT(*) AS n_orders

@@ -46,6 +46,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("llm_ann_topk").contains("BroadcastExchange"))
   }
 
+  test("two-column projection reads a two-column schema (column pruning)") {
+    import org.apache.spark.sql.functions.col
+    val read = graft.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<l_orderkey:") &&
+      !p.contains("l_extendedprice"),
+      s"scan must read only the projected columns:\n${p.take(600)}")
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
