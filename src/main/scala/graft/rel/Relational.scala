@@ -172,6 +172,16 @@ object Relational {
           col("n"), col("total_price"))
         .orderedBy(col("status"), col("priority"))),
 
+    // HLL++ approximate distinct — sketch values are engine-specific, so
+    // no SQL oracle (rows-only check); accuracy vs exact is bounded in
+    // ApproxSpec. At 100 TB this replaces the exact-distinct shuffle with
+    // a constant-size mergeable sketch.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+        .orderedBy(col("o_orderstatus"))),
+
     // Exact lower-median order value per status via deterministic rank
     // indexing (no interpolation arithmetic → bit-exact cross-engine).
     "q_median_manual" -> ((s, d) => {
