@@ -113,6 +113,29 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("A4 running counters as a live update-mode streaming aggregation") {
+    val src = tmp("graft-src5"); val ckp = tmp("graft-ckp5")
+    writeSlices(src)
+    val routed = Streaming.routed(spark, Streaming.PipelineSpec("c1", src, ckp))
+    val q = Streaming.runningCounters(routed)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckp)
+      .format("memory").queryName("counters_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last update per entity == the batch totals
+    val last = spark.sql(
+      """SELECT entity, events_received FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY entity ORDER BY events_received DESC) rn
+        |  FROM counters_out) WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Streaming.runningCounters(
+      Pipeline.deliveries(CdcView(spark, "/root/testdata/sf0.001")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last === batch)
+  }
+
   test("A4 running counters over the delivery stream (batch form)") {
     val out = Streaming.runningCounters(
       Pipeline.deliveries(CdcView(spark, "/root/testdata/sf0.001")))
