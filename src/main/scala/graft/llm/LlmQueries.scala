@@ -28,6 +28,7 @@ object LlmQueries {
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "llm_repetition"    -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "llm_train_split"   -> ((s, d) => TextAnalysis.trainValSplit(Tables.documents(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -237,6 +238,14 @@ object LlmQueries {
          |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "llm_train_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin,
 
     "llm_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

@@ -117,6 +117,23 @@ object TextAnalysis {
         expr("cast(regexp_count(text, '[a-z0-9._]+@[a-z0-9.-]+') as bigint)").as("n_emails"))
       .orderedBy(col("doc_id"))
 
+  /** Deterministic train/val/test assignment by content-independent id
+    * hash — the split every training pipeline needs: stable under
+    * reprocessing (pure function of the id), exactly reproducible across
+    * engines, no RNG state. Fractions are percents of the 56-bit hash
+    * space mod 100.
+    */
+  def trainValSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("bucket", expr(s"${LlmOps.h56(s"concat('split|', cast(doc_id as string))")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderedBy(col("doc_id"))
+
   /** Document fingerprinting: a char-level rolling polynomial hash
     * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
     * min-shingle-hash fingerprint (the winnowing-style content signature).
