@@ -124,7 +124,9 @@ class ReplayLogStream(path: String, options: CaseInsensitiveStringMap)
       case r: ReadMaxRows => r.maxRows()
       case _              => credit
     }
-    ReplayOffset(math.min(avail, s + max))
+    // clamp to ≥ start: a CUSTOM replay id past the end of the log must
+    // yield an empty batch, not an end offset before the start.
+    ReplayOffset(math.max(s, math.min(avail, s + max)))
   }
 
   override def reportLatestOffset(): Offset =

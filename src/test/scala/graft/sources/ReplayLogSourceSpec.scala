@@ -61,6 +61,23 @@ class ReplayLogSourceSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq(5L, 6L, 7L))
   }
 
+  test("edge: replay id past the end of the log yields empty batches, no crash") {
+    val log = writeLog(4)
+    var rows = 0L
+    val q = readStream(log, Map("startingReplay" -> "99"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => rows += b.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(rows === 0L)
+  }
+
+  test("edge: empty log file reads as empty, batch and stream") {
+    val log = java.nio.file.Files.createTempFile("graft-empty", ".jsonl").toString
+    assert(spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load().count() === 0L)
+  }
+
   test("checkpointed resume: restart continues from the committed replay id") {
     val log = writeLog(6)
     val ckp = Files.createTempDirectory("graft-replay-ckp").toString
