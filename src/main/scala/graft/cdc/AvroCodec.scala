@@ -72,9 +72,17 @@ object AvroCodec {
     * mixed schema versions normalize to one projection — the reference's
     * fixed header+flash projection makes this safe (SURVEY §1.2).
     */
+  /** `permissive = true` reproduces the reference's per-event error
+    * isolation (a corrupt payload marks the error and the loop continues,
+    * `app/services/sf_pubsub.py:786-788`): undecodable events are dropped.
+    * `permissive = false` fails the task — for feeds where corruption must
+    * halt the pipeline. An unknown schema_id always fails (config error,
+    * not data corruption).
+    */
   def decode(spark: SparkSession, events: DataFrame,
       registry: Map[String, String],
-      readerSchemaJson: String = SchemaV1Json): DataFrame = {
+      readerSchemaJson: String = SchemaV1Json,
+      permissive: Boolean = false): DataFrame = {
     import spark.implicits._
     events.select("replay_id", "schema_id", "payload")
       .as[(Long, String, Array[Byte])]
@@ -82,24 +90,29 @@ object AvroCodec {
         // per-partition decoder cache — the reference's _schema_cache
         val readerSchema = new Schema.Parser().parse(readerSchemaJson)
         val readers = mutable.Map.empty[String, GenericDatumReader[GenericRecord]]
-        rows.map { case (replay, schemaId, payload) =>
+        rows.flatMap { case (replay, schemaId, payload) =>
           val reader = readers.getOrElseUpdate(schemaId, {
             val writerJson = registry.getOrElse(schemaId,
               throw new IllegalArgumentException(s"unknown schema_id $schemaId"))
             new GenericDatumReader[GenericRecord](
               new Schema.Parser().parse(writerJson), readerSchema)
           })
-          val rec = reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
-          def optStr(f: String): Option[String] =
-            Option(rec.get(f)).map(_.toString)
-          Decoded(
-            replay, schemaId,
-            rec.get("entity").toString,
-            rec.get("change_type").toString,
-            rec.get("record_ids").asInstanceOf[java.util.List[Object]]
-              .asScala.map(_.toString).toSeq,
-            Option(rec.get("commit_raw")).map(_.asInstanceOf[Long]),
-            optStr("flash_raw"))
+          try {
+            val rec = reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
+            def optStr(f: String): Option[String] =
+              Option(rec.get(f)).map(_.toString)
+            Some(Decoded(
+              replay, schemaId,
+              rec.get("entity").toString,
+              rec.get("change_type").toString,
+              rec.get("record_ids").asInstanceOf[java.util.List[Object]]
+                .asScala.map(_.toString).toSeq,
+              Option(rec.get("commit_raw")).map(_.asInstanceOf[Long]),
+              optStr("flash_raw")))
+          } catch {
+            case e: IllegalArgumentException => throw e
+            case _: Throwable if permissive  => None
+          }
         }
       }
       .toDF()

@@ -43,6 +43,18 @@ class AvroCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("v9") || e.getCause != null)
   }
 
+  test("permissive mode drops corrupt payloads, keeps the rest (per-event isolation)") {
+    val corrupt = Seq((7L, "v1", Array[Byte](1, 2, 3)))
+      .toDF("replay_id", "schema_id", "payload")
+    val mixed = fixture.unionByName(corrupt)
+    val out = AvroCodec.decode(spark, mixed, registry, permissive = true)
+    assert(out.count() === 3L) // the 3 good events; corrupt one dropped
+    // strict mode fails the batch instead
+    intercept[Exception] {
+      AvroCodec.decode(spark, mixed, registry).collect()
+    }
+  }
+
   test("decoded events compose with the route transforms") {
     val routed = AvroCodec.decode(spark, fixture, registry)
       .transform(Route.withCommitMs)
