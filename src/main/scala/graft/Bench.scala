@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-node tuning: Kryo cuts task/closure serialization; shuffle
+      // compression is pure CPU overhead when there is no network hop (a
+      // real cluster keeps compression ON — this is local-mode-only).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
     // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
