@@ -46,6 +46,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("llm_ann_topk").contains("BroadcastExchange"))
   }
 
+  test("registerAll exposes every harness table to spark.sql") {
+    graft.Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
   test("two-column projection reads a two-column schema (column pruning)") {
     import org.apache.spark.sql.functions.col
     val read = graft.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
