@@ -81,4 +81,35 @@ object Reliability {
     case _: FatalConfigError  => true
     case other                => isFatal(other.getCause)
   }
+
+  /** Idle watchdog — the reference resets a stream after 300 s without
+    * messages (`watchdog`, `app/services/sf_pubsub.py:588-596`; heartbeat
+    * re-credits every 60 s `:579-586`). Spark analog: track per-query
+    * *data* progress via StreamingQueryListener (empty micro-batches do
+    * not count as liveness, matching the reference's "messages received"
+    * notion) and report queries idle past the timeout so a manager can
+    * restart them. Clock injectable for deterministic tests.
+    */
+  final class IdleWatchdog(idleTimeoutMs: Long = 300000L,
+      clock: () => Long = System.currentTimeMillis)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val lastData = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (e.progress.numInputRows > 0) lastData.put(e.progress.id, clock())
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      lastData.remove(e.id)
+
+    /** Timestamp of the last data-bearing progress, if any seen yet. */
+    def lastDataAt(id: java.util.UUID): Option[Long] = Option(lastData.get(id))
+
+    def isIdle(id: java.util.UUID): Boolean =
+      lastDataAt(id).exists(clock() - _ > idleTimeoutMs)
+    def idleQueries(): Seq[java.util.UUID] = {
+      import scala.jdk.CollectionConverters._
+      lastData.keySet().asScala.filter(isIdle).toSeq
+    }
+  }
 }

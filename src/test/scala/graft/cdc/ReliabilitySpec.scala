@@ -60,6 +60,40 @@ class ReliabilitySpec extends SparkSpec {
     assert(always === 3) // initial + 2 restarts
   }
 
+  test("idle watchdog flags queries without data progress past the timeout") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.lit
+    @volatile var now = 1000L
+    val wd = new Reliability.IdleWatchdog(idleTimeoutMs = 300000L, clock = () => now)
+    val src = java.nio.file.Files.createTempDirectory("graft-wd-src").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-wd-ckp").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    spark.streams.addListener(wd)
+    val spec = Streaming.PipelineSpec("c1", src, ckp)
+    // long-running query (ProcessingTime, not AvailableNow) so the entry
+    // stays registered while we advance the fake clock
+    val q = Streaming.routed(spark, spec).withColumn("client_id", lit("c1"))
+      .writeStream.option("checkpointLocation", ckp)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .format("noop").start()
+    try {
+      // wait until the listener has seen a data-bearing progress event
+      val deadline = System.currentTimeMillis() + 30000
+      while (wd.lastDataAt(q.id).isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+      }
+      assert(wd.lastDataAt(q.id).isDefined, "query never reported data progress")
+      assert(!wd.isIdle(q.id), "data progress observed → not idle")
+      now += 301000L // 301 s of silence (source is exhausted)
+      assert(wd.isIdle(q.id), "no data progress past timeout → idle")
+      assert(wd.idleQueries().contains(q.id))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(wd)
+    }
+  }
+
   test("end-to-end: retrying sink + restart policy deliver everything exactly like batch") {
     import org.apache.spark.sql.functions.col
     val src = java.nio.file.Files.createTempDirectory("graft-rel-src").toString
