@@ -2,13 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see /root/repo/SURVEY.md §7 (build plan) and §8
+  * (operator → query/spec coverage matrix).
   *
-  * Queries are grouped by domain:
+  * 54 queries across four domains, every SQL-expressible one paired with
+  * DuckDB oracle SQL (verified bit-exact at sf0.001/0.01/0.1; the two
+  * rows-only entries are mm_decode_stub and q_approx_distinct):
   *   - [[graft.cdc.CdcQueries]]      — the CDC dataflow (SURVEY §2.2-2.4)
   *   - [[graft.admin.ControlPlane]]  — relational control-plane ops (§2.3-2.8)
-  *   - [[graft.rel.Relational]]      — join/agg/window/set-op capability
-  *   - [[graft.llm.LlmQueries]]      — dedup / similarity / text analysis
+  *   - [[graft.rel.Relational]]      — join/agg/window/set-op/subquery capability
+  *   - [[graft.llm.LlmQueries]]      — dedup / ANN / text analysis / multimodal
+  * Streaming, DSv2-source, reliability, and scale-technique semantics are
+  * spec-verified (75 ScalaTest cases) — see graft.cdc.Streaming,
+  * graft.sources.ReplayLogSource, graft.cdc.Reliability, graft.rel.Scale.
   */
 object SparkEntry {
 
