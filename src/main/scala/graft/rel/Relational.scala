@@ -37,13 +37,18 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderedBy(col("l_returnflag"), col("l_linestatus"))),
 
-    // TPC-H Q3 shape: 3-way join + grouped top-k. Dimension side broadcast.
+    // TPC-H Q3 shape: 3-way join + grouped top-k. Broadcast-hint policy
+    // (applies to every query here): explicit broadcast() only on relations
+    // whose size is BOUNDED by construction (nation/region, tiny query
+    // sets); SF-growing tables (customer/supplier/part) are left to the
+    // AQE/threshold decision — at harness scale Catalyst still broadcasts
+    // them (PlanQualitySpec asserts it), at 100 TB it correctly won't.
     "q3_topk_orders" -> ((s, d) => {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderpriority"))
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -62,7 +67,7 @@ object Relational {
       val li = Tables.lineitem(s, d)
       val supp = Tables.supplier(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
@@ -88,7 +93,7 @@ object Relational {
     // Top-k with dimension join: top 10 parts by revenue.
     "q_topk_parts" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_name"))
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("p_partkey"))
@@ -151,7 +156,7 @@ object Relational {
     // the common conjuncts into the scan and keeps the OR residual.
     "q19_disjunctive" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
             dec(col("l_quantity")).cast("double") >= 1 && dec(col("l_quantity")).cast("double") <= 30) ||
@@ -224,7 +229,7 @@ object Relational {
       val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
       val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
-      li.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      li.join(smallParts, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(dec(col("l_quantity")).cast("double") < lit(0.2) * col("avg_qty"))
         .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
