@@ -244,9 +244,12 @@ object LlmOps {
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** 8-bit sign-projection bucket key — the LSH for cosine space. */
-  def signBucketSql(e: String): String =
-    "concat(" + (1 to 8).map(i =>
+  /** Sign-projection bucket key — the LSH for cosine space. `bits` is the
+    * code length: widen it as the corpus grows to keep buckets small
+    * (recall/cost dial; 8 → 256 buckets is right for the harness SFs).
+    */
+  def signBucketSql(e: String, bits: Int = 8): String =
+    "concat(" + (1 to bits).map(i =>
       s"case when element_at($e, $i) >= cast(0.0 as double) then '1' else '0' end").mkString(", ") + ")"
 
   /** Embedding near-dup: bucket by 8 sign bits (hyperplane LSH), verify
@@ -256,10 +259,11 @@ object LlmOps {
     * instead of O(pairs) norm work.
     */
   def dedupCosine(corpus: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "e", threshold: Double = 0.99): DataFrame = {
+      vecCol: String = "e", threshold: Double = 0.99,
+      bucketBits: Int = 8): DataFrame = {
     val c = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
-      .withColumn("bucket", expr(signBucketSql("e")))
+      .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
