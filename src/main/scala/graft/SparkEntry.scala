@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Ord._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 (build plan) and §8
   * (operator → query/spec coverage matrix).
@@ -40,4 +41,23 @@ object SparkEntry {
       admin.ControlPlane.oracle ++
       rel.Relational.oracle ++
       llm.LlmQueries.oracle
+
+  /** Verify-dump total-order keys per query. Ordering is a property of the
+    * oracle dump, NOT of the operators: library calls return unordered
+    * (fully parallel) DataFrames; only the driver's correctness dump funnels
+    * through the single-partition sort (see [[Ord]]). Queries absent here
+    * either order internally as part of their semantics (top-k/pagination
+    * via orderBy+limit → TakeOrdered) or emit a single row.
+    */
+  def dumpOrder: Map[String, Seq[Column]] =
+    cdc.CdcQueries.dumpOrder ++
+      admin.ControlPlane.dumpOrder ++
+      rel.Relational.dumpOrder ++
+      llm.LlmQueries.dumpOrder
+
+  /** A query's result ordered for the verify dump (identity when the query
+    * has no dump-order entry).
+    */
+  def dumpReady(name: String, df: DataFrame): DataFrame =
+    dumpOrder.get(name).map(ks => df.orderedBy(ks: _*)).getOrElse(df)
 }

@@ -22,7 +22,8 @@ object Verify {
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          try SparkEntry.dumpReady(name, fn(spark, sfDir))
+            .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")

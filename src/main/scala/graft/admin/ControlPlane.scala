@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Ord._
+import org.apache.spark.sql.Column
 
 /** Control-plane/relational queries (SURVEY §2.3 F4/F5, §2.5 A1-A3,
   * §2.6 J1, §2.7 O1/O2, §2.8 K5). The reference ships these to Postgres
@@ -39,8 +39,7 @@ object ControlPlane {
     "cp_search_ilike" -> ((s, d) =>
       Tables.customer(s, d)
         .filter(col("c_name").ilike("%CUSTOMER#00000001%"))
-        .select(col("c_custkey"), col("c_name"))
-        .orderedBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_name"))),
 
     // A1 + P10 — filtered count with ilike-style search (pagination total).
     "cp_count_filtered" -> ((s, d) =>
@@ -53,8 +52,7 @@ object ControlPlane {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
-        .orderedBy(col("o_orderstatus"))),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))),
 
     // A3 / O2 — latest row per key (stored-offset lookup shape).
     "cp_latest_per_key" -> ((s, d) => {
@@ -65,7 +63,6 @@ object ControlPlane {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("last_orderdate_ms"))
-        .orderedBy(col("o_custkey"))
     }),
 
     // J1 — clients ⟕ listener-status with missing-side default "stopped".
@@ -75,7 +72,6 @@ object ControlPlane {
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("status"), lit("stopped")).as("status"),
           (coalesce(col("status"), lit("stopped")) === "running").as("running"))
-        .orderedBy(col("c_custkey"))
     }),
 
     // F5 — duplicate-key existence check (uniqueness guard shape).
@@ -83,8 +79,7 @@ object ControlPlane {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .orderedBy(col("o_custkey"), col("o_orderstatus"))),
+        .filter(col("n") > 1)),
 
     // K5 — config upsert as a batch merge: updates override base rows.
     "cp_upsert_merge" -> ((s, d) => {
@@ -96,8 +91,17 @@ object ControlPlane {
         .select(col("c_custkey"),
           coalesce(col("new_bal").cast("decimal(19,2)"), col("bal").cast("decimal(19,2)"))
             .cast("double").as("bal"))
-        .orderedBy(col("c_custkey"))
     })
+  )
+
+  /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
+  def dumpOrder: Map[String, Seq[Column]] = Map(
+    "cp_search_ilike"     -> Seq(col("c_custkey")),
+    "cp_groupby_count"    -> Seq(col("o_orderstatus")),
+    "cp_latest_per_key"   -> Seq(col("o_custkey")),
+    "cp_status_left_join" -> Seq(col("c_custkey")),
+    "cp_dup_check"        -> Seq(col("o_custkey"), col("o_orderstatus")),
+    "cp_upsert_merge"     -> Seq(col("c_custkey"))
   )
 
   def oracle: Map[String, String] = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.cdc.ops.{Normalize, Route}
-import graft.Ord._
+import org.apache.spark.sql.Column
 
 /** CDC-dataflow queries (SURVEY §2.2-2.4, §2.8) with their DuckDB oracle
   * SQL. Spark and SQL sides are derived from the same `events` columns so
@@ -45,20 +45,18 @@ object CdcQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: the full reference hot loop, P3→F2→F3→E1→P4→F1→P5.
-    "cdc_route" -> ((s, d) => Pipeline.deliveriesOrdered(s, d)),
+    "cdc_route" -> ((s, d) => Pipeline.deliveries(s, d)),
 
     // P3 — unit-heuristic timestamp normalization over all four regimes.
     "cdc_commit_ts_norm" -> ((s, d) =>
       CdcView(s, d).transform(Route.withCommitMs)
-        .select(col("event_id"), col("commit_raw"), col("commit_ms"))
-        .orderedBy(col("event_id"))),
+        .select(col("event_id"), col("commit_raw"), col("commit_ms"))),
 
     // P4 — messy-boolean truth table over the 11 encodings + null override.
     "cdc_bool_norm" -> ((s, d) =>
       CdcView(s, d)
         .select(col("event_id"), col("flash_raw"),
-          Normalize.boolNorm(col("flash_raw")).as("flash_norm"))
-        .orderedBy(col("event_id"))),
+          Normalize.boolNorm(col("flash_raw")).as("flash_norm"))),
 
     // E1 — positional list alignment: list-valued flash field aligned with
     // recordIds by index, out-of-range → null, then normalized.
@@ -75,7 +73,6 @@ object CdcQueries {
         .select(col("event_id"), col("idx").cast("bigint").as("idx"), col("record_id"),
           col("flash_aligned"),
           Normalize.boolNorm(col("flash_aligned")).as("flash_norm"))
-        .orderedBy(col("event_id"), col("idx"))
     }),
 
     // P5/P7 — webhook payload projection serialized as the JSON body the
@@ -87,35 +84,30 @@ object CdcQueries {
           lit("""{"data":[{"Id":""""), col("id"),
           lit("""","subscriptionTopic":""""), col("subscription_topic"),
           lit("""","instanceUrl":""""), col("instance_url"),
-          lit(""""}]}""")).as("payload_json"))
-        .orderedBy(col("id"))),
+          lit(""""}]}""")).as("payload_json"))),
 
     // A4 — running per-entity counters (batch form of the streaming agg;
     // reference `app/services/sf_pubsub.py:782-785`).
     "cdc_counters" -> ((s, d) =>
-      Streaming.runningCounters(Pipeline.deliveries(CdcView(s, d)))
-        .orderedBy(col("entity"))),
+      Streaming.runningCounters(Pipeline.deliveries(CdcView(s, d)))),
 
     // P7 — JSON field extraction from the raw event props.
     "cdc_props_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"),
-          col("value"))
-        .orderedBy(col("event_id"))),
+          col("value"))),
 
     // P8 — secret masking over customer names (clients stand-in).
     "cdc_mask_secret" -> ((s, d) =>
       Tables.customer(s, d)
-        .select(col("c_custkey"), Normalize.maskSecret(col("c_name")).as("masked"))
-        .orderedBy(col("c_custkey"))),
+        .select(col("c_custkey"), Normalize.maskSecret(col("c_name")).as("masked"))),
 
     // P6 — base64 encode/decode round trip of replay ids.
     "cdc_b64_roundtrip" -> ((s, d) =>
       CdcView(s, d)
         .select(col("event_id"), Normalize.b64(encode(col("replay_b64"), "UTF-8")).as("b64"))
-        .withColumn("back", decode(Normalize.unb64(col("b64")), "UTF-8"))
-        .orderedBy(col("event_id"))),
+        .withColumn("back", decode(Normalize.unb64(col("b64")), "UTF-8"))),
 
     // P9 — validation scalars: URL normalization, topic + email shape.
     "cdc_validate" -> ((s, d) => {
@@ -136,8 +128,21 @@ object CdcQueries {
         Normalize.validHostPort(
           when(col("c_custkey") % 5 === 0, lit("api.pubsub.example.com"))
             .otherwise(lit("api.pubsub.example.com:7443"))).as("host_ok"))
-        .orderedBy(col("c_custkey"))
     })
+  )
+
+  /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
+  def dumpOrder: Map[String, Seq[Column]] = Map(
+    "cdc_route"          -> Seq(col("id")),
+    "cdc_commit_ts_norm" -> Seq(col("event_id")),
+    "cdc_bool_norm"      -> Seq(col("event_id")),
+    "cdc_explode_align"  -> Seq(col("event_id"), col("idx")),
+    "cdc_payload_json"   -> Seq(col("id")),
+    "cdc_counters"       -> Seq(col("entity")),
+    "cdc_props_extract"  -> Seq(col("event_id")),
+    "cdc_mask_secret"    -> Seq(col("c_custkey")),
+    "cdc_b64_roundtrip"  -> Seq(col("event_id")),
+    "cdc_validate"       -> Seq(col("c_custkey"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -146,7 +151,7 @@ object CdcQueries {
         |FROM (
         |  SELECT c.*, c.record_ids[CAST(u.i AS INT) + 1] AS record_id
         |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)
-        |  WHERE c.commit_ms >= 1704412800000 AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
+        |  WHERE (c.commit_ms IS NULL OR c.commit_ms >= 1704412800000) AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
         |) ORDER BY id""".stripMargin),
 
     "cdc_commit_ts_norm" -> (oracleCte +
@@ -175,7 +180,7 @@ object CdcQueries {
         |FROM (
         |  SELECT c.record_ids[CAST(u.i AS INT) + 1] AS id, c.subscription_topic, c.instance_url
         |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)
-        |  WHERE c.commit_ms >= 1704412800000 AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
+        |  WHERE (c.commit_ms IS NULL OR c.commit_ms >= 1704412800000) AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
         |) ORDER BY id""".stripMargin),
 
     "cdc_counters" -> (oracleCte +
@@ -183,7 +188,7 @@ object CdcQueries {
         |FROM (
         |  SELECT c.entity, c.commit_ms
         |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)
-        |  WHERE c.commit_ms >= 1704412800000 AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
+        |  WHERE (c.commit_ms IS NULL OR c.commit_ms >= 1704412800000) AND len(c.record_ids) > 0 AND c.flash_norm = TRUE
         |) GROUP BY entity ORDER BY entity""".stripMargin),
 
     "cdc_props_extract" ->

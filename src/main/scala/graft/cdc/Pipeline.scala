@@ -1,9 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.cdc.ops.Route
-import graft.Ord._
 
 /** The composed CDC delivery pipeline — batch form. The identical transform
   * chain runs under Structured Streaming in [[Streaming]]; batch-first so
@@ -29,8 +27,4 @@ object Pipeline {
 
   def deliveries(spark: SparkSession, sfDir: String): DataFrame =
     deliveries(CdcView(spark, sfDir))
-
-  /** Deliveries ordered for the deterministic Verify dump. */
-  def deliveriesOrdered(spark: SparkSession, sfDir: String): DataFrame =
-    deliveries(spark, sfDir).orderedBy(col("id"))
 }

@@ -88,7 +88,11 @@ object Reliability {
     * *data* progress via StreamingQueryListener (empty micro-batches do
     * not count as liveness, matching the reference's "messages received"
     * notion) and report queries idle past the timeout so a manager can
-    * restart them. Clock injectable for deterministic tests.
+    * restart them. The idle timer starts at query start (the reference
+    * initializes `last_rx = loop.time()` at subscribe,
+    * `app/services/sf_pubsub.py:557`), so a stream that never receives a
+    * single row — the most common hang mode — still goes idle after the
+    * timeout. Clock injectable for deterministic tests.
     */
   final class IdleWatchdog(idleTimeoutMs: Long = 300000L,
       clock: () => Long = System.currentTimeMillis)
@@ -96,13 +100,16 @@ object Reliability {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val lastData = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
 
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      lastData.put(e.id, clock())
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       if (e.progress.numInputRows > 0) lastData.put(e.progress.id, clock())
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
       lastData.remove(e.id)
 
-    /** Timestamp of the last data-bearing progress, if any seen yet. */
+    /** Timestamp of the last liveness event: query start, or the most
+      * recent data-bearing progress.
+      */
     def lastDataAt(id: java.util.UUID): Option[Long] = Option(lastData.get(id))
 
     def isIdle(id: java.util.UUID): Boolean =

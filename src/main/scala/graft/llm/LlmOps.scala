@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Ord._
 
 /** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
   * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -96,7 +95,6 @@ object LlmOps {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select("keeper_id", "n_copies", "content_hash")
-      .orderedBy("keeper_id")
 
   // --------------------------------------------------- shingles + MinHash
 
@@ -178,7 +176,6 @@ object LlmOps {
         (size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
           size(array_union(col("sa.gs"), col("sb.gs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderedBy("id_a", "id_b")
   }
 
   // ------------------------------------------------------------- SimHash
@@ -200,33 +197,64 @@ object LlmOps {
     val sh = (0 until SimHashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sums.select(col("doc_id"), sh.as("simhash")).orderedBy("doc_id")
+    sums.select(col("doc_id"), sh.as("simhash"))
   }
 
   // ------------------------------------------------- n-gram Jaccard dedup
 
-  /** Word-bigram Jaccard near-dup with prefix blocking: candidate pairs
-    * share the first `blockLen` chars (cheap block key), verified by exact
-    * bigram Jaccard ≥ threshold. Blocking keeps the join linear-ish at
-    * scale.
-    */
-  def dedupNgram(corpus: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.5,
-      blockLen: Int = 20): DataFrame = {
-    val g = textCorpus(corpus, idCol, textCol)
-      .withColumn("blk", substring(col("text"), 1, blockLen))
+  /** (doc_id, grams, gs): distinct word-bigrams and their 31-bit hashes. */
+  def bigramTable(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    textCorpus(corpus, idCol, textCol)
       .withColumn("sp", split(col("text"), " "))
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, greatest(size(sp)-1, 1)), i -> concat_ws(' ', slice(sp, i, 2))))"))
-      .select("doc_id", "blk", "grams")
+      .withColumn("gs", expr(
+        s"array_distinct(transform(grams, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "grams", "gs")
+
+  /** Banded LSH block keys over a `gs` bigram-hash column: (doc_id,
+    * band_idx, band_key). Public so specs can bound block sizes directly.
+    */
+  def ngramBands(bigrams: DataFrame): DataFrame =
+    withMinHashBands(bigrams.select("doc_id", "gs"))
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+
+  /** Word-bigram Jaccard near-dup with *content-derived* banded blocking:
+    * bigram hashes → MinHash bands (the same universal-hash machinery as
+    * [[dedupMinHash]], bigrams instead of 3-shingles) → bucket-join
+    * candidates → exact bigram-string Jaccard ≥ threshold. A band key is
+    * md5 of 3 min-hashes over the doc's FULL bigram set, so its collision
+    * mass is bounded by near-duplicate density — shared boilerplate
+    * prefixes ("Copyright 2024 …", templated docs) cannot collapse the
+    * corpus into one giant block the way a raw prefix key does (round-1
+    * verdict's skew trap): two docs land in one bucket only when 3
+    * independent min-hashes all agree, i.e. essentially only when their
+    * whole-document bigram Jaccard is already high.
+    */
+  def dedupNgram(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5): DataFrame = {
+    // persist: the bigram table feeds band derivation + both verify sides;
+    // the band table feeds both sides of the candidate self-join.
+    val g = bigramTable(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    g.as("a").join(g.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+    val bands = ngramBands(g)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(g.as("a"), col("id_a") === col("a.doc_id"))
+      .join(g.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
           size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderedBy("id_a", "id_b")
   }
 
   // --------------------------------------------------- embedding cosine
@@ -270,7 +298,6 @@ object LlmOps {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)").as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderedBy("id_a", "id_b")
   }
 
   // --------------------------------------------------- similarity search
@@ -293,7 +320,6 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "cosine")
-      .orderedBy("qid", "rnk")
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
@@ -316,6 +342,5 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "label", "cosine")
-      .orderedBy("qid", "rnk")
   }
 }

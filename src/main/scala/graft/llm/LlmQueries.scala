@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Ord._
 
 /** LLM-pipeline query registry + DuckDB oracle SQL. Each oracle mirrors the
   * Spark formula construct-for-construct (same hash derivation, same
@@ -48,12 +47,33 @@ object LlmQueries {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_media"),
           sum(col("n_bytes")).as("total_bytes"))
-        .orderedBy(col("label"))
     }),
 
     "mm_media_meta"     -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample"   -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d)))
+  )
+
+  /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
+  def dumpOrder: Map[String, Seq[org.apache.spark.sql.Column]] = Map(
+    "llm_dedup_exact"   -> Seq(col("keeper_id")),
+    "llm_dedup_minhash" -> Seq(col("id_a"), col("id_b")),
+    "llm_dedup_simhash" -> Seq(col("doc_id")),
+    "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
+    "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
+    "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
+    "llm_text_stats"    -> Seq(col("doc_id")),
+    "llm_lang_id"       -> Seq(col("doc_id")),
+    "llm_token_count"   -> Seq(col("doc_id")),
+    "llm_fingerprint"   -> Seq(col("doc_id")),
+    "llm_repetition"    -> Seq(col("doc_id")),
+    "llm_train_split"   -> Seq(col("doc_id")),
+    "llm_scrub_pii"     -> Seq(col("doc_id")),
+    "mm_embed_join"     -> Seq(col("label")),
+    "mm_media_meta"     -> Seq(col("doc_id")),
+    "mm_frame_sample"   -> Seq(col("doc_id"), col("frame_idx")),
+    "mm_decode_stub"    -> Seq(col("doc_id"))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -144,13 +164,29 @@ object LlmQueries {
     "llm_dedup_ngram" ->
       s"""WITH corpus AS ($NearCorpusSql),
          |g AS (
-         |  SELECT doc_id, substr(text, 1, 20) AS blk,
+         |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS grams
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus)
          |),
+         |gh AS (SELECT doc_id, grams,
+         |    list_distinct(list_transform(grams, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM g),
+         |mh AS (SELECT doc_id,
+         |    $mhCols
+         |  FROM gh),
+         |bands AS (
+         |  $bandUnion
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
          |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardDuck("a.grams", "b.grams")} AS jaccard
-         |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  SELECT pr.id_a, pr.id_b, ${jaccardDuck("a.grams", "b.grams")} AS jaccard
+         |  FROM pairs pr
+         |  JOIN gh a ON pr.id_a = a.doc_id
+         |  JOIN gh b ON pr.id_b = b.doc_id
          |)
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Ord._
 
 /** Multimodal-column handling: image/audio/video as opaque `binary`
   * payloads with typed metadata. The container has no media codecs, so the
@@ -35,7 +34,6 @@ object Multimodal {
         col("doc_id"), col("codec"), col("width"), col("height"),
         octet_length(col("payload")).cast("bigint").as("n_bytes"),
         md5(col("payload")).as("checksum"))
-      .orderedBy("doc_id")
 
   /** Frame sampling: each media row fans out to 1+doc_id%4 evenly-spaced
     * "frames"; the frame signature is a deterministic fake (a 12-char
@@ -53,7 +51,6 @@ object Multimodal {
         col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
         (col("frame_idx").cast("bigint") * col("step")).as("frame_off"),
         expr("substr(text, frame_idx * step + 1, 12)").as("frame_sig"))
-      .orderedBy("doc_id", "frame_idx")
 
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
@@ -75,6 +72,5 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fake_luma", "width", "height", "n_bytes")
-      .orderedBy("doc_id")
   }
 }

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.Ord._
 
 /** Text-analysis operators for training-data curation: quality scoring,
   * language ID, token counting, document fingerprinting. All pure
@@ -45,7 +44,6 @@ object TextAnalysis {
         "least(cast(1.0 as double), n_tokens / cast(50.0 as double)) * cast(0.5 as double)" +
           " + stop_ratio * cast(0.3 as double)" +
           " + (cast(1.0 as double) - punct_n / cast(greatest(len_chars, 1) as double)) * cast(0.2 as double)"))
-      .orderedBy("doc_id")
 
   /** Language ID by stopword-profile hit counts; argmax with a fixed
     * alphabetical preference order (de,en,es,fr,zh), all-zero → 'und'.
@@ -68,7 +66,6 @@ object TextAnalysis {
         (Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
           Seq(when(allZero, lit("und")).otherwise(argmax).as("predicted"),
             col("lang").as("labeled"))): _*)
-      .orderedBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenization
@@ -82,7 +79,6 @@ object TextAnalysis {
         expr("cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') as bigint)").as("re_tokens"),
         (length(col("text")).cast("double") / size(split(col("text"), " ")))
           .as("chars_per_token"))
-      .orderedBy("doc_id")
 
   /** Intra-document repetition scoring — the standard "fraction of
     * duplicated word n-grams" curation signal (a high score marks
@@ -100,7 +96,6 @@ object TextAnalysis {
         size(col("shingles")).cast("bigint").as("n_distinct"),
         (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
           .as("rep3_frac"))
-      .orderedBy(col("doc_id"))
 
   /** PII scrubbing: mask email-shaped and long-digit-run tokens — the
     * text-cleaning pass every corpus pipeline runs before training. The
@@ -115,7 +110,6 @@ object TextAnalysis {
           regexp_replace(col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
           "[0-9]{7,}", "<NUM>").as("scrubbed"),
         expr("cast(regexp_count(text, '[a-z0-9._]+@[a-z0-9.-]+') as bigint)").as("n_emails"))
-      .orderedBy(col("doc_id"))
 
   /** Deterministic train/val/test assignment by content-independent id
     * hash — the split every training pipeline needs: stable under
@@ -132,7 +126,6 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
       .select("doc_id", "bucket", "split")
-      .orderedBy(col("doc_id"))
 
   /** Document fingerprinting: a char-level rolling polynomial hash
     * (acc*31 + ascii, mod 1e9+7 — ordered fold, exact ints) plus the
@@ -149,5 +142,4 @@ object TextAnalysis {
         expr("aggregate(regexp_extract_all(text, '.', 0), cast(0 as bigint), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
           .as("rolling_fp"),
         expr(s"array_min(transform(shingles, s -> ${LlmOps.h56("s")}))").as("min_shingle_fp"))
-      .orderedBy("doc_id")
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Ord._
 
 /** Relational capability queries beyond the reference's own surface
   * (SURVEY §7.2 step 5): multi-way equi-joins, aggregations, windows,
@@ -34,8 +33,7 @@ object Relational {
           sum(revenue).cast("double").as("sum_disc_price"),
           sum(revenue * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))).cast("double").as("sum_charge"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderedBy(col("l_returnflag"), col("l_linestatus"))),
+          count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: 3-way join + grouped top-k. Broadcast-hint policy
     // (applies to every query here): explicit broadcast() only on relations
@@ -74,7 +72,6 @@ object Relational {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(revenue).cast("double").as("revenue"))
-        .orderedBy(col("revenue").desc, col("n_name"))
     }),
 
     // Window functions: per-customer order sequence + running spend.
@@ -87,7 +84,6 @@ object Relational {
           sum(dec(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_spend"))
-        .orderedBy(col("o_custkey"), col("rn"))
     }),
 
     // Top-k with dimension join: top 10 parts by revenue.
@@ -107,7 +103,6 @@ object Relational {
       building.intersect(withOrders).withColumn("op", lit("intersect"))
         .unionAll(building.except(withOrders).withColumn("op", lit("except")))
         .select(col("op"), col("custkey"))
-        .orderedBy(col("op"), col("custkey"))
     }),
 
     // Semi join: active customers that have at least one order (EXISTS).
@@ -115,7 +110,6 @@ object Relational {
       val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
       c.join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
-        .orderedBy(col("c_custkey"))
     }),
 
     // Anti join: customers with no pending ('P') order (NOT EXISTS shape;
@@ -124,8 +118,7 @@ object Relational {
       Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
           col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderedBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_name"))),
 
     // Rollup: subtotals over (status, priority); null markers normalized.
     "q_rollup_sales" -> ((s, d) =>
@@ -136,8 +129,7 @@ object Relational {
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
-          col("n"), col("total_price"))
-        .orderedBy(col("status"), col("priority"))),
+          col("n"), col("total_price"))),
 
     // TPC-H Q6 shape through the spark.sql front door: temp view + SQL text
     // (the DataFrame DSL and SQL surface compile to the same Catalyst plan).
@@ -174,8 +166,7 @@ object Relational {
         .select(
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
-          col("n"), col("total_price"))
-        .orderedBy(col("status"), col("priority"))),
+          col("n"), col("total_price"))),
 
     // HLL++ approximate distinct — sketch values are engine-specific, so
     // no SQL oracle (rows-only check); accuracy vs exact is bounded in
@@ -184,8 +175,7 @@ object Relational {
     "q_approx_distinct" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
-        .orderedBy(col("o_orderstatus"))),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))),
 
     // Exact lower-median order value per status via deterministic rank
     // indexing (no interpolation arithmetic → bit-exact cross-engine).
@@ -197,7 +187,6 @@ object Relational {
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
         .filter(expr("rn = (cnt + 1) div 2"))
         .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
-        .orderedBy(col("o_orderstatus"))
     }),
 
     // lag/lead analytics: days since the customer's previous order.
@@ -209,7 +198,6 @@ object Relational {
           Window.partitionBy(col("o_custkey")).orderBy(col("ms"), col("o_orderkey"))))
         .select(col("o_custkey"), col("o_orderkey"),
           ((col("ms") - col("prev_ms")) / 86400000L).cast("bigint").as("days_since_prev"))
-        .orderedBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // Distinct aggregation: exact distinct customers per order status.
@@ -217,8 +205,7 @@ object Relational {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(countDistinct(col("o_custkey")).as("n_custs"),
-          count(lit(1)).as("n_orders"))
-        .orderedBy(col("o_orderstatus"))),
+          count(lit(1)).as("n_orders"))),
 
     // TPC-H Q17 shape: correlated aggregate (below 20% of per-part avg
     // quantity), decorrelated as a pre-aggregated broadcast join. The
@@ -244,8 +231,27 @@ object Relational {
           sum(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high"),
           sum(when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(0L)).as("medium"),
           sum(when(col("o_orderpriority") === "4-NOT SPECIFIED", 1L).otherwise(0L)).as("notspec"),
-          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("low"))
-        .orderedBy(col("o_orderstatus")))
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("low")))
+  )
+
+  /** Verify-dump sort keys (see [[graft.Ord]]) — ordering is a property of
+    * the oracle dump, not of the operators, so library callers get fully
+    * parallel outputs (no SinglePartition funnel at 100 TB).
+    */
+  def dumpOrder: Map[String, Seq[Column]] = Map(
+    "q1_agg"            -> Seq(col("l_returnflag"), col("l_linestatus")),
+    "q5_nation_revenue" -> Seq(col("revenue").desc, col("n_name")),
+    "q_window_running"  -> Seq(col("o_custkey"), col("rn")),
+    "q_setops"          -> Seq(col("op"), col("custkey")),
+    "q_semi_join"       -> Seq(col("c_custkey")),
+    "q_anti_join"       -> Seq(col("c_custkey")),
+    "q_rollup_sales"    -> Seq(col("status"), col("priority")),
+    "q_cube_sales"      -> Seq(col("status"), col("priority")),
+    "q_approx_distinct" -> Seq(col("o_orderstatus")),
+    "q_median_manual"   -> Seq(col("o_orderstatus")),
+    "q_window_lag"      -> Seq(col("o_custkey"), col("o_orderkey")),
+    "q_distinct_agg"    -> Seq(col("o_orderstatus")),
+    "q_pivot_priority"  -> Seq(col("o_orderstatus"))
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -390,11 +396,11 @@ object Relational {
 
     "q_pivot_priority" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
-        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -94,6 +94,38 @@ class ReliabilitySpec extends SparkSpec {
     }
   }
 
+  test("idle watchdog flags a dead-from-birth stream that never receives data") {
+    // The reference initializes last_rx at subscribe time
+    // (sf_pubsub.py:557), so a stream that hangs before its first message
+    // is still reset after the timeout — the most common hang mode.
+    import org.apache.spark.sql.streaming.Trigger
+    @volatile var now = 1000L
+    val wd = new Reliability.IdleWatchdog(idleTimeoutMs = 300000L, clock = () => now)
+    val src = java.nio.file.Files.createTempDirectory("graft-wd-empty").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-wd-empty-ckp").toString
+    spark.streams.addListener(wd)
+    // schema-only stream over an empty directory: starts, never sees a row
+    val empty = spark.readStream
+      .schema(graft.Tables.events(spark, "/root/testdata/sf0.001").schema)
+      .parquet(src)
+    val q = empty.writeStream.option("checkpointLocation", ckp)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .format("noop").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (wd.lastDataAt(q.id).isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      assert(wd.lastDataAt(q.id).isDefined, "start must arm the idle timer")
+      assert(!wd.isIdle(q.id), "just started → not yet idle")
+      now += 301000L
+      assert(wd.isIdle(q.id), "no data since start past timeout → idle")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(wd)
+    }
+  }
+
   test("end-to-end: retrying sink + restart policy deliver everything exactly like batch") {
     import org.apache.spark.sql.functions.col
     val src = java.nio.file.Files.createTempDirectory("graft-rel-src").toString

@@ -44,13 +44,33 @@ class LlmSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
-  test("ngram jaccard: prefix-blocked pair scores high, jaccard in (0,1]") {
-    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+  test("ngram jaccard: band-blocked near-dup pair scores high, jaccard in (0,1]") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(0L -> text)
     val out = LlmOps.dedupNgram(LlmOps.nearDupCorpus(d)).collect()
     assert(out.nonEmpty)
     val j = out.head.getDouble(2)
     assert(j > 0.5 && j <= 1.0)
+  }
+
+  test("ngram blocking survives shared-boilerplate prefixes (no giant block)") {
+    // 200 docs all opening with the same 8-token boilerplate — the exact
+    // corpus shape that collapsed the old substring(text,1,20) block key
+    // into one O(n²) block. Band keys hash the FULL bigram set, so docs
+    // sharing only boilerplate spread across buckets.
+    val boiler = "copyright 2024 acme corp all rights reserved unique"
+    val d = docs((0L until 200L).map(i =>
+      i -> (s"$boiler body$i " + (1 to 12).map(j => s"t${i}x$j").mkString(" "))): _*)
+    val bands = LlmOps.ngramBands(LlmOps.bigramTable(d))
+    val maxBucket = bands.groupBy("band_idx", "band_key")
+      .count().agg(max("count")).head().getLong(0)
+    // old prefix key ⇒ one 200-doc block (40k candidate pairs). Band keys
+    // keep the worst bucket to a few docs whose min-hashes all landed in
+    // the shared boilerplate — bounded, not corpus-sized.
+    assert(maxBucket <= 20,
+      s"a content-derived band key must bound block mass; got a bucket of $maxBucket/200 docs")
+    // and no false positives survive the exact-jaccard verify
+    assert(LlmOps.dedupNgram(d).collect().isEmpty)
   }
 
   test("cosine dedup: perturbed copy of every 10th vector is found") {

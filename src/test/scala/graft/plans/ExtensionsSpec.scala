@@ -52,6 +52,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaNative === direct)
   }
 
+  test("rule does NOT rewrite a look-alike chain whose >1e14 branch differs") {
+    // Same null branch, same three thresholds, same ms-passthrough, same
+    // ×1000 and identity-else — but the nanoseconds branch divides by 1e3
+    // instead of 1e6. The rule is session-wide, so rewriting this user
+    // expression would silently change its results.
+    val lookAlike =
+      when(col("commit_raw").isNull, lit(null).cast("long"))
+        .when(col("commit_raw") > lit(100000000000000L),
+          Normalize.intDiv(col("commit_raw"), lit(1000L)))
+        .when(col("commit_raw") > lit(100000000000L), col("commit_raw"))
+        .when(col("commit_raw") > lit(1000000000L), col("commit_raw") * lit(1000L))
+        .otherwise(col("commit_raw"))
+    val df = graft.cdc.CdcView(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("commit_raw"), lookAlike.as("almost_ms"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[NormalizeEpochMillis])),
+      s"look-alike chain must be left alone:\n$optimized")
+    // and its semantics are intact end-to-end (ns inputs ÷ 1e3, not 1e6)
+    val nsRow = df.filter(col("commit_raw") > lit(100000000000000L)).limit(1).collect()
+    if (nsRow.nonEmpty) {
+      val raw = nsRow(0).getLong(1)
+      assert(nsRow(0).getLong(2) === Math.floorDiv(raw, 1000L))
+    }
+  }
+
   test("null propagates through the native expression") {
     val r = Seq[java.lang.Long](null).toDF("v")
       .selectExpr("normalize_epoch_millis(v) as n").collect()(0)

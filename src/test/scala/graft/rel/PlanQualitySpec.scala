@@ -31,11 +31,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
-  test("cdc_route is shuffle-free up to the single output-ordering exchange") {
+  test("cdc_route is fully shuffle-free (no exchange at all)") {
     val p = plan("cdc_route")
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1, s"expected at most the final SinglePartition exchange, got $exchanges:\n${p.take(1200)}")
+    assert(exchanges == 0, s"expected a narrow scan→project plan, got $exchanges exchanges:\n${p.take(1200)}")
     assert(p.contains("Generate posexplode"), "fan-out must be the built-in generator")
+  }
+
+  test("operators are SinglePartition-free — ordering belongs to the verify dump only") {
+    // Full-table-output operators: at 100 TB a repartition(1) here would
+    // funnel the whole result through one task. Global single-row aggs
+    // (q17/q19/q6/cp_count_filtered) legitimately end in SinglePartition
+    // and are not in this list.
+    val fullOutput = Seq(
+      "cdc_route", "cdc_commit_ts_norm", "cdc_explode_align",
+      "cp_status_left_join", "cp_latest_per_key", "cp_upsert_merge",
+      "q_window_running", "q_window_lag", "q_setops",
+      "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_ngram",
+      "llm_dedup_simhash", "llm_dedup_cosine", "llm_ann_topk",
+      "llm_text_stats", "llm_token_count", "llm_fingerprint",
+      "llm_train_split", "mm_media_meta", "mm_frame_sample")
+    for (q <- fullOutput) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must not funnel through one partition:\n${p.take(1200)}")
+    }
+    // …and the dump wrapper is where the total order lives instead.
+    val dumped = SparkEntry.dumpReady("q_window_lag",
+      SparkEntry.queries("q_window_lag")(spark, sf))
+    assert(dumped.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
   test("the strength-reduced native expression is in the executed cdc plan") {
