@@ -76,15 +76,11 @@ object CdcQueries {
     }),
 
     // P5/P7 — webhook payload projection serialized as the JSON body the
-    // reference POSTs (`app/services/sf_pubsub.py:736-744`); deterministic
-    // string construction so the oracle is byte-identical.
+    // reference POSTs (`app/services/sf_pubsub.py:736-744`); the same
+    // projection the live sink posts (WebhookSink.payloadJson), so the
+    // oracle checks exactly what goes over the wire.
     "cdc_payload_json" -> ((s, d) =>
-      Pipeline.deliveries(CdcView(s, d))
-        .select(col("id"), concat(
-          lit("""{"data":[{"Id":""""), col("id"),
-          lit("""","subscriptionTopic":""""), col("subscription_topic"),
-          lit("""","instanceUrl":""""), col("instance_url"),
-          lit(""""}]}""")).as("payload_json"))),
+      WebhookSink.payloadJson(Pipeline.deliveries(CdcView(s, d)))),
 
     // A4 — running per-entity counters (batch form of the streaming agg;
     // reference `app/services/sf_pubsub.py:782-785`).

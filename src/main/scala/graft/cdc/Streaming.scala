@@ -79,6 +79,14 @@ object Streaming {
         .write.mode("append").parquet(outDir)
     }
 
+  /** K1 — live HTTP webhook delivery: each micro-batch POSTs its payload
+    * rows from the executors under the reference retry contract (see
+    * [[WebhookSink]]); exhausted retries abort the epoch → gated replay.
+    */
+  def startToWebhook(spark: SparkSession, spec: PipelineSpec,
+      webhook: WebhookSink.Config): StreamingQuery =
+    start(spark, spec)(WebhookSink.deliver(webhook))
+
   /** Delivery-log storage layout for 100 TB: partition by entity so
     * downstream per-entity consumers read only their slice (partition
     * pruning — `PartitionFilters` in the read plan; asserted in

@@ -25,12 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *     far `latestOffset` advances per micro-batch.
   *   - **replay presets** (S3, `ReplayPreset` LATEST/EARLIEST/CUSTOM
   *     `app/services/sf_pubsub.py:848-894`): option `startingReplay` =
-  *     `earliest` | `latest` | a numeric replay id.
+  *     `earliest` | `latest` | a numeric replay id. With
+  *     `validateReplay=true` a CUSTOM id outside the stream's range fails
+  *     subscription with the INVALID_ARGUMENT shape the reference triages
+  *     (`app/services/sf_pubsub.py:462-486`) — see [[graft.cdc.Recovery]]
+  *     for the composed clear-and-restart flow (K3).
   *
   * The backing store is a JSON-lines changelog file (one decoded change
   * event per line) readable from any executor — the harness stand-in for
-  * the remote gRPC feed. Partition readers use plain IO + Jackson, no
-  * driver-side collection; a range of replay ids is split across readers.
+  * the remote gRPC feed. Replay ids are Long line numbers. IO is indexed:
+  * [[ReplayLogIndex]] keeps a per-file stride index (byte offset of every
+  * 1024th line) built by scanning only *appended* bytes, so
+  * `latestOffset`/`reportLatestOffset` never re-read the file, and each
+  * partition reader seeks to the checkpoint at/below its slice and skips at
+  * most `Stride` lines instead of re-reading the whole prefix — per-reader
+  * work is O(slice + Stride), not O(file).
   *
   * Usage:
   * {{{
@@ -57,9 +66,75 @@ object ReplayLogSource {
     StructField("commit_raw", LongType),
     StructField("flash_raw", StringType)))
 
-  def countLines(path: String): Long = {
-    val src = scala.io.Source.fromFile(path)
-    try src.getLines().size.toLong finally src.close()
+  /** Total events in the log (indexed — reads only appended bytes). */
+  def countLines(path: String): Long = ReplayLogIndex.lines(path)
+}
+
+/** Driver-side incremental line index per log file: total line count plus
+  * the byte offset of every `Stride`-th line. Each snapshot scans only the
+  * bytes appended since the last one, so repeated `latestOffset` polls are
+  * a stat + delta scan, and planned partitions carry a (seekLine, seekByte)
+  * checkpoint for their readers. A trailing line without a newline counts
+  * as a line (matching `Source.getLines`); index memory is 8 bytes per
+  * `Stride` lines — ~8 MB per billion events.
+  */
+object ReplayLogIndex {
+  val Stride: Long = 1024L
+
+  private final class State {
+    var scannedBytes = 0L
+    var fullLines = 0L // newline-terminated lines seen so far
+    var lastByteIsNewline = true
+    val checkpoints = scala.collection.mutable.ArrayBuffer[Long](0L)
+  }
+  private val states = new java.util.concurrent.ConcurrentHashMap[String, State]()
+
+  /** (total lines, checkpoint byte offsets: entry k = offset of line k·Stride). */
+  def snapshot(path: String): (Long, IndexedSeq[Long]) = {
+    val st = states.computeIfAbsent(path, _ => new State)
+    st.synchronized {
+      val f = new java.io.File(path)
+      val len = if (f.exists()) f.length() else 0L
+      if (len < st.scannedBytes) { // truncated/replaced → rebuild
+        st.scannedBytes = 0L; st.fullLines = 0L; st.lastByteIsNewline = true
+        st.checkpoints.clear(); st.checkpoints += 0L
+      }
+      if (len > st.scannedBytes) {
+        val in = new java.io.FileInputStream(path)
+        try {
+          in.getChannel.position(st.scannedBytes)
+          val buf = new Array[Byte](1 << 16)
+          var pos = st.scannedBytes
+          var n = in.read(buf)
+          while (n > 0 && pos < len) {
+            val lim = math.min(n.toLong, len - pos).toInt
+            var i = 0
+            while (i < lim) {
+              if (buf(i) == '\n') {
+                st.fullLines += 1
+                if (st.fullLines % Stride == 0L) st.checkpoints += pos + i + 1
+                st.lastByteIsNewline = true
+              } else st.lastByteIsNewline = false
+              i += 1
+            }
+            pos += lim
+            n = if (pos < len) in.read(buf) else 0
+          }
+          st.scannedBytes = len
+        } finally in.close()
+      }
+      val total = st.fullLines + (if (st.scannedBytes > 0 && !st.lastByteIsNewline) 1L else 0L)
+      (total, st.checkpoints.toIndexedSeq)
+    }
+  }
+
+  def lines(path: String): Long = snapshot(path)._1
+
+  /** Greatest indexed line ≤ `line`, as (seekLine, seekByte). */
+  def seekFor(path: String, line: Long): (Long, Long) = {
+    val (_, cps) = snapshot(path)
+    val k = math.min(line / Stride, (cps.size - 1).toLong).toInt
+    (k * Stride, cps(k))
   }
 }
 
@@ -106,7 +181,19 @@ class ReplayLogStream(path: String, options: CaseInsensitiveStringMap)
     Option(options.get("startingReplay")).getOrElse("earliest") match {
       case "earliest" => ReplayOffset(0L)
       case "latest"   => ReplayOffset(ReplayLogSource.countLines(path))
-      case custom     => ReplayOffset(custom.toLong) // CUSTOM replay id
+      case custom     => // CUSTOM replay id
+        val replay = custom.toLong
+        // validateReplay: model the server rejecting an expired/garbage
+        // replay id at subscribe (INVALID_ARGUMENT, reference
+        // sf_pubsub.py:462-486). Default off = the lenient past-end clamp.
+        if (options.getBoolean("validateReplay", false)) {
+          val avail = ReplayLogSource.countLines(path)
+          if (replay < 0L || replay > avail)
+            throw new IllegalArgumentException(
+              s"INVALID_ARGUMENT: requested replay id $replay is not valid for this stream " +
+                s"(valid range 0..$avail) — the stored replay id may have expired")
+        }
+        ReplayOffset(replay)
     }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -157,36 +244,51 @@ object ReplayLogStream {
     if (n == 0) return Array.empty
     val per = math.max(1L, (n + parts - 1) / parts)
     (start until end by per).map { s =>
-      ReplayLogPartition(path, s, math.min(end, s + per)): InputPartition
+      val (seekLine, seekByte) = ReplayLogIndex.seekFor(path, s)
+      ReplayLogPartition(path, s, math.min(end, s + per), seekLine, seekByte): InputPartition
     }.toArray
   }
 }
 
-case class ReplayLogPartition(path: String, start: Long, end: Long)
-    extends InputPartition
+/** A slice of replay ids plus the index checkpoint its reader seeks to:
+  * `seekByte` is the byte offset of line `seekLine`, the greatest indexed
+  * line ≤ `start` — the reader skips ≤ Stride lines from there.
+  */
+case class ReplayLogPartition(path: String, start: Long, end: Long,
+    seekLine: Long, seekByte: Long) extends InputPartition
 
 class ReplayLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ReplayLogPartition]
     new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
-      private val source = scala.io.Source.fromFile(p.path)
-      private val it = source.getLines().zipWithIndex
-        .dropWhile(_._2 < p.start).takeWhile(_._2 < p.end)
+      private val in = new java.io.FileInputStream(p.path)
+      in.getChannel.position(p.seekByte)
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      private var lineNo: Long = {
+        var l = p.seekLine
+        while (l < p.start && reader.readLine() != null) l += 1
+        l
+      }
       private var row: InternalRow = _
 
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else { row = parse(it.next()); true }
+      override def next(): Boolean = {
+        if (lineNo >= p.end) return false
+        val txt = reader.readLine()
+        if (txt == null) return false
+        row = parse(txt, lineNo)
+        lineNo += 1
+        true
+      }
 
-      private def parse(line: (String, Int)): InternalRow = {
-        val (txt, replay) = line
+      private def parse(txt: String, replay: Long): InternalRow = {
         val node = mapper.readTree(txt)
         val ids = Option(node.get("record_ids")).map { arr =>
           (0 until arr.size()).map(i => UTF8String.fromString(arr.get(i).asText()))
         }.getOrElse(Seq.empty)
         new GenericInternalRow(Array[Any](
-          replay.toLong,
+          replay,
           UTF8String.fromString(node.get("entity").asText()),
           UTF8String.fromString(node.get("change_type").asText()),
           new GenericArrayData(ids.toArray[Any]),
@@ -195,7 +297,7 @@ class ReplayLogReaderFactory extends PartitionReaderFactory {
       }
 
       override def get(): InternalRow = row
-      override def close(): Unit = source.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

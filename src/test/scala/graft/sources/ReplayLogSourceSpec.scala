@@ -105,6 +105,48 @@ class ReplayLogSourceSpec extends SparkSpec {
     assert(second.sorted.toSeq === Seq(2L, 3L, 4L, 5L))
   }
 
+  test("large log: partition readers seek to their slice instead of re-reading the prefix") {
+    val log = writeLog(5000)
+    val fileLen = new java.io.File(log).length()
+    val parts = ReplayLogStream.splitRange(log, 4000L, 5000L, 2)
+      .map(_.asInstanceOf[ReplayLogPartition])
+    // the tail slice's reader starts at the stride checkpoint at/below line
+    // 4000 (= line 3072), deep into the file — bounded skip, not O(file)
+    assert(parts.head.seekLine === 3072L)
+    assert(parts.head.seekByte > fileLen / 2,
+      s"expected a deep seek, got byte ${parts.head.seekByte} of $fileLen")
+    assert(parts.forall(p => p.start - p.seekLine < ReplayLogIndex.Stride + 1000))
+    // and the seeked readers produce exactly the right rows
+    val df = spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load()
+    assert(df.count() === 5000L)
+    assert(df.filter(col("replay_id") >= 4000).count() === 1000L)
+    val sample = df.filter(col("replay_id") === 4999).collect()(0)
+    assert(sample.getAs[Long]("commit_raw") === 1704067200L + 4999)
+  }
+
+  test("index is incremental: appends extend the count without a rescan of old bytes") {
+    val log = writeLog(10)
+    assert(ReplayLogIndex.lines(log) === 10L)
+    val more = (10 until 15).map(i =>
+      s"""{"entity":"Account","change_type":"UPDATE","record_ids":[],"commit_raw":$i,"flash_raw":"no"}""")
+    Files.write(Paths.get(log), ("\n" + more.mkString("\n")).getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(ReplayLogIndex.lines(log) === 15L)
+    assert(spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load().count() === 15L)
+  }
+
+  test("validateReplay: a replay id past the end fails subscription with INVALID_ARGUMENT") {
+    val log = writeLog(4)
+    val q = readStream(log, Map("startingReplay" -> "99", "validateReplay" -> "true"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    assert(graft.cdc.Recovery.isInvalidReplay(e),
+      s"expected the invalid-replay shape, got: ${e.getMessage}")
+  }
+
   test("composes with the CDC route transforms end-to-end") {
     import graft.cdc.ops.Route
     val log = writeLog(12)
