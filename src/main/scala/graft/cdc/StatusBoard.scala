@@ -1,0 +1,62 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-listener status introspection — the reference exposes a status dict
+  * per listener (running flag, topic, counters, last-event times;
+  * `app/services/sf_pubsub.py:382-400`) that the control plane joins onto
+  * the clients list (`app/routers/clients.py:166-187`). Spark analog: a
+  * snapshot DataFrame built from `spark.streams.active` + each query's
+  * `status`/`lastProgress`, joinable into the J1 shape
+  * (`cp_status_left_join`) with live data instead of a fixture.
+  *
+  * The snapshot is driver-built by construction (there are as many rows as
+  * running queries — control-plane cardinality, not data volume).
+  */
+object StatusBoard {
+
+  /** Listener-per-client naming convention: queries started for a client
+    * are named `listener-<clientId>` so status rows join back to clients.
+    */
+  def queryName(clientId: String): String = s"listener-$clientId"
+
+  /** Snapshot of all active streaming queries:
+    * (client_id, query_id, run_id, status, is_data_available, batch_id,
+    * num_input_rows, rows_per_second). `client_id` is parsed from the
+    * query-name convention (null for unnamed/foreign queries); `status` is
+    * the reference's RUNNING state string.
+    */
+  def statuses(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq.map { q =>
+      val p = Option(q.lastProgress)
+      val client = Option(q.name).collect {
+        case n if n.startsWith("listener-") => n.stripPrefix("listener-")
+      }
+      (client.orNull, q.id.toString, q.runId.toString,
+        if (q.isActive) "running" else "stopped",
+        q.status.isDataAvailable,
+        p.map(_.batchId).getOrElse(-1L),
+        p.map(_.numInputRows).getOrElse(0L),
+        p.map(_.processedRowsPerSecond).getOrElse(0.0))
+    }.toDF("client_id", "query_id", "run_id", "status", "is_data_available",
+      "batch_id", "num_input_rows", "rows_per_second")
+  }
+
+  /** J1 with live data: clients ⟕ running-query status, absent side
+    * defaulting to "stopped" — the same plan shape as
+    * `cp_status_left_join`, the right side now fed by `spark.streams`.
+    */
+  def clientStatusBoard(spark: SparkSession, clients: DataFrame,
+      clientIdCol: String = "client_id"): DataFrame = {
+    val live = statuses(spark)
+      .filter(col("client_id").isNotNull)
+      .select(col("client_id").as("live_client_id"), col("status"),
+        col("batch_id"), col("num_input_rows"))
+    clients.join(broadcast(live), col(clientIdCol) === col("live_client_id"), "left")
+      .drop("live_client_id")
+      .withColumn("status", coalesce(col("status"), lit("stopped")))
+      .withColumn("running", col("status") === "running")
+  }
+}
