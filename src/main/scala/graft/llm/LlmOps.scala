@@ -225,7 +225,7 @@ object LlmOps {
   /** Word-bigram Jaccard near-dup with *content-derived* banded blocking:
     * bigram hashes → MinHash bands (the same universal-hash machinery as
     * [[dedupMinHash]], bigrams instead of 3-shingles) → bucket-join
-    * candidates → exact bigram-string Jaccard ≥ threshold. A band key is
+    * candidates → exact bigram-hash Jaccard ≥ threshold. A band key is
     * md5 of 3 min-hashes over the doc's FULL bigram set, so its collision
     * mass is bounded by near-duplicate density — shared boilerplate
     * prefixes ("Copyright 2024 …", templated docs) cannot collapse the
@@ -236,9 +236,13 @@ object LlmOps {
     */
   def dedupNgram(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.5): DataFrame = {
-    // persist: the bigram table feeds band derivation + both verify sides;
-    // the band table feeds both sides of the candidate self-join.
+    // persist only (doc_id, gs): the hash arrays feed band derivation +
+    // both verify sides; the bigram strings never leave the first stage —
+    // verification intersects the 31-bit hash arrays exactly like
+    // dedupMinHash (smaller cached state, cheaper intersects; both engines
+    // derive identical hashes, so the Jaccard is identical too).
     val g = bigramTable(corpus, idCol, textCol)
+      .select("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = ngramBands(g)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,8 +256,8 @@ object LlmOps {
       .join(g.as("a"), col("id_a") === col("a.doc_id"))
       .join(g.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+        (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+          size(array_union(col("a.gs"), col("b.gs")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -168,7 +168,7 @@ object LlmQueries {
          |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS grams
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus)
          |),
-         |gh AS (SELECT doc_id, grams,
+         |gh AS (SELECT doc_id,
          |    list_distinct(list_transform(grams, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
          |  FROM g),
          |mh AS (SELECT doc_id,
@@ -183,7 +183,7 @@ object LlmQueries {
          |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
          |),
          |p AS (
-         |  SELECT pr.id_a, pr.id_b, ${jaccardDuck("a.grams", "b.grams")} AS jaccard
+         |  SELECT pr.id_a, pr.id_b, ${jaccardDuck("a.gs", "b.gs")} AS jaccard
          |  FROM pairs pr
          |  JOIN gh a ON pr.id_a = a.doc_id
          |  JOIN gh b ON pr.id_b = b.doc_id
