@@ -2,10 +2,11 @@ package graft.cdc
 
 import java.io.ByteArrayOutputStream
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.collection.mutable
+import org.apache.spark.sql.functions._
+import graft.functions.DecodeChangeEvent
 import scala.jdk.CollectionConverters._
 
 /** P1/S4 — Avro binary decode against a dynamic schema registry, the heart
@@ -15,11 +16,15 @@ import scala.jdk.CollectionConverters._
   * decoder** (the `_schema_cache` analog), so a mixed-schema stream decodes
   * without per-event registry hits.
   *
-  * Decode runs as a typed `mapPartitions` stage: one decoder cache per
-  * partition, no driver round-trips — on a 1000-executor cluster each task
-  * materializes only the schemas its partition actually sees. (The
-  * spark-avro `from_avro` connector is the plan-time alternative when every
-  * event shares one schema; this path handles the registry/evolution case.)
+  * Decode is planned as the native codegen'd [[DecodeChangeEvent]]
+  * expression (the same fused-call pattern as spark-avro's
+  * `AvroDataToCatalyst`): the surrounding project/filter pipeline stays in
+  * one WholeStageCodegen stage with no
+  * SerializeFromObject/DeserializeToObject boundary — the round-1
+  * `mapPartitions` form paid a Dataset-encoder round-trip per event. The
+  * decoder cache lives one-per-task-deserialized expression instance, so on
+  * a 1000-executor cluster each task still materializes only the schemas
+  * its partition actually sees.
   */
 object AvroCodec {
 
@@ -63,58 +68,39 @@ object AvroCodec {
     out.toByteArray
   }
 
-  case class Decoded(replay_id: Long, schema_id: String, entity: String,
-      change_type: String, record_ids: Seq[String],
-      commit_raw: Option[Long], flash_raw: Option[String])
-
   /** Decode (replay_id, schema_id, payload) rows against `registry`
     * (schema_id → writer-schema JSON), reading with `readerSchemaJson` so
     * mixed schema versions normalize to one projection — the reference's
     * fixed header+flash projection makes this safe (SURVEY §1.2).
-    */
-  /** `permissive = true` reproduces the reference's per-event error
+    *
+    * `permissive = true` reproduces the reference's per-event error
     * isolation (a corrupt payload marks the error and the loop continues,
-    * `app/services/sf_pubsub.py:786-788`): undecodable events are dropped.
-    * `permissive = false` fails the task — for feeds where corruption must
-    * halt the pipeline. An unknown schema_id always fails (config error,
-    * not data corruption).
+    * `app/services/sf_pubsub.py:786-788`): undecodable events decode to
+    * null and are dropped. `permissive = false` fails the task — for feeds
+    * where corruption must halt the pipeline. An unknown schema_id always
+    * fails (config error, not data corruption).
     */
   def decode(spark: SparkSession, events: DataFrame,
       registry: Map[String, String],
       readerSchemaJson: String = SchemaV1Json,
       permissive: Boolean = false): DataFrame = {
-    import spark.implicits._
-    events.select("replay_id", "schema_id", "payload")
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition decoder cache — the reference's _schema_cache
-        val readerSchema = new Schema.Parser().parse(readerSchemaJson)
-        val readers = mutable.Map.empty[String, GenericDatumReader[GenericRecord]]
-        rows.flatMap { case (replay, schemaId, payload) =>
-          val reader = readers.getOrElseUpdate(schemaId, {
-            val writerJson = registry.getOrElse(schemaId,
-              throw new IllegalArgumentException(s"unknown schema_id $schemaId"))
-            new GenericDatumReader[GenericRecord](
-              new Schema.Parser().parse(writerJson), readerSchema)
-          })
-          try {
-            val rec = reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
-            def optStr(f: String): Option[String] =
-              Option(rec.get(f)).map(_.toString)
-            Some(Decoded(
-              replay, schemaId,
-              rec.get("entity").toString,
-              rec.get("change_type").toString,
-              rec.get("record_ids").asInstanceOf[java.util.List[Object]]
-                .asScala.map(_.toString).toSeq,
-              Option(rec.get("commit_raw")).map(_.asInstanceOf[Long]),
-              optStr("flash_raw")))
-          } catch {
-            case e: IllegalArgumentException => throw e
-            case _: Throwable if permissive  => None
-          }
-        }
-      }
-      .toDF()
+    // registry map as a foldable CreateMap literal — the builder registered
+    // by GraftExtensions extracts it at plan time (from_avro's contract for
+    // its schema/options args). Sorted for a deterministic plan string.
+    val regCol = map(registry.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val ev = call_function("decode_change_event",
+      col("payload"), col("schema_id"), regCol,
+      lit(readerSchemaJson), lit(permissive))
+    val decoded = events.select(col("replay_id"), col("schema_id"), ev.as("ev"))
+    // permissive corrupt events decode to null — drop them (strict mode
+    // throws inside the expression instead, failing the task)
+    (if (permissive) decoded.filter(col("ev").isNotNull) else decoded)
+      .select(col("replay_id"), col("schema_id"),
+        col("ev.entity").as("entity"),
+        col("ev.change_type").as("change_type"),
+        col("ev.record_ids").as("record_ids"),
+        col("ev.commit_raw").as("commit_raw"),
+        col("ev.flash_raw").as("flash_raw"))
   }
 }

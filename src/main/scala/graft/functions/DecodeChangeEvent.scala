@@ -105,4 +105,26 @@ object DecodeChangeEvent {
     StructField("record_ids", ArrayType(StringType, containsNull = false), nullable = false),
     StructField("commit_raw", LongType, nullable = true),
     StructField("flash_raw", StringType, nullable = true)))
+
+  /** FunctionRegistry builder (registered by
+    * [[graft.plans.GraftExtensions]]):
+    * `decode_change_event(payload, schema_id, registry_map, reader_schema_json,
+    * permissive)`. Config args must be foldable — the same contract as the
+    * built-in `from_avro(child, jsonFormatSchema, options)`, whose schema
+    * and options are literal at plan time.
+    */
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(p, s, reg, rdr, perm)
+        if reg.foldable && rdr.foldable && perm.foldable =>
+      val m = reg.eval(InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray.toArray[UTF8String](StringType).map(_.toString)
+      val vals = m.valueArray.toArray[UTF8String](StringType).map(_.toString)
+      DecodeChangeEvent(p, s, keys.zip(vals).toMap,
+        rdr.eval(InternalRow.empty).toString,
+        perm.eval(InternalRow.empty).asInstanceOf[Boolean])
+    case _ => throw new IllegalArgumentException(
+      "decode_change_event(payload, schema_id, registry_map, " +
+        "reader_schema_json, permissive) requires 5 args with foldable config")
+  }
 }

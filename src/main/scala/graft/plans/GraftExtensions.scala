@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("normalize_epoch_millis"),
       new ExpressionInfo(classOf[NormalizeEpochMillis].getName, "normalize_epoch_millis"),
       (children: Seq[Expression]) => NormalizeEpochMillis(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("decode_change_event"),
+      new ExpressionInfo(classOf[graft.functions.DecodeChangeEvent].getName,
+        "decode_change_event"),
+      graft.functions.DecodeChangeEvent.builder _))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

@@ -55,6 +55,35 @@ class AvroCodecSpec extends SparkSpec {
     }
   }
 
+  test("decode plans as one codegen stage: no object round-trip, no mapPartitions") {
+    // repartition keeps ConvertToLocalRelation from pre-evaluating the whole
+    // local fixture at optimization time, so the executed plan shows the
+    // real distributed shape
+    val out = AvroCodec.decode(spark, fixture.repartition(2), registry)
+    out.collect() // finalize the adaptive plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    // "*(n)" is the WholeStageCodegen marker in AQE's condensed plan print;
+    // the decode Project must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("decode_change_event") && l.trim.startsWith("+- *(")), plan)
+  }
+
+  test("interpreted eval parity: codegen and no-codegen paths agree row-for-row") {
+    def rows() = AvroCodec.decode(spark, fixture, registry)
+      .orderBy("replay_id").collect().map(_.toString).toSeq
+    val codegen = rows()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(rows() === codegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("decoded events compose with the route transforms") {
     val routed = AvroCodec.decode(spark, fixture, registry)
       .transform(Route.withCommitMs)
