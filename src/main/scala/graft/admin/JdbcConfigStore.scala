@@ -45,16 +45,45 @@ object JdbcConfigStore {
       .save()
   }
 
+  /** java.sql.Types code per column, derived from the frame's schema — a
+    * null value must bind via `setNull(i, sqlType)`: Derby (the test
+    * backend) rejects an untyped `setObject(i, null)` with ERROR 22005,
+    * and the K3 recovery flow legitimately upserts a cleared (null)
+    * `last_replay_b64`.
+    */
+  private def sqlTypesOf(df: DataFrame): Map[String, Int] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case StringType => java.sql.Types.VARCHAR
+        case LongType => java.sql.Types.BIGINT
+        case IntegerType => java.sql.Types.INTEGER
+        case ShortType => java.sql.Types.SMALLINT
+        case DoubleType => java.sql.Types.DOUBLE
+        case FloatType => java.sql.Types.FLOAT
+        case BooleanType => java.sql.Types.BOOLEAN
+        case TimestampType => java.sql.Types.TIMESTAMP
+        case DateType => java.sql.Types.DATE
+        case BinaryType => java.sql.Types.BINARY
+        case _: DecimalType => java.sql.Types.DECIMAL
+        case _ => java.sql.Types.OTHER
+      })
+    }.toMap
+  }
+
   /** K5 — transactional upsert: for each row UPDATE by key, INSERT when no
     * row matched, one transaction per batch (all-or-nothing, like the
     * reference's per-statement asyncpg transaction). The frame is collapsed
     * to one partition first: config upserts are tiny and a single ordered
-    * transaction avoids cross-partition key deadlocks.
+    * transaction avoids cross-partition key deadlocks. `connProps` carries
+    * driver properties (user/password) for backends that need them.
     */
-  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String]): Unit = {
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+      connProps: Map[String, String] = Map.empty): Unit = {
     val cols = df.columns.toSeq
     val setCols = cols.filterNot(keys.contains)
     require(setCols.nonEmpty, s"upsert into $table needs at least one non-key column")
+    val sqlTypes = sqlTypesOf(df)
     // quote identifiers: Spark's JDBC writer creates case-preserved quoted
     // columns, which unquoted SQL would otherwise upcase (Derby/Postgres).
     def q(c: String) = "\"" + c + "\""
@@ -65,16 +94,22 @@ object JdbcConfigStore {
       s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     df.coalesce(1).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
+        val props = new java.util.Properties()
+        connProps.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        def bind(ps: java.sql.PreparedStatement, i: Int, c: String, r: Row): Unit = {
+          val v = r.getAs[Any](c)
+          if (v == null) ps.setNull(i, sqlTypes(c)) else ps.setObject(i, v)
+        }
         try {
           conn.setAutoCommit(false)
           val up = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           rows.foreach { r =>
-            setCols.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
-            keys.zipWithIndex.foreach { case (c, i) => up.setObject(setCols.size + i + 1, r.getAs[Any](c)) }
+            setCols.zipWithIndex.foreach { case (c, i) => bind(up, i + 1, c, r) }
+            keys.zipWithIndex.foreach { case (c, i) => bind(up, setCols.size + i + 1, c, r) }
             if (up.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, r.getAs[Any](c)) }
+              cols.zipWithIndex.foreach { case (c, i) => bind(ins, i + 1, c, r) }
               ins.executeUpdate()
             }
           }
@@ -91,7 +126,8 @@ object JdbcConfigStore {
     * micro-batch; idempotent under epoch replay because upsert is
     * by-key, not append).
     */
-  def upsertSink(url: String, table: String, keys: Seq[String])(
+  def upsertSink(url: String, table: String, keys: Seq[String],
+      connProps: Map[String, String] = Map.empty)(
       batch: DataFrame, epochId: Long): Unit =
-    upsert(batch, url, table, keys)
+    upsert(batch, url, table, keys, connProps)
 }

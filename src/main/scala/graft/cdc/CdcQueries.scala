@@ -172,7 +172,7 @@ object CdcQueries {
         |) ORDER BY event_id, idx""".stripMargin),
 
     "cdc_payload_json" -> (oracleCte +
-      """SELECT id, '{"data":[{"Id":"' || id || '","subscriptionTopic":"' || subscription_topic || '","instanceUrl":"' || instance_url || '"}]}' AS payload_json
+      """SELECT id, '{"data":[{"Id":"' || replace(replace(id, '\', '\\'), '"', '\"') || '","subscriptionTopic":"' || replace(replace(subscription_topic, '\', '\\'), '"', '\"') || '","instanceUrl":"' || replace(replace(instance_url, '\', '\\'), '"', '\"') || '"}]}' AS payload_json
         |FROM (
         |  SELECT c.record_ids[CAST(u.i AS INT) + 1] AS id, c.subscription_topic, c.instance_url
         |  FROM cdc_norm c, UNNEST(range(0, len(c.record_ids))) AS u(i)

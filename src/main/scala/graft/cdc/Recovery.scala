@@ -52,9 +52,11 @@ object Recovery {
   def runWithReplayRecovery(offsets: DataFrame, clientId: String, topicName: String)(
       subscribe: String => StreamingQuery): (DataFrame, Boolean) = {
     val start = storedReplay(offsets, clientId, topicName).getOrElse("earliest")
-    val q = subscribe(start)
+    // subscribe() itself stays inside the try: a source that validates its
+    // options at analysis time surfaces the invalid-replay failure
+    // synchronously from start(), and that must triage identically
     try {
-      q.awaitTermination()
+      subscribe(start).awaitTermination()
       (offsets, false)
     } catch {
       case e: Throwable if isInvalidReplay(e) =>

@@ -47,16 +47,30 @@ object StatusBoard {
   /** J1 with live data: clients ⟕ running-query status, absent side
     * defaulting to "stopped" — the same plan shape as
     * `cp_status_left_join`, the right side now fed by `spark.streams`.
+    *
+    * Live-side columns are aliased before the join, so a clients frame
+    * that already carries a `status`/`batch_id`/`num_input_rows`/`running`
+    * column (the reference's client rows do expose status fields) never
+    * makes the post-join references ambiguous; such client columns are
+    * preserved under a `client_` prefix and the board columns keep their
+    * names.
     */
   def clientStatusBoard(spark: SparkSession, clients: DataFrame,
       clientIdCol: String = "client_id"): DataFrame = {
+    val boardCols = Seq("status", "batch_id", "num_input_rows", "running")
+    val safe = boardCols.filter(clients.columns.contains)
+      .foldLeft(clients)((d, c) => d.withColumnRenamed(c, s"client_$c"))
     val live = statuses(spark)
       .filter(col("client_id").isNotNull)
-      .select(col("client_id").as("live_client_id"), col("status"),
-        col("batch_id"), col("num_input_rows"))
-    clients.join(broadcast(live), col(clientIdCol) === col("live_client_id"), "left")
-      .drop("live_client_id")
-      .withColumn("status", coalesce(col("status"), lit("stopped")))
+      .select(col("client_id").as("live_client_id"),
+        col("status").as("live_status"),
+        col("batch_id").as("live_batch_id"),
+        col("num_input_rows").as("live_num_input_rows"))
+    safe.join(broadcast(live), col(clientIdCol) === col("live_client_id"), "left")
+      .withColumn("status", coalesce(col("live_status"), lit("stopped")))
+      .withColumn("batch_id", col("live_batch_id"))
+      .withColumn("num_input_rows", col("live_num_input_rows"))
       .withColumn("running", col("status") === "running")
+      .drop("live_client_id", "live_status", "live_batch_id", "live_num_input_rows")
   }
 }

@@ -66,15 +66,26 @@ object WebhookSink {
       s"webhook delivery to ${cfg.url} failed after ${cfg.maxAttempts} attempts ($lastFailure)")
   }
 
-  /** P5/P7 — the webhook payload body per delivery row, byte-identical to
-    * the JSON the reference POSTs (`app/services/sf_pubsub.py:736-744`).
-    * Shared by the `cdc_payload_json` oracle query and the live sink.
+  /** JSON string escape for a value column: backslash then double-quote
+    * (mirrored construct-for-construct in the DuckDB oracle). Control
+    * characters are assumed absent — the fields are Salesforce record ids,
+    * topic paths, and instance URLs.
+    */
+  private def jsonEsc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+
+  /** P5/P7 — the webhook payload body per delivery row: the same field
+    * shape the reference POSTs (`app/services/sf_pubsub.py:736-744`), with
+    * quotes/backslashes in values JSON-escaped (the reference serializes
+    * via json.dumps, which also escapes; exact bytes differ in separator
+    * whitespace only). Shared by the `cdc_payload_json` oracle query and
+    * the live sink, so the oracle checks exactly what goes over the wire.
     */
   def payloadJson(deliveries: DataFrame): DataFrame =
     deliveries.select(col("id"), concat(
-      lit("""{"data":[{"Id":""""), col("id"),
-      lit("""","subscriptionTopic":""""), col("subscription_topic"),
-      lit("""","instanceUrl":""""), col("instance_url"),
+      lit("""{"data":[{"Id":""""), jsonEsc(col("id")),
+      lit("""","subscriptionTopic":""""), jsonEsc(col("subscription_topic")),
+      lit("""","instanceUrl":""""), jsonEsc(col("instance_url")),
       lit(""""}]}""")).as("payload_json"))
 
   /** foreachBatch delivery function: serialize each delivery row and POST

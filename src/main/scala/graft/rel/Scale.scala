@@ -33,15 +33,21 @@ object Scale {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Skew-safe sum: stage 1 aggregates per (key, random-free deterministic
-    * salt derived from a secondary column hash), stage 2 combines per key.
-    * The salt must NOT depend only on the key (that would keep the hot key
-    * on one reducer) — it spreads each key's rows across `salts` reducers.
+  /** Skew-safe sum: stage 1 aggregates per (key, salt), stage 2 combines
+    * per key. The salt must NOT depend only on the key (that would keep the
+    * hot key on one reducer); it is derived from a content hash of the full
+    * row, so it is deterministic under task retries — a
+    * partition-id/row-index salt regenerates differently when a map task is
+    * recomputed after a partial shuffle fetch, which can double- or
+    * drop-count rows. Fully identical rows co-locate on one salt;
+    * acceptable, since the spread only has to break up hot keys whose rows
+    * differ somewhere.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column,
       salts: Int = 16): DataFrame = {
-    val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df
+      .withColumn("salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+      .select(key.as("k"), value.as("v"), col("salt"))
     salted.groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("partial"))
       .groupBy(col("k"))

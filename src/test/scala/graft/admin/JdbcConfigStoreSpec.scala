@@ -65,6 +65,25 @@ class JdbcConfigStoreSpec extends SparkSpec {
       ("c2", "/data/A") -> 30L, ("c3", "/data/A") -> 999L))
   }
 
+  test("K5: upserting a null column value binds as typed NULL (K3 cleared offset)") {
+    val url = freshUrl("nulls")
+    val base = Seq(("c1", "/data/A", "cmVwbGF5"))
+      .toDF("client_id", "topic_name", "last_replay_b64")
+    JdbcConfigStore.write(base, url, "offsets", SaveMode.Overwrite)
+    // the K3 recovery flow clears the stored offset → null last_replay_b64;
+    // Derby rejects an untyped setObject(null) (ERROR 22005), so this row
+    // exercises the setNull(sqlType) path for update AND insert
+    val cleared = Seq(
+      ("c1", "/data/A", null.asInstanceOf[String]),   // update → null
+      ("c9", "/data/Z", null.asInstanceOf[String]))   // insert with null
+      .toDF("client_id", "topic_name", "last_replay_b64")
+    JdbcConfigStore.upsert(cleared, url, "offsets", keys = Seq("client_id", "topic_name"))
+    val got = JdbcConfigStore.read(spark, url, "offsets")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.getString(2))).toMap
+    assert(got === Map(
+      ("c1", "/data/A") -> None, ("c9", "/data/Z") -> None))
+  }
+
   test("K5 streaming: per-epoch counter upserts land in JDBC and replay idempotently") {
     val url = freshUrl("stream")
     val src = java.nio.file.Files.createTempDirectory("graft-jdbc-src").toString

@@ -42,6 +42,18 @@ class StatusBoardSpec extends SparkSpec {
     } finally { q1.stop(); q3.stop() }
   }
 
+  test("clients frame with its own status column joins unambiguously, data preserved") {
+    // the reference's client rows expose status fields — a clients frame
+    // carrying `status` must not make the post-join reference ambiguous
+    val clients = Seq(("c1", "active"), ("c2", "suspended"))
+      .toDF("client_id", "status")
+    val board = StatusBoard.clientStatusBoard(spark, clients)
+    val rows = board.select("client_id", "client_status", "status", "running")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(rows("c1") === ("active", "stopped", false))
+    assert(rows("c2") === ("suspended", "stopped", false))
+  }
+
   test("status board over the real clients table keeps the cp_status_left_join shape") {
     val clients = graft.Tables.customer(spark, "/root/testdata/sf0.001")
       .select(concat(lit("c"), col("c_custkey")).as("client_id"), col("c_name"))

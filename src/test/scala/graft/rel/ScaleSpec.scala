@@ -44,9 +44,10 @@ class ScaleSpec extends SparkSpec {
     val salted = Scale.saltedSum(df, col("k"), col("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === direct)
-    // the salt actually spreads the hot key over multiple partials
-    val partials = df.select(col("k"), col("v"))
-      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+    // the content-hash salt actually spreads the hot key over multiple
+    // partials (hot rows differ in v, so they hash apart)
+    val partials = df
+      .withColumn("salt", pmod(xxhash64(col("k"), col("v")), lit(16)))
       .filter(col("k") === "hot").select("salt").distinct().count()
     assert(partials > 1)
   }
