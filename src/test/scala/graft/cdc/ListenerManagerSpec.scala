@@ -1,0 +1,179 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Listener lifecycle: start/stop/restart per client over spark.streams,
+  * the reference's stop-timeout and restart-loop semantics, and the K4
+  * first-failure-or-fatal alert policy with the SMTP-shaped record.
+  */
+class ListenerManagerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val src: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-src").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def eventually(timeoutMs: Long = 20000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(cond)
+  }
+
+  /** A healthy long-running listener query named by the board convention. */
+  private def healthySubscribe(clientId: String) = {
+    val ckp = java.nio.file.Files.createTempDirectory(s"graft-lm-ckp-$clientId").toString
+    Streaming.routed(spark, Streaming.PipelineSpec(clientId, src, ckp))
+      .writeStream.queryName(StatusBoard.queryName(clientId))
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .format("noop").start()
+  }
+
+  /** A terminating (AvailableNow) run whose delivery callback is `deliver`. */
+  private def oneShotSubscribe(clientId: String)(
+      deliver: (DataFrame, Long) => Unit) = {
+    val ckp = java.nio.file.Files.createTempDirectory(s"graft-lm-os-$clientId").toString
+    Streaming.start(spark, Streaming.PipelineSpec(clientId, src, ckp))(deliver)
+  }
+
+  test("start two listeners, restart one, stop both; board tracks each transition") {
+    val mgr = new ListenerManager(sleep = _ => ())
+    val clients = Seq("c1", "c2", "c3").toDF("client_id")
+    try {
+      mgr.start("c1")(healthySubscribe)
+      mgr.start("c2")(healthySubscribe)
+      eventually() {
+        mgr.status("c1").status == "running" && mgr.status("c2").status == "running"
+      }
+      // live board sees both listeners, c3 stays stopped
+      val up = StatusBoard.clientStatusBoard(spark, clients)
+        .select("client_id", "status").as[(String, String)].collect().toMap
+      assert(up === Map("c1" -> "running", "c2" -> "running", "c3" -> "stopped"))
+
+      // idempotent start: a second start on a running listener is a no-op
+      val runIdBefore = spark.streams.active
+        .find(_.name == StatusBoard.queryName("c1")).get.runId
+      mgr.start("c1")(healthySubscribe)
+      assert(spark.streams.active
+        .find(_.name == StatusBoard.queryName("c1")).get.runId === runIdBefore)
+
+      // restart: same name comes back under a new runId
+      mgr.restart("c1")(healthySubscribe)
+      eventually() {
+        spark.streams.active.find(_.name == StatusBoard.queryName("c1"))
+          .exists(_.runId != runIdBefore)
+      }
+      eventually()(mgr.status("c1").status == "running")
+
+      // stop both: manager states and the live board agree
+      mgr.stop("c1"); mgr.stop("c2")
+      assert(mgr.status("c1").status === "stopped")
+      assert(mgr.status("c2").status === "stopped")
+      eventually() {
+        !spark.streams.active.exists(_.name.startsWith("listener-"))
+      }
+      val down = StatusBoard.clientStatusBoard(spark, clients)
+        .select("client_id", "status").as[(String, String)].collect().toMap
+      assert(down.values.forall(_ == "stopped"))
+      // manager's own frame keeps the lifecycle view for J1 joins
+      assert(mgr.statusFrame(spark).columns.toSeq ===
+        Seq("client_id", "status", "started_at_ms", "last_error", "fail_count"))
+    } finally mgr.stopAll()
+  }
+
+  test("K4: first transient failure alerts once, then the restart loop recovers") {
+    val alerts = new ConcurrentLinkedQueue[ListenerManager.Alert]()
+    val mgr = new ListenerManager(sleep = _ => (), onAlert = alerts.add(_))
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      mgr.start("cT") { id =>
+        oneShotSubscribe(id) { (b, _) =>
+          if (runs.incrementAndGet() <= 2) throw new RuntimeException("transient boom")
+          b.count(); ()
+        }
+      }
+      // two failing runs then a clean one; the runner retries through both
+      // failures but alerts only on the FIRST (fail_count==1 && not sent)
+      eventually()(mgr.status("cT").status == "stopped")
+      assert(runs.get() >= 3)
+      val got = alerts.asScala.toSeq
+      assert(got.length === 1)
+      assert(got.head.clientId === "cT")
+      assert(!got.head.fatal && got.head.failCount === 1)
+    } finally mgr.stopAll()
+  }
+
+  test("K4: fatal config error alerts once, stops with status error, never restarts") {
+    val alerts = new ConcurrentLinkedQueue[ListenerManager.Alert]()
+    val mgr = new ListenerManager(sleep = _ => (), onAlert = alerts.add(_))
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      mgr.start("cF") { id =>
+        oneShotSubscribe(id) { (_, _) =>
+          runs.incrementAndGet()
+          throw new Reliability.FatalConfigError("topic not found")
+        }
+      }
+      eventually()(mgr.status("cF").status == "error")
+      // give the runner a beat: it must NOT start another run
+      Thread.sleep(500)
+      assert(runs.get() === 1)
+      assert(alerts.size === 1)
+      assert(alerts.peek().fatal)
+      assert(mgr.status("cF").last_error.exists(_.contains("topic not found")) ||
+        mgr.status("cF").fail_count === 1)
+    } finally mgr.stopAll()
+  }
+
+  test("K4: clean stop raises no alert") {
+    val alerts = new ConcurrentLinkedQueue[ListenerManager.Alert]()
+    val mgr = new ListenerManager(sleep = _ => (), onAlert = alerts.add(_))
+    try {
+      mgr.start("cS")(healthySubscribe)
+      eventually()(mgr.status("cS").status == "running")
+      mgr.stop("cS")
+      eventually()(mgr.status("cS").status == "stopped")
+      assert(alerts.isEmpty)
+    } finally mgr.stopAll()
+  }
+
+  test("SMTP shape: mode by port, enabled gate, reference message fields") {
+    import EmailAlerts._
+    val ssl = SmtpConfig(host = "smtp.example.com", port = 465, user = "u@x.com",
+      password = "pw", notificationEmail = "ops@x.com")
+    val tls = ssl.copy(port = 587)
+    val plain = ssl.copy(port = 2525, useTls = false)
+    assert(ssl.mode === "ssl")       // 465 = implicit SSL, never STARTTLS
+    assert(tls.mode === "starttls")  // 587 = STARTTLS
+    assert(plain.mode === "plain")
+    assert(ssl.enabled)
+    assert(!ssl.copy(password = "").enabled) // missing any of the four disables
+
+    val mail = listenerErrorEmail(tls, "42", "Acme", "boom happened",
+      topicName = Some("/data/AccountChangeEvent"))
+    assert(mail.smtp_host === "smtp.example.com" && mail.smtp_port === 587)
+    assert(mail.mode === "starttls")
+    assert(mail.from_email === "u@x.com") // falls back to user
+    assert(mail.to_email === "ops@x.com")
+    assert(mail.subject === "Listener Error: Acme (ID: 42)")
+    assert(mail.body.contains("- Client ID: 42"))
+    assert(mail.body.contains("- Client Name: Acme"))
+    assert(mail.body.contains("- Topic: /data/AccountChangeEvent"))
+    assert(mail.body.contains("boom happened"))
+
+    // alert → email composition: the record a relay consumes is a frame row
+    val alert = ListenerManager.Alert("42", fatal = true, 1, "boom happened")
+    val df = Seq(listenerErrorEmail(ssl, alert.clientId, "Acme", alert.message)).toDF()
+    assert(df.columns.toSeq === Seq("smtp_host", "smtp_port", "mode",
+      "from_email", "to_email", "subject", "body"))
+    assert(df.count() === 1L)
+  }
+}
