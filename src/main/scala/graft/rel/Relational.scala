@@ -10,10 +10,18 @@ import graft.Tables
   * top-k, set ops, rollup — exercised on the TPC-H-ish tables so BENCH
   * measures real shuffle/join behavior at sf0.1.
   *
-  * Cross-engine numeric policy: money aggregates are computed over
-  * DECIMAL(18,2)-cast inputs (exact in both Spark and DuckDB) and cast to
+  * Cross-engine numeric policy: money aggregates are exact and cast to
   * DOUBLE only at the output boundary, so the driver's hash compare is
-  * bit-exact.
+  * bit-exact. Two equivalent exact paths are exercised:
+  *   - DECIMAL(18,2)-cast inputs (q3/q5/q6/q19/rollup/cube/window) — the
+  *     declarative form;
+  *   - fixed-point long cents (q1/q17/q_topk_parts, the scan-heavy money
+  *     queries): 2-decimal money doubles → `round(x*100)` longs per row,
+  *     per-row arithmetic as integer multiplies inside codegen (no per-row
+  *     decimal scale management), aggregated as DECIMAL(38,0) — the
+  *     128-bit-exact analog of DuckDB's SUM(BIGINT)→HUGEINT, so no long
+  *     overflow at any SF. Both engines sum identical integers and divide
+  *     identical correctly-rounded doubles ⇒ bit-exact.
   */
 object Relational {
 
@@ -21,18 +29,36 @@ object Relational {
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   private def revenue: Column = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
 
+  /** 2-decimal money double → exact long cents (values sit within ~1e-9 of
+    * integer cents, so the round never lands on a .5 boundary — both
+    * engines agree).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Overflow-safe exact sum of a long fixed-point column (decimal-128
+    * accumulator, long-backed until it actually overflows).
+    */
+  private def sumFx(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1 shape: scan-heavy grouped aggregation with decimal exactness.
+    // TPC-H Q1 shape: scan-heavy grouped aggregation, fixed-point money
+    // path — narrow long-cents projection feeds the two-phase hash agg;
+    // disc_price in 10^-4 units, charge in 10^-6 units.
     "q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c"),
+          cents(col("l_tax")).as("tax_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(revenue).cast("double").as("sum_disc_price"),
-          sum(revenue * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))).cast("double").as("sum_charge"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sumFx(col("qty_c")).cast("double") / 100.0).as("sum_qty"),
+          (sumFx(col("price_c")).cast("double") / 100.0).as("sum_base_price"),
+          (sumFx(col("price_c") * (lit(100L) - col("disc_c"))).cast("double") / 10000.0).as("sum_disc_price"),
+          (sumFx(col("price_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+            .cast("double") / 1000000.0).as("sum_charge"),
+          (sumFx(col("qty_c")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: 3-way join + grouped top-k. Broadcast-hint policy
@@ -86,12 +112,16 @@ object Relational {
             .cast("double").as("running_spend"))
     }),
 
-    // Top-k with dimension join: top 10 parts by revenue.
+    // Top-k with dimension join: top 10 parts by revenue. Fixed-point
+    // path; the revenue term is collapsed to one long column BEFORE the
+    // join, so only (key, rev_c4) crosses the shuffle.
     "q_topk_parts" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c4"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("p_name"))
-        .agg(sum(revenue).cast("double").as("revenue"))
+        .agg((sumFx(col("rev_c4")).cast("double") / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("p_partkey"))
         .limit(10)),
 
@@ -208,18 +238,21 @@ object Relational {
           count(lit(1)).as("n_orders"))),
 
     // TPC-H Q17 shape: correlated aggregate (below 20% of per-part avg
-    // quantity), decorrelated as a pre-aggregated broadcast join. The
-    // threshold is a double derived from exact decimal sums, so the
-    // comparison is bit-identical cross-engine.
+    // quantity), decorrelated as a pre-aggregated broadcast join.
+    // Fixed-point path: the threshold is a double derived from exact
+    // long-cents sums, mirrored in the oracle, so the comparison is
+    // bit-identical cross-engine.
     "q17_small_qty_revenue" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
       val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+        .agg((sumFx(col("qty_c")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"))
       val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
       li.join(smallParts, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("ap_partkey"))
-        .filter(dec(col("l_quantity")).cast("double") < lit(0.2) * col("avg_qty"))
-        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+        .filter(col("qty_c").cast("double") / 100.0 < lit(0.2) * col("avg_qty"))
+        .agg((sumFx(col("price_c")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
     }),
 
     // Pivot-style conditional aggregation: priority counts per status.
@@ -255,17 +288,26 @@ object Relational {
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  /** DuckDB long-cents conversion (mirrors the Spark `cents` helper). */
+  private def centsDuck(c: String): String = s"CAST(round($c*100) AS BIGINT)"
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM($rev * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |    ${centsDuck("l_quantity")} AS qty_c,
+         |    ${centsDuck("l_extendedprice")} AS price_c,
+         |    ${centsDuck("l_discount")} AS disc_c,
+         |    ${centsDuck("l_tax")} AS tax_c
+         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(qty_c) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(price_c) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(qty_c) AS DOUBLE) / CAST(100.0 AS DOUBLE) / COUNT(*) AS avg_qty,
          |  COUNT(*) AS count_order
-         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |FROM li
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_topk_orders" ->
@@ -300,7 +342,8 @@ object Relational {
         |ORDER BY o_custkey, rn""".stripMargin,
 
     "q_topk_parts" ->
-      s"""SELECT p_partkey, p_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+      s"""SELECT p_partkey, p_name,
+         |  CAST(SUM(${centsDuck("l_extendedprice")} * (100 - ${centsDuck("l_discount")})) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_partkey, p_name
          |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
@@ -383,16 +426,20 @@ object Relational {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN (
-        |  SELECT l_partkey AS ap_partkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
-        |  FROM lineitem GROUP BY l_partkey
-        |) ON l_partkey = ap_partkey
-        |WHERE p_size <= 5
-        |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+      s"""WITH li AS (
+         |  SELECT l_partkey, ${centsDuck("l_quantity")} AS qty_c,
+         |    ${centsDuck("l_extendedprice")} AS price_c
+         |  FROM lineitem)
+         |SELECT CAST(SUM(price_c) AS DOUBLE) / CAST(100.0 AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM li
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN (
+         |  SELECT l_partkey AS ap_partkey,
+         |    CAST(SUM(qty_c) AS DOUBLE) / CAST(100.0 AS DOUBLE) / COUNT(*) AS avg_qty
+         |  FROM li GROUP BY l_partkey
+         |) ON l_partkey = ap_partkey
+         |WHERE p_size <= 5
+         |  AND CAST(qty_c AS DOUBLE) / CAST(100.0 AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
 
     "q_pivot_priority" ->
       """SELECT o_orderstatus,
