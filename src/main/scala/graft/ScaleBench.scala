@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up benchmark: replicate the fact tables N× (key-shifted, so join
+  * cardinalities scale honestly) and measure how the headline queries'
+  * wall time grows. The point is the amortization claim made since round
+  * 1: the per-query floor (job submit + reader init) is constant, so at
+  * N× the data the time must grow far less than N× — and the remainder
+  * approaches the pure data-path cost that survives at 100 TB. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE=10 \
+  *     sbt "runMain graft.ScaleBench"
+  *
+  * Prints one JSON line: per-query base/scaled seconds and the ratio
+  * (ratio ≪ N ⇒ floor-dominated at base SF; ratio → N ⇒ linear data
+  * path, the correct asymptote for scan-bound plans).
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = java.nio.file.Files.createTempDirectory("graft-scale").toString
+
+    // fact tables replicated with shifted order keys: row counts AND
+    // distinct join keys scale by `factor`, dimension tables stay fixed —
+    // the shape of a real SF increase.
+    val keyShift = 1000000000L
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until factor).map { i =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * keyShift)))
+      }.reduce(_ unionByName _)
+
+    replicate(Tables.lineitem(spark, sfDir), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(Tables.orders(spark, sfDir), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    for (t <- Seq("part", "customer", "supplier", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val headline = Seq("q1_agg", "q_topk_parts", "q5_nation_revenue",
+      "q3_topk_orders", "q17_small_qty_revenue")
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm both paths once (codegen/classload), then measure median of 3
+    headline.foreach { q => time(sfDir, q); time(out, q) }
+    def median3(dir: String, q: String): Double =
+      (1 to 3).map(_ => time(dir, q)).sorted.apply(1)
+
+    val rows = headline.map { q =>
+      val base = median3(sfDir, q)
+      val scaled = median3(out, q)
+      (q, base, scaled, scaled / base)
+    }
+    val qs = rows.map { case (q, b, s, r) =>
+      s""""$q":{"base_sec":$b,"scaled_sec":$s,"ratio":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}
