@@ -11,8 +11,10 @@ import scala.collection.mutable
   * over `spark.streams`, composing the parts the repo already proves
   * separately: [[Streaming.start]]-style subscriptions named by
   * [[StatusBoard.queryName]], the restart-with-backoff policy of
-  * [[Reliability.runWithRestarts]], and [[Recovery]]-style triage left to
-  * the subscribe closure.
+  * [[Reliability.runWithRestarts]], [[Recovery]]-style invalid-replay
+  * triage (`invalidReplayHeal`: clear the stored offset, resubscribe from
+  * earliest, no backoff/alert), and the idle-watchdog reset
+  * ([[ListenerManager.restartIdle]]).
   *
   * Each started client runs a daemon *runner* thread reproducing the
   * reference's `_runner` loop (`listener_manager.py:96-176`): subscribe,
@@ -56,7 +58,8 @@ final class ListenerManager(
     capMs: Long = 60000L,
     sleep: Long => Unit = Thread.sleep,
     onAlert: ListenerManager.Alert => Unit = _ => (),
-    clock: () => Long = System.currentTimeMillis) {
+    clock: () => Long = System.currentTimeMillis,
+    invalidReplayHeal: Option[String => Unit] = None) {
   import ListenerManager._
 
   private final class Managed(val clientId: String) {
@@ -116,6 +119,13 @@ final class ListenerManager(
       } catch {
         case _: InterruptedException =>
           continue = false // force-cancel from stop() timeout
+        case e: Throwable
+            if invalidReplayHeal.isDefined && Recovery.isInvalidReplay(e) =>
+          // K3 self-heal inside the lifecycle loop: clear the stored offset
+          // and resubscribe immediately from earliest — not a failure, no
+          // backoff, no alert (the reference clears `_clear_saved_replay`
+          // and re-enters subscribe, sf_pubsub.py:886-891)
+          invalidReplayHeal.get.apply(m.clientId)
         case e: Throwable if Reliability.isFatal(e) =>
           m.status = "error"
           m.lastError = Some(e.getMessage)
@@ -199,4 +209,23 @@ final class ListenerManager(
     */
   def stopAll(): Unit =
     synchronized { listeners.keys.toSeq }.foreach(stop)
+
+  /** The reference's idle watchdog action (`sf_pubsub.py:588-596`: reset a
+    * stream after 300 s without messages): restart every managed listener
+    * whose live query the [[Reliability.IdleWatchdog]] reports idle.
+    * Returns the restarted client ids. Call this on the operator's sweep
+    * cadence; the watchdog listener itself must be registered with
+    * `spark.streams.addListener`.
+    */
+  def restartIdle(watchdog: Reliability.IdleWatchdog)(
+      subscribe: String => StreamingQuery): Seq[String] = {
+    val idle = watchdog.idleQueries().toSet
+    val victims = synchronized {
+      listeners.values
+        .filter(m => m.isRunning && m.query.exists(q => idle.contains(q.id)))
+        .map(_.clientId).toSeq
+    }
+    victims.foreach(c => restart(c)(subscribe))
+    victims
+  }
 }

@@ -145,6 +145,73 @@ class ListenerManagerSpec extends SparkSpec {
     } finally mgr.stopAll()
   }
 
+  test("K3 in the lifecycle loop: poisoned stored replay heals and re-delivers, no alert") {
+    val alerts = new ConcurrentLinkedQueue[ListenerManager.Alert]()
+    val stored = new java.util.concurrent.atomic.AtomicReference[Option[String]](Some("99"))
+    val mgr = new ListenerManager(sleep = _ => (), onAlert = alerts.add(_),
+      invalidReplayHeal = Some(_ => stored.set(None))) // the Offsets.clear analog
+    val log = java.nio.file.Files.createTempFile("graft-lm-replay", ".jsonl")
+    java.nio.file.Files.write(log,
+      (0 until 10).map(i => s"""{"entity":"A","change_type":"UPDATE","record_ids":["R$i"],"commit_raw":$i,"flash_raw":"true"}""")
+        .mkString("\n").getBytes)
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val subscribes = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      mgr.start("cR") { _ =>
+        subscribes.incrementAndGet()
+        spark.readStream
+          .format(classOf[graft.sources.ReplayLogSourceProvider].getName)
+          .option("path", log.toString)
+          .option("startingReplay", stored.get().getOrElse("earliest"))
+          .option("validateReplay", "true")
+          .load()
+          .writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft-lm-rckp-${subscribes.get()}").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) => delivered.addAndGet(b.count()); () }
+          .start()
+      }
+      // run 1 fails INVALID_ARGUMENT (replay 99 > 10 lines) → heal clears
+      // the stored offset → run 2 subscribes from earliest and delivers all
+      eventually()(mgr.status("cR").status == "stopped")
+      assert(subscribes.get() === 2)
+      assert(delivered.get() === 10L)
+      assert(stored.get().isEmpty)
+      assert(alerts.isEmpty) // self-heal is not a failure
+    } finally mgr.stopAll()
+  }
+
+  test("idle watchdog: listeners idle past the timeout are restarted by the sweep") {
+    val offset = new java.util.concurrent.atomic.AtomicLong(0L)
+    val wd = new Reliability.IdleWatchdog(
+      idleTimeoutMs = 300000L, clock = () => System.currentTimeMillis() + offset.get())
+    spark.streams.addListener(wd)
+    val mgr = new ListenerManager(sleep = _ => ())
+    try {
+      mgr.start("cI")(healthySubscribe)
+      eventually()(mgr.status("cI").status == "running")
+      val runIdBefore = spark.streams.active
+        .find(_.name == StatusBoard.queryName("cI")).get.runId
+      // watchdog must have seen the start event before we age it
+      eventually()(wd.idleQueries().isEmpty && {
+        val q = spark.streams.active.find(_.name == StatusBoard.queryName("cI")).get
+        wd.lastDataAt(q.id).isDefined
+      })
+      assert(mgr.restartIdle(wd)(healthySubscribe) === Seq.empty) // fresh = not idle
+      offset.set(301000L) // 301 s later, no data since
+      eventually()(wd.idleQueries().nonEmpty)
+      assert(mgr.restartIdle(wd)(healthySubscribe) === Seq("cI"))
+      eventually() {
+        spark.streams.active.find(_.name == StatusBoard.queryName("cI"))
+          .exists(_.runId != runIdBefore) && mgr.status("cI").status == "running"
+      }
+    } finally {
+      mgr.stopAll()
+      spark.streams.removeListener(wd)
+    }
+  }
+
   test("SMTP shape: mode by port, enabled gate, reference message fields") {
     import EmailAlerts._
     val ssl = SmtpConfig(host = "smtp.example.com", port = 465, user = "u@x.com",
