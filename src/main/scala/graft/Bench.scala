@@ -39,15 +39,21 @@ object Bench {
       spark.sqlContext.clearCache()
     }
     // noop sink: materializes every output column (a bare count() would let
-    // Catalyst prune the projections being measured).
+    // Catalyst prune the projections being measured). SPARK_GRAFT_REPS>1
+    // reports the per-query median of N runs — ambient machine load on the
+    // shared sandbox has historically swung single-shot totals by ~1.4×.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed += name }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sqlContext.clearCache() // drop per-query persisted signature tables
-      name -> dt
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache() // drop per-query persisted signature tables
+        dt
+      }
+      name -> ts.sorted.apply((ts.size - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
