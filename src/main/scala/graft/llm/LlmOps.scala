@@ -261,6 +261,49 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- cluster resolution (CC)
+
+  /** Resolve near-dup candidate pairs into clusters: connected components
+    * by iterative min-label propagation, output (doc_id, cluster_id,
+    * is_keeper) with cluster_id = the component's minimum doc id — the
+    * step every dedup pipeline needs after pair generation (pairs say
+    * "a≈b"; training-set construction needs ONE keeper per transitive
+    * group). Deterministic output (component min), so any engine agrees.
+    *
+    * Scale: each iteration is one join + one map-side-combinable min —
+    * iteration count is the component diameter, which for near-dup graphs
+    * is tiny (dup groups are cliques-ish, diameter ≤ ~3). Frames are
+    * persisted across iterations and the loop stops at a fixpoint; the
+    * large-star/small-star refinement is the drop-in upgrade if a corpus
+    * ever produces deep chain components.
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist(lvl)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist(lvl)
+      changed = next.withColumnRenamed("lbl", "new_lbl")
+        .join(labels, "node")
+        .filter(col("new_lbl") =!= col("lbl")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   // --------------------------------------------------- embedding cosine
 
   /** Ordered-fold dot product of two array<double> columns (Spark SQL text):

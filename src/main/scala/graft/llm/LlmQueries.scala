@@ -17,6 +17,8 @@ object LlmQueries {
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_simhash" -> ((s, d) => LlmOps.simHash(Tables.documents(s, d))),
+    "llm_dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(
+      LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d))))),
     "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
       LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
@@ -59,6 +61,7 @@ object LlmQueries {
     "llm_dedup_exact"   -> Seq(col("keeper_id")),
     "llm_dedup_minhash" -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_simhash" -> Seq(col("doc_id")),
+    "llm_dedup_clusters" -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -94,6 +97,35 @@ object LlmQueries {
   private def jaccardDuck(a: String, b: String): String =
     s"CAST(len(list_filter($a, v -> list_contains($b, v))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
 
+  /** The full minhash pipeline (corpus → shingle hashes → signatures →
+    * bands → verified pairs) as a CTE chain, shared by the pair query and
+    * the cluster-resolution query.
+    */
+  private lazy val minhashVerifiedCte: String =
+    s"""corpus AS ($NearCorpusSql),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
+       |shg AS (SELECT doc_id,
+       |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM sh),
+       |mh AS (SELECT doc_id,
+       |    $mhCols
+       |  FROM shg),
+       |bands AS (
+       |  $bandUnion
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b, ${jaccardDuck("sa.gs", "sb.gs")} AS jaccard
+       |  FROM pairs p
+       |  JOIN shg sa ON p.id_a = sa.doc_id
+       |  JOIN shg sb ON p.id_b = sb.doc_id
+       |)""".stripMargin
+
   private val simBitSums = (0 until SimHashBits).map(j =>
     s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
   private val simAssemble = (0 until SimHashBits).map(j =>
@@ -127,30 +159,25 @@ object LlmQueries {
          |FROM corpus GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
 
     "llm_dedup_minhash" ->
-      s"""WITH corpus AS ($NearCorpusSql),
-         |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-         |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
-         |shg AS (SELECT doc_id,
-         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM sh),
-         |mh AS (SELECT doc_id,
-         |    $mhCols
-         |  FROM shg),
-         |bands AS (
-         |  $bandUnion
-         |),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-         |),
-         |verified AS (
-         |  SELECT p.id_a, p.id_b, ${jaccardDuck("sa.gs", "sb.gs")} AS jaccard
-         |  FROM pairs p
-         |  JOIN shg sa ON p.id_a = sa.doc_id
-         |  JOIN shg sb ON p.id_b = sb.doc_id
-         |)
+      s"""WITH $minhashVerifiedCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the verified minhash pairs: min reachable
+    // id per node via a recursive CTE (UNION-distinct guarantees the
+    // fixpoint) — mirrors LlmOps.dedupClusters' min-label propagation.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION ALL SELECT id_b, id_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+         |)
+         |SELECT node AS doc_id, min(lbl) AS cluster_id, min(lbl) = node AS is_keeper
+         |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

@@ -73,6 +73,30 @@ class LlmSpec extends SparkSpec {
     assert(LlmOps.dedupNgram(d).collect().isEmpty)
   }
 
+  test("cluster resolution: transitive pairs collapse to one keeper per component") {
+    // components {1,2,3} (chain), {10,11}; singletons never appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = LlmOps.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false))))
+  }
+
+  test("cluster resolution over minhash pairs: every near-dup maps to its base doc") {
+    // disjoint vocabularies so 0 and 7 never pair with each other
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val d = docs(0L -> textA, 7L -> textB)
+    val clusters = LlmOps.dedupClusters(
+      LlmOps.dedupMinHash(LlmOps.nearDupCorpus(d))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // injected copies 10000000/10000007 cluster with their originals
+    assert(clusters(10000000L) === 0L)
+    assert(clusters(10000007L) === 7L)
+    assert(clusters(0L) === 0L && clusters(7L) === 7L)
+  }
+
   test("cosine dedup: perturbed copy of every 10th vector is found") {
     val vecs = (0L until 20L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat), 0)
