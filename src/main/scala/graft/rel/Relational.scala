@@ -255,6 +255,41 @@ object Relational {
         .agg((sumFx(col("price_c")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
     }),
 
+    // As-of join (the time-series operator Spark lacks natively): each
+    // event joined to the latest at-or-before profile snapshot of its
+    // user (snapshots = every 20th event; events before a user's first
+    // snapshot get nulls). Implemented with the scale-correct union+window
+    // form: tag both sides, one shuffle on the key, per-partition sort by
+    // (t, tag) — builds before probes at equal t gives <= semantics — and
+    // last(ignoreNulls) carries the most recent build row forward. No
+    // range join, no per-row subquery; linear at any SF. The build side
+    // is pre-aggregated to one row per (key, t) so the match is
+    // deterministic in both engines (DuckDB mirrors with ASOF LEFT JOIN).
+    "q_asof_join" -> ((s, d) => {
+      val evs = Tables.events(s, d)
+      val probe = evs
+        .select(col("user_id").as("k"), expr("ts div 1000000").as("t"), col("event_id"))
+        .withColumn("tag", lit(1))
+        .withColumn("b_snap_id", lit(null).cast("bigint"))
+        .withColumn("b_snap_value", lit(null).cast("double"))
+      val build = evs.filter(col("event_id") % 20 === 0)
+        .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
+          col("event_id").as("snap_id"), col("value").as("snap_value"))
+        .groupBy(col("k"), col("t"))
+        .agg(max(col("snap_id")).as("b_snap_id"),
+          max_by(col("snap_value"), col("snap_id")).as("b_snap_value"))
+        .withColumn("tag", lit(0))
+        .withColumn("event_id", lit(null).cast("bigint"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probe.unionByName(build)
+        .withColumn("asof_snap_id", last(col("b_snap_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_snap_value", last(col("b_snap_value"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("event_ms"),
+          col("asof_snap_id"), col("asof_snap_value"))
+    }),
+
     // Pivot-style conditional aggregation: priority counts per status.
     "q_pivot_priority" -> ((s, d) =>
       Tables.orders(s, d)
@@ -284,7 +319,8 @@ object Relational {
     "q_median_manual"   -> Seq(col("o_orderstatus")),
     "q_window_lag"      -> Seq(col("o_custkey"), col("o_orderkey")),
     "q_distinct_agg"    -> Seq(col("o_orderstatus")),
-    "q_pivot_priority"  -> Seq(col("o_orderstatus"))
+    "q_pivot_priority"  -> Seq(col("o_orderstatus")),
+    "q_asof_join"       -> Seq(col("event_id"))
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -440,6 +476,18 @@ object Relational {
          |) ON l_partkey = ap_partkey
          |WHERE p_size <= 5
          |  AND CAST(qty_c AS DOUBLE) / CAST(100.0 AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id AS k, epoch_ms(ts) AS t FROM events),
+        |b AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS t,
+        |    max(event_id) AS snap_id, arg_max("value", event_id) AS snap_value
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.k AS user_id, e.t AS event_ms,
+        |  b.snap_id AS asof_snap_id, b.snap_value AS asof_snap_value
+        |FROM ev e ASOF LEFT JOIN b ON e.k = b.k AND e.t >= b.t
+        |ORDER BY event_id""".stripMargin,
 
     "q_pivot_priority" ->
       """SELECT o_orderstatus,
