@@ -261,6 +261,38 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- boilerplate detection
+
+  /** Corpus-global boilerplate detection — the C4-style cleaning pattern:
+    * pass 1 computes each bigram's document frequency over the WHOLE
+    * corpus, bigrams present in ≥ `minDocFracPct`% of documents are
+    * boilerplate; pass 2 joins the boilerplate set back per document and
+    * scores the contamination fraction. The global-statistics →
+    * join-back shape is the one a 100 TB corpus needs: df is a map-side-
+    * combinable count on the deduped (doc, gram) pairs, the boilerplate
+    * set is tiny relative to the corpus (threshold-selected) and joins
+    * back by gram hash — no broadcast assumption, AQE may still choose
+    * one when it fits.
+    */
+  def boilerplate(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDocFracPct: Int = 5): DataFrame = {
+    val g = bigramTable(corpus, idCol, textCol).select("doc_id", "grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val total = g.agg(count(lit(1)).as("n_docs"))
+    val boiler = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * 100 >= col("n_docs") * minDocFracPct)
+      .select(col("gram"))
+    val perDoc = exploded.join(boiler, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    g.select(col("doc_id"), size(col("grams")).cast("bigint").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_grams")).as("boiler_frac"))
+  }
+
   // ------------------------------------------- cluster resolution (CC)
 
   /** Resolve near-dup candidate pairs into clusters: connected components

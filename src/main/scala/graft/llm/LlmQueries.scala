@@ -19,6 +19,7 @@ object LlmQueries {
     "llm_dedup_simhash" -> ((s, d) => LlmOps.simHash(Tables.documents(s, d))),
     "llm_dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(
       LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d))))),
+    "llm_boilerplate"   -> ((s, d) => LlmOps.boilerplate(Tables.documents(s, d))),
     "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
       LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
@@ -62,6 +63,7 @@ object LlmQueries {
     "llm_dedup_minhash" -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_simhash" -> Seq(col("doc_id")),
     "llm_dedup_clusters" -> Seq(col("doc_id")),
+    "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -216,6 +218,23 @@ object LlmQueries {
          |  JOIN gh b ON pr.id_b = b.doc_id
          |)
          |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |tot AS (SELECT count(*) AS n_docs FROM g),
+        |boiler AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS df FROM e GROUP BY gram), tot
+        |  WHERE df * 100 >= n_docs * 5
+        |),
+        |nb AS (SELECT doc_id, count(*) AS n_boiler FROM e JOIN boiler USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  COALESCE(nb.n_boiler, 0) AS n_boiler,
+        |  CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(grams) AS boiler_frac
+        |FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "llm_dedup_cosine" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -290,6 +290,51 @@ object Relational {
           col("asof_snap_id"), col("asof_snap_value"))
     }),
 
+    // Sessionization: gap-based session assignment (> 6 h of silence opens
+    // a new session) via lag + running sum of boundary markers — one
+    // shuffle on the user key, two window passes over the same sort, then
+    // a per-session rollup. The batch twin of the streaming session
+    // windows in streaming/Windows.scala.
+    "q_sessionize" -> ((s, d) => {
+      val gapMs = 6L * 3600 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("t"))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_t").isNull || col("t") - col("prev_t") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("t")).as("session_start"), max(col("t")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Range (interval) join without the O(n·m) blowup: per-user
+    // maintenance windows [t, t+6h] (opened by every 50th event) matched
+    // to the events inside them. Both sides are keyed by (user, hour
+    // bucket) — a window spans ≤ 7 buckets, so it is exploded into its
+    // buckets and the join is a plain equi-join; the exact containment
+    // predicate filters the bucket-boundary false positives. Each (event,
+    // window) pair matches in exactly one bucket (the event's), so no
+    // dedup is needed. This is the bucketed interval-join form that keeps
+    // range joins linear at 100 TB.
+    "q_range_join" -> ((s, d) => {
+      val bucketMs = 3600L * 1000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("t"))
+      val wins = ev.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("t").as("w_start"), (col("t") + 6L * 3600 * 1000).as("w_end"))
+      val winB = wins.withColumn("bucket",
+        explode(sequence(expr(s"w_start div $bucketMs"), expr(s"w_end div $bucketMs"))))
+      val evB = ev.withColumn("bucket", expr(s"t div $bucketMs"))
+      evB.join(winB, Seq("user_id", "bucket"))
+        .filter(col("t") >= col("w_start") && col("t") <= col("w_end"))
+        .groupBy(col("win_id"), col("w_start"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+    }),
+
     // Pivot-style conditional aggregation: priority counts per status.
     "q_pivot_priority" -> ((s, d) =>
       Tables.orders(s, d)
@@ -320,7 +365,9 @@ object Relational {
     "q_window_lag"      -> Seq(col("o_custkey"), col("o_orderkey")),
     "q_distinct_agg"    -> Seq(col("o_orderstatus")),
     "q_pivot_priority"  -> Seq(col("o_orderstatus")),
-    "q_asof_join"       -> Seq(col("event_id"))
+    "q_asof_join"       -> Seq(col("event_id")),
+    "q_sessionize"      -> Seq(col("user_id"), col("session_seq")),
+    "q_range_join"      -> Seq(col("win_id"))
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -476,6 +523,26 @@ object Relational {
          |) ON l_partkey = ap_partkey
          |WHERE p_size <= 5
          |  AND CAST(qty_c AS DOUBLE) / CAST(100.0 AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |l AS (SELECT user_id, event_id, t,
+        |        lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, t,
+        |        CAST(SUM(CASE WHEN prev_t IS NULL OR t - prev_t > 21600000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM l)
+        |SELECT user_id, session_seq, min(t) AS session_start, max(t) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |w AS (SELECT user_id, event_id AS win_id, t AS w_start, t + 21600000 AS w_end
+        |      FROM e WHERE event_id % 50 = 0)
+        |SELECT w.win_id, w.w_start, count(*) AS n_events, min(e.event_id) AS first_event
+        |FROM w JOIN e ON e.user_id = w.user_id AND e.t >= w.w_start AND e.t <= w.w_end
+        |GROUP BY w.win_id, w.w_start ORDER BY win_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id AS k, epoch_ms(ts) AS t FROM events),

@@ -97,6 +97,22 @@ class LlmSpec extends SparkSpec {
     assert(clusters(0L) === 0L && clusters(7L) === 7L)
   }
 
+  test("boilerplate: corpus-wide common bigram is flagged in every doc carrying it") {
+    // 20 docs, each ending with the shared "footer text" bigram; doc bodies
+    // are disjoint → at a 50% df threshold (10 of 20 docs) exactly that
+    // one bigram qualifies (body and bridge grams have df = 1)
+    val d = docs((0L until 20L).map(i =>
+      i -> ((1 to 10).map(j => s"w${i}x$j").mkString(" ") + " footer text")): _*)
+    val out = LlmOps.boilerplate(d, minDocFracPct = 50).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.values.foreach { case (nGrams, nBoiler, frac) =>
+      // "x10 footer" bridges body→footer and is unique per doc; only
+      // "footer text" itself is corpus-wide
+      assert(nBoiler === 1L)
+      assert(frac === 1.0 / nGrams)
+    }
+  }
+
   test("cosine dedup: perturbed copy of every 10th vector is found") {
     val vecs = (0L until 20L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat), 0)
