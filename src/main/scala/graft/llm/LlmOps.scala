@@ -312,25 +312,30 @@ object LlmOps {
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // persist the directed pairs once: the union references them twice,
+    // and without the cache the upstream pair-generation (LSH join +
+    // verify) would run twice
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist(lvl)
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .persist(lvl)
     var changed = 1L
     while (changed > 0) {
+      // one join + combinable min per iteration; the old label rides along
+      // so convergence is read off the same frame (no second join), and
+      // the superseded generation is dropped from the cache immediately
       val prop = edges.join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val next = labels.join(prop, col("node") === col("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist(lvl)
-      changed = next.withColumnRenamed("lbl", "new_lbl")
-        .join(labels, "node")
-        .filter(col("new_lbl") =!= col("lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      labels.unpersist(false)
+      labels = next.select("node", "lbl")
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
