@@ -38,6 +38,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), "fan-out must be the built-in generator")
   }
 
+  test("range join is a bucketed equi-join: no cartesian, no nested-loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("as-of join is one shuffle on the key plus a window, no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"union+window form must not plan a join:\n${p.take(1200)}")
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("operators are SinglePartition-free — ordering belongs to the verify dump only") {
     // Full-table-output operators: at 100 TB a repartition(1) here would
     // funnel the whole result through one task. Global single-row aggs
