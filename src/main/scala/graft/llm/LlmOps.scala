@@ -384,6 +384,29 @@ object LlmOps {
       .filter(col("cosine") >= threshold)
   }
 
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes
+    * billion-vector ANN tractable: `scale = max|e|/127`,
+    * `q_i = round(e_i/scale)` (so the max element maps to ±127 exactly, no
+    * clamp needed), plus the reconstruction error `max|e_i − q_i·scale|`
+    * for quality monitoring. All per-row narrow work, no shuffle. A zero
+    * vector quantizes to zeros with scale 1 (the guard is mirrored in the
+    * oracle). Exact max (order-free) keeps both engines bit-identical;
+    * round on the same double agrees across engines (half away from
+    * zero).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embBase(emb, idCol, vecCol)
+      .withColumn("mx", expr("array_max(transform(e, v -> abs(v)))"))
+      .withColumn("scale", expr(
+        "CASE WHEN mx = cast(0.0 as double) THEN cast(1.0 as double) ELSE mx / cast(127.0 as double) END"))
+      .withColumn("q", expr("transform(e, v -> cast(round(v / scale) as int))"))
+      .withColumn("max_abs_err", expr(
+        "array_max(zip_with(e, q, (x, qi) -> abs(x - qi * scale)))"))
+      .select("vec_id", "scale", "q", "max_abs_err")
+
   // --------------------------------------------------- similarity search
 
   /** Brute-force cosine top-k: the query vectors (ids < nQueries) are

@@ -24,6 +24,10 @@ object LlmQueries {
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
       LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
     "llm_ann_topk"      -> ((s, d) => LlmOps.annTopK(Tables.embeddings(s, d))),
+    // the operator returns the real int array; the dumped query serializes
+    // it (driver compare sorts on column values — arrays aren't sortable)
+    "llm_quantize_int8" -> ((s, d) => LlmOps.quantizeInt8(Tables.embeddings(s, d))
+      .withColumn("q", expr("array_join(q, ',')"))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -67,6 +71,7 @@ object LlmQueries {
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
+    "llm_quantize_int8" -> Seq(col("vec_id")),
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
@@ -263,6 +268,21 @@ object LlmQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |      FROM scored)
          |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "llm_quantize_int8" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, v -> abs(v))) AS mx
+        |  FROM base),
+        |sc AS (SELECT vec_id, e,
+        |    CASE WHEN mx = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE mx / CAST(127.0 AS DOUBLE) END AS scale
+        |  FROM s),
+        |q AS (SELECT vec_id, e, scale,
+        |    list_transform(e, v -> CAST(round(v / scale) AS INTEGER)) AS q
+        |  FROM sc)
+        |SELECT vec_id, scale, array_to_string(q, ',') AS q,
+        |  list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - q[i] * scale))) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "llm_ann_ivf" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),

@@ -123,6 +123,23 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((10L, 1000010L)))
   }
 
+  test("int8 quantization: max element maps to ±127, error bounded by scale/2, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0) // zero vector → zeros, scale 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = LlmOps.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Seq[Int]]("q") === Seq(64, -127, 32)) // 0.5/(1/127)=63.5 → 64
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127) < 1e-12)
+    assert(r1.getAs[Double]("max_abs_err") <= r1.getAs[Double]("scale") / 2 + 1e-12)
+    val r2 = out(2L)
+    assert(r2.getAs[Seq[Int]]("q") === Seq(0, 0, 0))
+    assert(r2.getAs[Double]("scale") === 1.0)
+    assert(r2.getAs[Double]("max_abs_err") === 0.0)
+  }
+
   test("ann topk: k rows per query, self excluded, descending cosine") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat), (i % 4).toInt)
