@@ -429,6 +429,29 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "cosine")
   }
 
+  /** ANN over the int8 codes: rank by integer dot product of the
+    * quantized vectors — the search path a quantized index actually runs
+    * (8× less data scanned per candidate; scores are scale_a·scale_b·⟨q_a,q_b⟩,
+    * monotone per query pair-set in the integer dot for fixed scales, and
+    * bit-exact across engines because the arithmetic never leaves
+    * integers until the final ordering). Same broadcast-queries +
+    * window-top-k shape as [[annTopK]].
+    */
+  def annQuantized(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8): DataFrame = {
+    val codes = quantizeInt8(emb, idCol, vecCol)
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("idot", expr(
+        "aggregate(zip_with(q, qq, (a, b) -> cast(a as bigint) * b), cast(0 as bigint), (acc, v) -> acc + v)"))
+    val w = Window.partitionBy("qid").orderBy(col("idot").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "idot")
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

@@ -28,6 +28,7 @@ object LlmQueries {
     // it (driver compare sorts on column values — arrays aren't sortable)
     "llm_quantize_int8" -> ((s, d) => LlmOps.quantizeInt8(Tables.embeddings(s, d))
       .withColumn("q", expr("array_join(q, ',')"))),
+    "llm_ann_quantized" -> ((s, d) => LlmOps.annQuantized(Tables.embeddings(s, d))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -72,6 +73,7 @@ object LlmQueries {
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
     "llm_quantize_int8" -> Seq(col("vec_id")),
+    "llm_ann_quantized" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
@@ -283,6 +285,24 @@ object LlmQueries {
         |SELECT vec_id, scale, array_to_string(q, ',') AS q,
         |  list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - q[i] * scale))) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "llm_ann_quantized" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS mx FROM base),
+        |sc AS (SELECT vec_id, e,
+        |    CASE WHEN mx = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE mx / CAST(127.0 AS DOUBLE) END AS scale
+        |  FROM s),
+        |codes AS (SELECT vec_id, list_transform(e, v -> CAST(round(v / scale) AS BIGINT)) AS q FROM sc),
+        |qs AS (SELECT vec_id AS qid, q AS qq FROM codes WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT qs.qid, c.vec_id,
+        |    list_reduce(list_transform(range(1, len(c.q)+1), i -> c.q[i] * qs.qq[i]), (acc, v) -> acc + v) AS idot
+        |  FROM codes c CROSS JOIN qs WHERE c.vec_id <> qs.qid
+        |),
+        |r AS (SELECT qid, vec_id, idot,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT qid, rnk, vec_id, idot FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "llm_ann_ivf" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),

@@ -140,6 +140,33 @@ class LlmSpec extends SparkSpec {
     assert(r2.getAs[Double]("max_abs_err") === 0.0)
   }
 
+  test("quantized ann matches a local reference ranking of the integer dots") {
+    val raw = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 5 + d).toFloat), 0)
+    }
+    val vecs = raw.toDF("vec_id", "embedding", "label")
+    // reference quantization: the same max|e|/127 symmetric scheme
+    def quant(v: Array[Float]): Array[Long] = {
+      val e = v.map(_.toDouble)
+      val mx = e.map(math.abs).max
+      val scale = if (mx == 0.0) 1.0 else mx / 127.0
+      e.map(x => BigDecimal(x / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val codes = raw.map { case (id, v, _) => id -> quant(v) }.toMap
+    val expected = (0L until 8L).flatMap { qid =>
+      raw.map(_._1).filter(_ != qid)
+        .map(id => (id, codes(id).zip(codes(qid)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (id, dot) => (-dot, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, dot), r) => (qid, r + 1L, id, dot) }
+    }.toSet
+    val got = LlmOps.annQuantized(vecs, k = 3, nQueries = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("vec_id"), r.getAs[Long]("idot")))
+      .toSet
+    assert(got === expected)
+  }
+
   test("ann topk: k rows per query, self excluded, descending cosine") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat), (i % 4).toInt)
