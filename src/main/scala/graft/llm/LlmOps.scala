@@ -384,6 +384,23 @@ object LlmOps {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------- deterministic sample
+
+  /** Reproducible uniform corpus sample: rank every doc by the 56-bit md5
+    * priority of its id (salted so the sample is independent of
+    * [[graft.llm.TextAnalysis.trainValSplit]]'s buckets) and keep the
+    * lowest `n`. No RNG — the same sample comes back on any engine,
+    * cluster size, or run, which is what a reproducible training-set
+    * build needs. Top-k by hash plans as TakeOrdered: no global sort, the
+    * per-partition heaps carry only n rows at 100 TB.
+    */
+  def sampleByHash(corpus: DataFrame, n: Int,
+      idCol: String = "doc_id"): DataFrame =
+    corpus.withColumn("pri",
+        expr(h56(s"concat('sample|', cast($idCol as string))")))
+      .orderBy(col("pri"), col(idCol))
+      .limit(n)
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes

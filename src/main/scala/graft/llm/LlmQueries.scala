@@ -36,6 +36,8 @@ object LlmQueries {
     "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "llm_repetition"    -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "llm_train_split"   -> ((s, d) => TextAnalysis.trainValSplit(Tables.documents(s, d))),
+    "llm_sample_hash"   -> ((s, d) => LlmOps.sampleByHash(
+      Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -360,6 +362,10 @@ object LlmQueries {
          |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp,
          |  list_min(list_transform(shingles, s -> ${h56Duck("s")})) AS min_shingle_fp
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "llm_sample_hash" ->
+      s"""SELECT doc_id, ${h56Duck("concat('sample|', CAST(doc_id AS VARCHAR))")} AS pri
+         |FROM documents ORDER BY pri, doc_id LIMIT 100""".stripMargin,
 
     "llm_train_split" ->
       s"""SELECT doc_id, bucket,

@@ -123,6 +123,16 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((10L, 1000010L)))
   }
 
+  test("hash sample: deterministic across runs, a subset of the corpus, exactly n") {
+    val d = docs((0L until 50L).map(i => i -> s"body $i"): _*)
+    def ids() = LlmOps.sampleByHash(d, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val a = ids()
+    assert(a === ids()) // no RNG anywhere → identical sample every run
+    assert(a.length === 10 && a.toSet.subsetOf((0L until 50L).toSet))
+    assert(a.toSet !== (0L until 10L).toSet) // hash order, not id order
+  }
+
   test("int8 quantization: max element maps to ±127, error bounded by scale/2, zero-safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f), 0),
