@@ -58,6 +58,22 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("int8 quantization properties over random vectors: codes in ±127, error ≤ scale/2") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000.0f, 1000.0f))
+    val vecs = samples(vecGen, 60).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.llm.LlmOps.quantizeInt8(vecs).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Int](r.fieldIndex("q"))
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      assert(q.forall(c => c >= -127 && c <= 127), s"code out of range: $q")
+      // round() puts the reconstruction within half a step everywhere
+      assert(err <= scale / 2 + 1e-9, s"err $err > scale/2 ${scale / 2}")
+    }
+  }
+
   test("P8 mask never reveals more than the last 4 chars and preserves length") {
     val ss = samples(Gen.asciiPrintableStr, 150)
     val rows = ss.toDF("s")
