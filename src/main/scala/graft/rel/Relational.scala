@@ -335,6 +335,28 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
     }),
 
+    // Top-k per group via the typed Aggregator extension point (§2.10):
+    // bounded per-group buffer, map-side combine, ≤ k entries per group
+    // and partition cross the shuffle — vs the window form, which
+    // sort-shuffles every row. Same output contract as a
+    // row_number-over-window ≤ k query; the oracle uses that form.
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(graft.functions.TopKAgg(3).toColumn.name("topk"))
+        .flatMap { case (status, top) =>
+          top.zipWithIndex.map { case ((price, key), i) =>
+            (status, (i + 1).toLong, key, price)
+          }
+        }
+        .toDF("o_orderstatus", "rnk", "o_orderkey", "o_totalprice")
+    }),
+
     // Pivot-style conditional aggregation: priority counts per status.
     "q_pivot_priority" -> ((s, d) =>
       Tables.orders(s, d)
@@ -367,7 +389,8 @@ object Relational {
     "q_pivot_priority"  -> Seq(col("o_orderstatus")),
     "q_asof_join"       -> Seq(col("event_id")),
     "q_sessionize"      -> Seq(col("user_id"), col("session_seq")),
-    "q_range_join"      -> Seq(col("win_id"))
+    "q_range_join"      -> Seq(col("win_id")),
+    "q_topk_agg"        -> Seq(col("o_orderstatus"), col("rnk"))
   )
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -523,6 +546,13 @@ object Relational {
          |) ON l_partkey = ap_partkey
          |WHERE p_size <= 5
          |  AND CAST(qty_c AS DOUBLE) / CAST(100.0 AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderstatus, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_orderstatus, rnk""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),

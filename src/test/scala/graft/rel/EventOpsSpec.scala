@@ -27,6 +27,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("typed top-k aggregator agrees row-for-row with the window form") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = Relational.queries("q_topk_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").cast("double").desc, col("o_orderkey"))
+    val viaWindow = graft.Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("o_orderstatus", "rnk", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg === viaWindow)
+    // exactly min(k, group size) rows per group
+    viaAgg.groupBy(_._1).values.foreach(g => assert(g.size <= 3))
+  }
+
   test("range join: one row per window, each containing at least its opener") {
     val out = Relational.queries("q_range_join")(spark, sf).collect()
     val nWindows = graft.Tables.events(spark, sf)

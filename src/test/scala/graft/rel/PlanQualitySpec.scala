@@ -50,6 +50,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p.take(800))
   }
 
+  test("global sweep: no query plans a cartesian product or an unintended nested loop") {
+    // the two broadcast-query ANN scans intentionally cross-join against
+    // a bounded 8-row broadcast side, and boilerplate joins the single-row
+    // corpus count — all plan as BroadcastNestedLoopJoin by construction
+    val intendedCross = Set("llm_ann_topk", "llm_ann_quantized", "llm_boilerplate")
+    for ((q, _) <- SparkEntry.queries) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n${p.take(1200)}")
+      if (!intendedCross(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a nested-loop join:\n${p.take(1200)}")
+    }
+  }
+
   test("operators are SinglePartition-free — ordering belongs to the verify dump only") {
     // Full-table-output operators: at 100 TB a repartition(1) here would
     // funnel the whole result through one task. Global single-row aggs
