@@ -384,6 +384,68 @@ object LlmOps {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Train/test contamination check — the benchmark-leakage sweep every
+    * training-set build needs: using the SAME deterministic split as
+    * [[TextAnalysis.trainValSplit]] (bucket < 90 train, ≥ 95 test), flag
+    * every test document sharing a word-3-shingle with ANY train
+    * document, with the shared-shingle count and total (the fraction is
+    * the leakage score; 3-shingles, not bigrams — bigrams saturate on a
+    * shared-vocabulary corpus). Shape at 100 TB: the train side collapses
+    * to a distinct shingle-hash set (map-side combinable), the join is a
+    * hash equi-join on the 31-bit hash, and no text crosses the shuffle.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val g = withShingles(textCorpus(corpus, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .withColumn("bucket",
+        expr(s"${h56("concat('split|', cast(doc_id as string))")} % 100"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainGrams = g.filter(col("bucket") < 90)
+      .select(explode(col("gs")).as("h")).distinct()
+    val test = g.filter(col("bucket") >= 95)
+    val shared = test.select(col("doc_id"), explode(col("gs")).as("h"))
+      .join(trainGrams, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    test.select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ------------------------------------------- token commonness score
+
+  /** Per-document mean corpus-unigram frequency — a transcendental-free
+    * predictability proxy (common-token text scores high, rare-token text
+    * low; the unigram-LM cousin of a perplexity filter, kept free of
+    * log() so both engines are bit-identical). Corpus-global stats →
+    * join-back, like [[boilerplate]]; the per-doc mean is an ORDERED fold
+    * over the sorted per-token frequencies (sum order pinned ⇒
+    * deterministic FP), never a plain double sum across a shuffle.
+    */
+  def tokenFreqScore(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = textCorpus(corpus, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("f", col("cnt").cast("double") / col("total").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(array_sort(collect_list(f)), cast(0.0 as double), (a, v) -> a + v)")
+          .as("f_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("f_sum") / col("n_tokens")).as("mean_tok_freq"))
+  }
+
   // ------------------------------------------------- deterministic sample
 
   /** Reproducible uniform corpus sample: rank every doc by the 56-bit md5

@@ -38,6 +38,8 @@ object LlmQueries {
     "llm_train_split"   -> ((s, d) => TextAnalysis.trainValSplit(Tables.documents(s, d))),
     "llm_sample_hash"   -> ((s, d) => LlmOps.sampleByHash(
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
+    "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
+    "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -71,6 +73,8 @@ object LlmQueries {
     "llm_dedup_simhash" -> Seq(col("doc_id")),
     "llm_dedup_clusters" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
+    "llm_decontaminate" -> Seq(col("doc_id")),
+    "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -244,6 +248,32 @@ object LlmQueries {
         |  COALESCE(nb.n_boiler, 0) AS n_boiler,
         |  CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(grams) AS boiler_frac
         |FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shinglesDuck AS grams FROM t),
+         |gh AS (SELECT doc_id,
+         |    list_distinct(list_transform(grams, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs,
+         |    ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM g),
+         |traing AS (SELECT DISTINCT unnest(gs) AS h FROM gh WHERE bucket < 90),
+         |test AS (SELECT doc_id, gs FROM gh WHERE bucket >= 95),
+         |e AS (SELECT doc_id, unnest(gs) AS h FROM test),
+         |sh AS (SELECT doc_id, count(*) AS n_shared FROM e JOIN traing USING (h) GROUP BY doc_id)
+         |SELECT test.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  COALESCE(sh.n_shared, 0) AS n_shared,
+         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
+         |FROM test LEFT JOIN sh ON test.doc_id = sh.doc_id ORDER BY test.doc_id""".stripMargin,
+
+    "llm_tok_freq" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fr AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS total FROM fr)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))),
+        |    (a, v) -> a + v) / COUNT(*) AS mean_tok_freq
+        |FROM tk JOIN fr USING (tok), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_cosine" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

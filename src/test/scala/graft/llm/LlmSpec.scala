@@ -123,6 +123,37 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((10L, 1000010L)))
   }
 
+  test("decontamination: test doc sharing train text flags, disjoint test doc does not") {
+    // recompute the split buckets with the operator's own formula so the
+    // spec can place docs on the right side of the split deliberately
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val ids = (0L until 2000L)
+    val trainId = ids.find(bucket(_) < 90).get
+    val testIds = ids.filter(bucket(_) >= 95).take(2)
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"unique$i").mkString(" ")
+    val d = docs(trainId -> shared, testIds(0) -> shared, testIds(1) -> unique)
+    val out = LlmOps.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === testIds.toSet) // only test-bucket docs are scored
+    assert(out(testIds(0))._2 && out(testIds(0))._1 === 8L) // all 8 shingles leak
+    assert(!out(testIds(1))._2 && out(testIds(1))._1 === 0L)
+  }
+
+  test("token frequency score: exact corpus-frequency means") {
+    val d = docs(1L -> "a a a", 2L -> "b")
+    // freq: a=3, b=1, total=4 → doc1 mean 3/4, doc2 mean 1/4
+    val out = LlmOps.tokenFreqScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 0.75)))
+    assert(out(2L) === ((1L, 0.25)))
+  }
+
   test("hash sample: deterministic across runs, a subset of the corpus, exactly n") {
     val d = docs((0L until 50L).map(i => i -> s"body $i"): _*)
     def ids() = LlmOps.sampleByHash(d, 10).select("doc_id")

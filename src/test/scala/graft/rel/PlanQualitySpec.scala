@@ -52,9 +52,11 @@ class PlanQualitySpec extends SparkSpec {
 
   test("global sweep: no query plans a cartesian product or an unintended nested loop") {
     // the two broadcast-query ANN scans intentionally cross-join against
-    // a bounded 8-row broadcast side, and boilerplate joins the single-row
-    // corpus count — all plan as BroadcastNestedLoopJoin by construction
-    val intendedCross = Set("llm_ann_topk", "llm_ann_quantized", "llm_boilerplate")
+    // a bounded 8-row broadcast side; boilerplate and tok_freq join a
+    // single-row corpus total — all plan as BroadcastNestedLoopJoin by
+    // construction
+    val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
+      "llm_boilerplate", "llm_tok_freq")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
