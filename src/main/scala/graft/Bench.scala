@@ -110,7 +110,32 @@ object Bench {
       (if (dt > 0) seen.get() / dt else 0.0, dt)
     } catch { case _: Throwable => (0.0, 0.0) }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate}""")
+    // ---- inline scale-up probe: q1 on the fact table replicated 5×
+    // (shifted keys). ratio ≪ 5 ⇒ the per-query cost at this SF is
+    // floor-dominated and amortizes with data size — the measured form of
+    // the "gap closes at scale" claim. Full-suite version: graft.ScaleBench.
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "5").toInt
+    val (scaleBase, scaleScaled) = try {
+      val out = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
+      (0 until scaleFactor).map { i =>
+        Tables.lineitem(spark, sfDir)
+          .withColumn("l_orderkey",
+            org.apache.spark.sql.functions.col("l_orderkey") + i * 1000000000L)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      def t(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q1_agg")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      t(out) // warm the scaled path once
+      ((1 to 3).map(_ => t(sfDir)).sorted.apply(1),
+        (1 to 3).map(_ => t(out)).sorted.apply(1))
+    } catch { case _: Throwable => (0.0, 0.0) }
+    val scaleRatio = if (scaleBase > 0) scaleScaled / scaleBase else 0.0
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio}""")
     spark.stop()
   }
 }
