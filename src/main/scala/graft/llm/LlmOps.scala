@@ -31,9 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** 56-bit md5-prefix hash of a SQL string expression (Spark SQL text). */
-  def h56(sqlArg: String): String =
-    s"cast(conv(substr(md5($sqlArg), 1, 14), 16, 10) as bigint)"
+  /** 56-bit md5-prefix hash of a SQL string expression (Spark SQL text).
+    * Resolves to the native codegen'd [[graft.functions.Md5Prefix56]]
+    * registered by GraftExtensions (value-identical to
+    * `cast(conv(substr(md5(x),1,14),16,10) as bigint)`, minus the
+    * hex-string round-trip per value — the hash is the dominant dedup
+    * cost at scale). LlmOps therefore requires the session to be built
+    * with `spark.sql.extensions=graft.plans.GraftExtensions` (Verify,
+    * Bench, and the spec harness all do).
+    */
+  def h56(sqlArg: String): String = s"h56($sqlArg)"
 
   /** Same hash in DuckDB SQL text. */
   def h56Duck(sqlArg: String): String =

@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DecodeChangeEvent].getName,
         "decode_change_event"),
       graft.functions.DecodeChangeEvent.builder _))
+    ext.injectFunction((
+      new FunctionIdentifier("h56"),
+      new ExpressionInfo(classOf[graft.functions.Md5Prefix56].getName, "h56"),
+      (children: Seq[Expression]) => graft.functions.Md5Prefix56(children.head)))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

@@ -77,6 +77,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("h56 native expression equals the conv(substr(md5)) chain on arbitrary strings") {
+    val ss = Seq("", "a", "alpha beta gamma", "sample|12345", "µ-unicode ≠ ascii",
+      "\t whitespace \n", "x" * 1000) ++
+      (0 until 200).map(i => s"tok$i shingle ${i * 31}")
+    val rows = ss.toDF("s")
+      .selectExpr("h56(s) AS native",
+        "cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint) AS chain")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // and the value is always a non-negative 56-bit int
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 56)))
+  }
+
+  test("h56 works inside higher-order-function lambdas (the dedup call shape)") {
+    val got = Seq(Seq("a", "b", "c")).toDF("xs")
+      .selectExpr("transform(xs, x -> h56(x)) AS hs")
+      .selectExpr("hs[0]", "hs[1]", "hs[2]")
+      .collect()(0)
+    val exp = Seq("a", "b", "c").map(s =>
+      graft.functions.Md5Prefix56.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(Seq(got.getLong(0), got.getLong(1), got.getLong(2)) === exp)
+  }
+
   test("null propagates through the native expression") {
     val r = Seq[java.lang.Long](null).toDF("v")
       .selectExpr("normalize_epoch_millis(v) as n").collect()(0)
