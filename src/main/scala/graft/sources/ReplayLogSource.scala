@@ -145,7 +145,50 @@ class ReplayLogTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ReplayLogScan(opts)
+    new ReplayLogScanBuilder(opts)
+}
+
+/** Batch-scan builder with replay-id range pushdown: comparison predicates
+  * on `replay_id` (the line number, so the mapping is exact) collapse into
+  * a [lo, hi) scan range that [[ReplayLogStream.splitRange]] plans
+  * directly — the readers seek via the stride index and never touch the
+  * rest of the file, and Spark drops the handled predicates instead of
+  * re-applying them. Everything else stays a post-scan filter. An
+  * unsatisfiable range plans zero partitions.
+  */
+class ReplayLogScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, rest) = filters.partition {
+      case EqualTo("replay_id", _: Number) => true
+      case GreaterThan("replay_id", _: Number) => true
+      case GreaterThanOrEqual("replay_id", _: Number) => true
+      case LessThan("replay_id", _: Number) => true
+      case LessThanOrEqual("replay_id", _: Number) => true
+      case _ => false
+    }
+    handled.foreach {
+      case EqualTo(_, v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case GreaterThan(_, v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual(_, v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan(_, v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual(_, v: Number) => hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    pushed = handled
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ReplayLogScan(options, lo, hi)
 }
 
 /** Offset = the replay id of the next unread event (0-based line number). */
@@ -153,14 +196,18 @@ case class ReplayOffset(replay: Long) extends Offset {
   override def json(): String = s"""{"replay":$replay}"""
 }
 
-class ReplayLogScan(options: CaseInsensitiveStringMap) extends Scan {
+class ReplayLogScan(options: CaseInsensitiveStringMap,
+    lo: Long = 0L, hi: Long = Long.MaxValue) extends Scan {
   private val path = options.get("path")
   override def readSchema(): StructType = ReplayLogSource.schema
-  override def description(): String = s"ReplayLogScan($path)"
+  override def description(): String =
+    s"ReplayLogScan($path, replay∈[$lo,${if (hi == Long.MaxValue) "∞" else hi}))"
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      ReplayLogStream.splitRange(path, 0L, ReplayLogSource.countLines(path), 4)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val end = math.min(hi, ReplayLogSource.countLines(path))
+      ReplayLogStream.splitRange(path, math.max(0L, lo), end, 4)
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new ReplayLogReaderFactory
   }

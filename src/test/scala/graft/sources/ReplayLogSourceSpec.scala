@@ -36,6 +36,34 @@ class ReplayLogSourceSpec extends SparkSpec {
     assert(df.filter(col("flash_raw") === "true").count() === 5L)
   }
 
+  test("batch replay_id range predicates push into the scan: fewer partitions, exact rows") {
+    val log = writeLog(10)
+    def read() = spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load()
+
+    // range [8,10): 2 rows over ≤2 partitions (full scan plans 4)
+    val tail = read().filter(col("replay_id") >= 8)
+    assert(tail.select("replay_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(8L, 9L))
+    assert(tail.rdd.getNumPartitions <= 2)
+    assert(read().rdd.getNumPartitions === 4)
+
+    // equality collapses to a single-line range; combined non-pushable
+    // predicates still apply post-scan
+    val one = read().filter(col("replay_id") === 5 && col("flash_raw") === "no")
+    assert(one.count() === 1L)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(read().filter(col("replay_id") === 4 && col("flash_raw") === "no").count() === 0L)
+
+    // unsatisfiable range plans zero partitions — nothing is read at all
+    val none = read().filter(col("replay_id") > 5 && col("replay_id") < 3)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0L)
+
+    // the pushed range is visible in the scan description
+    val desc = tail.queryExecution.executedPlan.toString
+    assert(desc.contains("replay") && desc.contains("[8,"), desc.take(600))
+  }
+
   test("credit-based flow control: each micro-batch admits at most maxEventsPerTrigger") {
     val log = writeLog(10)
     val sizes = mutable.ArrayBuffer.empty[Long]
