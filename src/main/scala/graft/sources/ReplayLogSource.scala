@@ -148,22 +148,30 @@ class ReplayLogTable(options: CaseInsensitiveStringMap)
     new ReplayLogScanBuilder(opts)
 }
 
-/** Batch-scan builder with replay-id range pushdown: comparison predicates
-  * on `replay_id` (the line number, so the mapping is exact) collapse into
-  * a [lo, hi) scan range that [[ReplayLogStream.splitRange]] plans
-  * directly — the readers seek via the stride index and never touch the
-  * rest of the file, and Spark drops the handled predicates instead of
-  * re-applying them. Everything else stays a post-scan filter. An
-  * unsatisfiable range plans zero partitions.
+/** Batch-scan builder with replay-id range pushdown and column pruning:
+  * comparison predicates on `replay_id` (the line number, so the mapping
+  * is exact) collapse into a [lo, hi) scan range that
+  * [[ReplayLogStream.splitRange]] plans directly — the readers seek via
+  * the stride index and never touch the rest of the file, and Spark drops
+  * the handled predicates instead of re-applying them. Everything else
+  * stays a post-scan filter. An unsatisfiable range plans zero
+  * partitions. Pruned columns never materialize: the reader builds rows
+  * with exactly the requested fields (a 2-column projection decodes 2
+  * fields per event, not 6).
   */
 class ReplayLogScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var lo = 0L
   private var hi = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ReplayLogSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, rest) = filters.partition {
@@ -188,7 +196,7 @@ class ReplayLogScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ReplayLogScan(options, lo, hi)
+  override def build(): Scan = new ReplayLogScan(options, lo, hi, required)
 }
 
 /** Offset = the replay id of the next unread event (0-based line number). */
@@ -197,11 +205,13 @@ case class ReplayOffset(replay: Long) extends Offset {
 }
 
 class ReplayLogScan(options: CaseInsensitiveStringMap,
-    lo: Long = 0L, hi: Long = Long.MaxValue) extends Scan {
+    lo: Long = 0L, hi: Long = Long.MaxValue,
+    required: StructType = ReplayLogSource.schema) extends Scan {
   private val path = options.get("path")
-  override def readSchema(): StructType = ReplayLogSource.schema
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"ReplayLogScan($path, replay∈[$lo,${if (hi == Long.MaxValue) "∞" else hi}))"
+    s"ReplayLogScan($path, replay∈[$lo,${if (hi == Long.MaxValue) "∞" else hi}), " +
+      s"cols=[${required.fieldNames.mkString(",")}])"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -209,14 +219,15 @@ class ReplayLogScan(options: CaseInsensitiveStringMap,
       ReplayLogStream.splitRange(path, math.max(0L, lo), end, 4)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new ReplayLogReaderFactory
+      new ReplayLogReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ReplayLogStream(path, options)
+    new ReplayLogStream(path, options, required)
 }
 
-class ReplayLogStream(path: String, options: CaseInsensitiveStringMap)
+class ReplayLogStream(path: String, options: CaseInsensitiveStringMap,
+    required: StructType = ReplayLogSource.schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private val credit: Long =
@@ -281,7 +292,7 @@ class ReplayLogStream(path: String, options: CaseInsensitiveStringMap)
       end.asInstanceOf[ReplayOffset].replay, 2)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayLogReaderFactory
+    new ReplayLogReaderFactory(required)
   override def stop(): Unit = ()
 }
 
@@ -304,11 +315,13 @@ object ReplayLogStream {
 case class ReplayLogPartition(path: String, start: Long, end: Long,
     seekLine: Long, seekByte: Long) extends InputPartition
 
-class ReplayLogReaderFactory extends PartitionReaderFactory {
+class ReplayLogReaderFactory(required: StructType = ReplayLogSource.schema)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ReplayLogPartition]
     new PartitionReader[InternalRow] {
       private val mapper = new ObjectMapper()
+      private val fields = required.fieldNames
       private val in = new java.io.FileInputStream(p.path)
       in.getChannel.position(p.seekByte)
       private val reader = new java.io.BufferedReader(
@@ -329,18 +342,24 @@ class ReplayLogReaderFactory extends PartitionReaderFactory {
         true
       }
 
+      // materializes ONLY the pruned columns, in the requested order
       private def parse(txt: String, replay: Long): InternalRow = {
         val node = mapper.readTree(txt)
-        val ids = Option(node.get("record_ids")).map { arr =>
-          (0 until arr.size()).map(i => UTF8String.fromString(arr.get(i).asText()))
-        }.getOrElse(Seq.empty)
-        new GenericInternalRow(Array[Any](
-          replay,
-          UTF8String.fromString(node.get("entity").asText()),
-          UTF8String.fromString(node.get("change_type").asText()),
-          new GenericArrayData(ids.toArray[Any]),
-          if (node.hasNonNull("commit_raw")) node.get("commit_raw").asLong() else null,
-          if (node.hasNonNull("flash_raw")) UTF8String.fromString(node.get("flash_raw").asText()) else null))
+        new GenericInternalRow(fields.map[Any] {
+          case "replay_id" => replay
+          case "entity" => UTF8String.fromString(node.get("entity").asText())
+          case "change_type" => UTF8String.fromString(node.get("change_type").asText())
+          case "record_ids" =>
+            val ids = Option(node.get("record_ids")).map { arr =>
+              (0 until arr.size()).map(i => UTF8String.fromString(arr.get(i).asText()))
+            }.getOrElse(Seq.empty)
+            new GenericArrayData(ids.toArray[Any])
+          case "commit_raw" =>
+            if (node.hasNonNull("commit_raw")) node.get("commit_raw").asLong() else null
+          case "flash_raw" =>
+            if (node.hasNonNull("flash_raw")) UTF8String.fromString(node.get("flash_raw").asText()) else null
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        })
       }
 
       override def get(): InternalRow = row

@@ -64,6 +64,18 @@ class ReplayLogSourceSpec extends SparkSpec {
     assert(desc.contains("replay") && desc.contains("[8,"), desc.take(600))
   }
 
+  test("column pruning reaches the scan: a 2-column projection decodes 2 fields") {
+    val log = writeLog(6)
+    val df = spark.read.format(classOf[ReplayLogSourceProvider].getName)
+      .option("path", log).load()
+      .select("replay_id", "entity")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      (0L until 6L).map(_ -> "Account"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[replay_id,entity]"), plan.take(600))
+    assert(!plan.contains("cols=[replay_id,entity,change_type"), plan.take(600))
+  }
+
   test("credit-based flow control: each micro-batch admits at most maxEventsPerTrigger") {
     val log = writeLog(10)
     val sizes = mutable.ArrayBuffer.empty[Long]
