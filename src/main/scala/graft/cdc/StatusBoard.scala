@@ -55,6 +55,28 @@ object StatusBoard {
     * preserved under a `client_` prefix and the board columns keep their
     * names.
     */
+  /** [[clientStatusBoard]] augmented with a [[ListenerManager]]'s
+    * lifecycle view: the manager's status wins where present (it tracks
+    * `error` listeners whose failed queries are gone from
+    * `spark.streams`), the live board fills the rest, absent listeners
+    * stay "stopped". The reference's GET /clients status join shows
+    * exactly this union of live and last-known state.
+    */
+  def managedStatusBoard(spark: SparkSession, clients: DataFrame,
+      manager: ListenerManager, clientIdCol: String = "client_id"): DataFrame = {
+    val live = clientStatusBoard(spark, clients, clientIdCol)
+      .withColumnRenamed("status", "live_status")
+      .withColumnRenamed("running", "live_running")
+    val managed = manager.statusFrame(spark)
+      .select(col("client_id").as("mgr_client_id"),
+        col("status").as("mgr_status"),
+        col("fail_count"), col("last_error"))
+    live.join(broadcast(managed), col(clientIdCol) === col("mgr_client_id"), "left")
+      .withColumn("status", coalesce(col("mgr_status"), col("live_status")))
+      .withColumn("running", col("status") === "running")
+      .drop("mgr_client_id", "mgr_status", "live_status", "live_running")
+  }
+
   def clientStatusBoard(spark: SparkSession, clients: DataFrame,
       clientIdCol: String = "client_id"): DataFrame = {
     val boardCols = Seq("status", "batch_id", "num_input_rows", "running")

@@ -325,8 +325,12 @@ object LlmOps {
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist(lvl)
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // initialization fuses the first propagation round: lbl = min(self,
+    // min direct neighbor) straight off the edge list — one groupBy
+    // instead of the first join+compare iteration
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("node"), least(col("node"), col("min_nbr")).as("lbl"))
       .persist(lvl)
     var changed = 1L
     while (changed > 0) {

@@ -212,6 +212,29 @@ class ListenerManagerSpec extends SparkSpec {
     }
   }
 
+  test("managed status board: manager's error state wins over the live view") {
+    val mgr = new ListenerManager(sleep = _ => ())
+    val clients = Seq("cOk", "cBad", "cNone").toDF("client_id")
+    try {
+      mgr.start("cOk")(healthySubscribe)
+      mgr.start("cBad") { id =>
+        oneShotSubscribe(id) { (_, _) =>
+          throw new Reliability.FatalConfigError("bad topic")
+        }
+      }
+      eventually()(mgr.status("cOk").status == "running" &&
+        mgr.status("cBad").status == "error")
+      val board = StatusBoard.managedStatusBoard(spark, clients, mgr)
+        .select("client_id", "status", "running")
+        .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(board("cOk") === ("running", true))
+      // the failed query is gone from spark.streams — only the manager
+      // still knows it ended in error
+      assert(board("cBad") === ("error", false))
+      assert(board("cNone") === ("stopped", false))
+    } finally mgr.stopAll()
+  }
+
   test("SMTP shape: mode by port, enabled gate, reference message fields") {
     import EmailAlerts._
     val ssl = SmtpConfig(host = "smtp.example.com", port = 465, user = "u@x.com",
