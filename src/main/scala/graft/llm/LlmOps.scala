@@ -36,19 +36,35 @@ object LlmOps {
     * registered by GraftExtensions (value-identical to
     * `cast(conv(substr(md5(x),1,14),16,10) as bigint)`, minus the
     * hex-string round-trip per value — the hash is the dominant dedup
-    * cost at scale). LlmOps therefore requires the session to be built
-    * with `spark.sql.extensions=graft.plans.GraftExtensions` (Verify,
-    * Bench, and the spec harness all do).
+    * cost at scale). Sessions built without the extensions get a
+    * value-identical UDF fallback via [[ensureH56]], called by every
+    * operator that interpolates this.
     */
   def h56(sqlArg: String): String = s"h56($sqlArg)"
+
+  /** Make `h56` resolvable on any session: no-op when GraftExtensions
+    * already registered the native expression; otherwise registers a
+    * value-identical UDF (slower — no codegen — but correct), so LlmOps /
+    * TextAnalysis work on sessions built without the extensions.
+    */
+  def ensureH56(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.functionExists("h56"))
+      s.udf.register("h56", (x: String) =>
+        graft.functions.Md5Prefix56.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+    df
+  }
 
   /** Same hash in DuckDB SQL text. */
   def h56Duck(sqlArg: String): String =
     s"CAST('0x'||substr(md5($sqlArg),1,14) AS BIGINT)"
 
-  /** Canonicalize a text corpus to (doc_id, text). */
+  /** Canonicalize a text corpus to (doc_id, text) — and make h56
+    * resolvable, since every downstream hash interpolates it.
+    */
   private def textCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    ensureH56(df).select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
   // ------------------------------------------- harness dup-injection fixtures
 
@@ -469,7 +485,7 @@ object LlmOps {
     */
   def sampleByHash(corpus: DataFrame, n: Int,
       idCol: String = "doc_id"): DataFrame =
-    corpus.withColumn("pri",
+    ensureH56(corpus).withColumn("pri",
         expr(h56(s"concat('sample|', cast($idCol as string))")))
       .orderBy(col("pri"), col(idCol))
       .limit(n)

@@ -119,7 +119,7 @@ object TextAnalysis {
     */
   def trainValSplit(docs: DataFrame, idCol: String = "doc_id",
       trainPct: Int = 90, valPct: Int = 5): DataFrame =
-    docs.select(col(idCol).as("doc_id"))
+    LlmOps.ensureH56(docs).select(col(idCol).as("doc_id"))
       .withColumn("bucket", expr(s"${LlmOps.h56(s"concat('split|', cast(doc_id as string))")} % 100"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -136,7 +136,8 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    LlmOps.withShingles(LlmOps.ensureH56(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(
         col("doc_id"),
         expr("aggregate(regexp_extract_all(text, '.', 0), cast(0 as bigint), (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
