@@ -34,6 +34,19 @@ object ControlPlane {
         .orderBy(col("c_custkey"))
         .offset(20).limit(10)),
 
+    // O1 at scale — keyset (cursor) pagination: WHERE id > cursor ORDER BY
+    // id LIMIT n. OFFSET-pagination cost grows with the offset (every
+    // page re-sorts the prefix); the keyset form is a pushed range filter
+    // + TakeOrdered regardless of page depth — the only pagination that
+    // survives a 100 TB table. Cursor fixed at the page-2 boundary so the
+    // result set mirrors cp_pagination's page.
+    "cp_pagination_keyset" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .filter(col("c_custkey") > 20)
+        .orderBy(col("c_custkey"))
+        .limit(10)),
+
     // P10 — ILIKE pattern search (reference `client_name ILIKE '%q%'`,
     // `app/routers/clients.py:208-211`), via Spark's native ilike.
     "cp_search_ilike" -> ((s, d) =>
@@ -107,6 +120,9 @@ object ControlPlane {
   def oracle: Map[String, String] = Map(
     "cp_pagination" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
+
+    "cp_pagination_keyset" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey > 20 ORDER BY c_custkey LIMIT 10",
 
     "cp_search_ilike" ->
       """SELECT c_custkey, c_name FROM customer

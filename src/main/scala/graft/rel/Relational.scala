@@ -187,6 +187,20 @@ object Relational {
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
+    // GROUPING SETS — the general form rollup/cube specialize: exactly
+    // the requested aggregation levels, one shuffle, partial+final agg
+    // per set (no cost for levels nobody asked for).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+          |       COALESCE(o_orderpriority, '(all)') AS priority,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // Cube: all grouping-set combinations over (status, priority).
     "q_cube_sales" -> ((s, d) =>
       Tables.orders(s, d)
@@ -382,6 +396,7 @@ object Relational {
     "q_anti_join"       -> Seq(col("c_custkey")),
     "q_rollup_sales"    -> Seq(col("status"), col("priority")),
     "q_cube_sales"      -> Seq(col("status"), col("priority")),
+    "q_grouping_sets"   -> Seq(col("status"), col("priority")),
     "q_approx_distinct" -> Seq(col("o_orderstatus")),
     "q_median_manual"   -> Seq(col("o_orderstatus")),
     "q_window_lag"      -> Seq(col("o_custkey"), col("o_orderkey")),
@@ -501,6 +516,14 @@ object Relational {
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
          |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) >= 10
          |        AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) <= 40)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
 
     "q_cube_sales" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
