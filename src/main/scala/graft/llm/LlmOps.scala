@@ -558,6 +558,30 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "idot")
   }
 
+  /** LSH-bucketed ANN: each query probes only its own hyperplane
+    * sign-bucket (the same LSH as [[dedupCosine]]) — the scale path where
+    * the scanned candidate set drops by the bucket count (~2^bits);
+    * recall is tuned by widening the code or probing neighbor buckets.
+    * Complements [[annIvf]], whose coarse quantizer is a learned label.
+    */
+  def annLsh(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      bucketBits: Int = 8): DataFrame = {
+    val base = embBase(emb, idCol, vecCol)
+      .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("bucket").as("qbucket"), col("nrm").as("qnrm"))
+    val scored = base.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

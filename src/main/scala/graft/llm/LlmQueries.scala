@@ -30,6 +30,7 @@ object LlmQueries {
       .withColumn("q", expr("array_join(q, ',')"))),
     "llm_ann_quantized" -> ((s, d) => LlmOps.annQuantized(Tables.embeddings(s, d))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
+    "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -81,6 +82,7 @@ object LlmQueries {
     "llm_quantize_int8" -> Seq(col("vec_id")),
     "llm_ann_quantized" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
+    "llm_ann_lsh"       -> Seq(col("qid"), col("rnk")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
     "llm_token_count"   -> Seq(col("doc_id")),
@@ -302,6 +304,19 @@ object LlmQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |      FROM scored)
          |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "llm_ann_lsh" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |based AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qbucket, nrm AS qnrm FROM based WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+         |),
+         |r AS (SELECT qid, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "llm_quantize_int8" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
