@@ -78,10 +78,30 @@ object Bench {
 
     // ---- streaming throughput through the DSv2 replay-log source (S1-S3):
     // n events json-encoded to a temp log, streamed with credit batching to
-    // a counting sink, AvailableNow. Reported as events/s end-to-end
-    // (source decode + admission + micro-batch scheduling included).
+    // a counting sink, AvailableNow. Two figures: raw source events/s, and
+    // events/s through the CDC route transforms (normalize → non-empty-ids
+    // → fan-out → flash gate — the hot delivery path, K-sinks excluded).
     val streamN = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").toInt
-    val (streamRate, streamSec) = try {
+    def streamRun(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        log: java.nio.file.Path): (Double, Double) = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = transform(spark.readStream
+        .format(classOf[graft.sources.ReplayLogSourceProvider].getName)
+        .option("path", log.toString)
+        .option("maxEventsPerTrigger", (streamN / 5).max(1).toString)
+        .load())
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .start()
+      q.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (if (dt > 0) streamN / dt else 0.0, dt)
+    }
+    val (streamRate, streamSec, routedRate) = try {
       val log = java.nio.file.Files.createTempFile("graft-bench-replay", ".jsonl")
       val w = java.nio.file.Files.newBufferedWriter(log)
       var i = 0
@@ -91,24 +111,17 @@ object Bench {
         i += 1
       }
       w.close()
-      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
-      val t0 = System.nanoTime()
-      val q = spark.readStream
-        .format(classOf[graft.sources.ReplayLogSourceProvider].getName)
-        .option("path", log.toString)
-        .option("maxEventsPerTrigger", (streamN / 5).max(1).toString)
-        .load()
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          seen.addAndGet(b.count()); ()
-        }
-        .start()
-      q.awaitTermination()
-      val dt = (System.nanoTime() - t0) / 1e9
+      streamRun(identity, log) // warm pass: stream-start + codegen costs
+      val (raw, rawSec) = streamRun(identity, log)
+      val route = (df: org.apache.spark.sql.DataFrame) => df
+        .transform(graft.cdc.ops.Route.withCommitMs)
+        .transform(graft.cdc.ops.Route.nonEmptyIds)
+        .transform(graft.cdc.ops.Route.fanOut)
+        .transform(graft.cdc.ops.Route.flashGate)
+      val (routed, _) = streamRun(route, log)
       java.nio.file.Files.deleteIfExists(log)
-      (if (dt > 0) seen.get() / dt else 0.0, dt)
-    } catch { case _: Throwable => (0.0, 0.0) }
+      (raw, rawSec, routed)
+    } catch { case _: Throwable => (0.0, 0.0, 0.0) }
 
     // ---- inline scale-up probe: q1 on the fact table replicated 5×
     // (shifted keys). ratio ≪ 5 ⇒ the per-query cost at this SF is
@@ -135,7 +148,7 @@ object Bench {
     } catch { case _: Throwable => (0.0, 0.0) }
     val scaleRatio = if (scaleBase > 0) scaleScaled / scaleBase else 0.0
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio}""")
     spark.stop()
   }
 }
