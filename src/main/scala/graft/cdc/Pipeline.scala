@@ -1,7 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.cdc.ops.Route
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.ops.{Normalize, Route}
 
 /** The composed CDC delivery pipeline — batch form. The identical transform
   * chain runs under Structured Streaming in [[Streaming]]; batch-first so
@@ -27,4 +28,28 @@ object Pipeline {
 
   def deliveries(spark: SparkSession, sfDir: String): DataFrame =
     deliveries(CdcView(spark, sfDir))
+
+  /** The reference's route warn-counters as an `observe()` metric (SURVEY
+    * §7.4 "P4 other-string→null, logging side-channel" — here a
+    * zero-cost observable metric instead of a log line): unparseable
+    * flash strings, empty-recordIds events (F3 skips), since-dropped
+    * events (F2 drops), and total events seen. Attach BEFORE the route
+    * (`observeRoute(cdc)` → run `deliveries` on the returned frame);
+    * read `obs.get` after the action completes.
+    */
+  def observeRoute(cdc: DataFrame, cutoffMs: Long = CdcView.SinceCutoffMs)
+      : (DataFrame, Observation) = {
+    val obs = new Observation("route_metrics")
+    val flashNorm = Normalize.boolNorm(col("flash_raw"))
+    val commitMs = Normalize.commitMsLong(col("commit_raw"))
+    val observed = cdc.observe(obs,
+      count(lit(1)).as("events_seen"),
+      sum(when(flashNorm.isNull && col("flash_raw").isNotNull, 1L).otherwise(0L))
+        .as("unparseable_flash"),
+      sum(when(size(col("record_ids")) === 0, 1L).otherwise(0L))
+        .as("empty_record_ids"),
+      sum(when(commitMs.isNotNull && commitMs < cutoffMs, 1L).otherwise(0L))
+        .as("since_dropped"))
+    (observed, obs)
+  }
 }

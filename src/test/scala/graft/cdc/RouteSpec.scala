@@ -56,6 +56,27 @@ class RouteSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L)) // event 4 has flash 'no'
   }
 
+  test("observe() route metrics count the reference's warn conditions") {
+    val cdc = Seq(
+      (1L, Seq("r1"), 2000L, "true"),   // clean
+      (2L, Seq.empty[String], 2000L, "true"),  // empty ids (F3 skip)
+      (3L, Seq("r3"), 500L, "true"),    // since-dropped (F2)
+      (4L, Seq("r4"), 2000L, "maybe"),  // unparseable flash (P4 warn)
+      (5L, Seq("r5"), 2000L, null.asInstanceOf[String]) // null flash: NOT unparseable
+    ).toDF("event_id", "record_ids", "commit_raw", "flash_raw")
+      .withColumn("entity", lit("Account"))
+      .withColumn("change_type", lit("UPDATE"))
+      .withColumn("subscription_topic", lit("/data/AccountChangeEvent"))
+      .withColumn("instance_url", lit("https://i.example.com"))
+    val (observed, obs) = Pipeline.observeRoute(cdc, cutoffMs = 1000L)
+    Pipeline.deliveries(observed, cutoffMs = 1000L).count() // the action
+    val m = obs.get
+    assert(m("events_seen") === 5L)
+    assert(m("unparseable_flash") === 1L) // 'maybe' only; null is absent, not bad
+    assert(m("empty_record_ids") === 1L)
+    assert(m("since_dropped") === 1L)
+  }
+
   test("full pipeline: gate composes, cardinality = surviving recordIds") {
     val out = Pipeline.deliveries(base
       .withColumn("commit_raw", col("commit_ms"))
