@@ -473,6 +473,36 @@ object LlmOps {
         (col("f_sum") / col("n_tokens")).as("mean_tok_freq"))
   }
 
+  // --------------------------------------------------- keyword extraction
+
+  /** Top-k keywords per document by tf × (N/df) — TF-IDF with a rational
+    * idf (N/df is a monotone transform of ln(N/df), so the RANKING is
+    * identical while the arithmetic stays one exact-integer division —
+    * ln() differs across libms and would break cross-engine hashes).
+    * Corpus document frequency over deduped (doc, token) pairs → join
+    * back → per-doc window top-k. Ties break on the token string so both
+    * engines agree.
+    */
+  def keywords(corpus: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = textCorpus(corpus, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+  }
+
   // ------------------------------------------------- deterministic sample
 
   /** Reproducible uniform corpus sample: rank every doc by the 56-bit md5

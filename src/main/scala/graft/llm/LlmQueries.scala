@@ -41,6 +41,7 @@ object LlmQueries {
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
+    "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -76,6 +77,7 @@ object LlmQueries {
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
+    "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -276,6 +278,21 @@ object LlmQueries {
         |    list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))),
         |    (a, v) -> a + v) / COUNT(*) AS mean_tok_freq
         |FROM tk JOIN fr USING (tok), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tk),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (tok), nd
+        |),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "llm_dedup_cosine" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -145,6 +145,18 @@ class LlmSpec extends SparkSpec {
     assert(!out(testIds(1))._2 && out(testIds(1))._1 === 0L)
   }
 
+  test("keywords: rare-but-frequent tokens win; common tokens sink") {
+    val d = docs(1L -> "apple apple banana", 2L -> "banana cherry")
+    // N=2; df: apple 1, banana 2, cherry 1
+    // doc1: apple 2*2/1=4, banana 1*2/2=1; doc2: cherry 2, banana 1
+    val out = LlmOps.keywords(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getDouble(5)))).toMap
+    assert(out((1L, 1L)) === ("apple", 4.0))
+    assert(out((1L, 2L)) === ("banana", 1.0))
+    assert(out((2L, 1L)) === ("cherry", 2.0))
+    assert(out((2L, 2L)) === ("banana", 1.0))
+  }
+
   test("token frequency score: exact corpus-frequency means") {
     val d = docs(1L -> "a a a", 2L -> "b")
     // freq: a=3, b=1, total=4 → doc1 mean 3/4, doc2 mean 1/4

@@ -56,7 +56,7 @@ class PlanQualitySpec extends SparkSpec {
     // single-row corpus total — all plan as BroadcastNestedLoopJoin by
     // construction
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
-      "llm_boilerplate", "llm_tok_freq")
+      "llm_boilerplate", "llm_tok_freq", "llm_keywords")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
