@@ -201,6 +201,44 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment near-dup: same banded-LSH candidates as [[dedupMinHash]],
+    * scored by max directional containment |A∩B|/min(|A|,|B|) instead of
+    * Jaccard — the measure that catches "B embeds A verbatim" when A is
+    * much shorter (Jaccard divides by the union and dilutes exactly those
+    * pairs). Same 100 TB shape: bucketed candidates, hash-array verify.
+    * Caveat stated plainly: the candidate bands are Jaccard-tuned, so a
+    * tiny doc inside a huge one may not surface as a candidate (its
+    * minhashes are minima over very different set sizes); the upgrade for
+    * strongly-asymmetric containment is prefix/suffix blocking or
+    * one-sided minhash, at the cost of skew exposure.
+    */
+  def dedupContainment(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.9): DataFrame = {
+    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = withMinHashBands(hashed)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(hashed.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(hashed.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
+          least(size(col("sa.gs")), size(col("sb.gs")))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   val SimHashBits = 16

@@ -19,6 +19,8 @@ object LlmQueries {
     "llm_dedup_simhash" -> ((s, d) => LlmOps.simHash(Tables.documents(s, d))),
     "llm_dedup_clusters" -> ((s, d) => LlmOps.dedupClusters(
       LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d))))),
+    "llm_dedup_containment" -> ((s, d) => LlmOps.dedupContainment(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_boilerplate"   -> ((s, d) => LlmOps.boilerplate(Tables.documents(s, d))),
     "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
@@ -74,6 +76,7 @@ object LlmQueries {
     "llm_dedup_minhash" -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_simhash" -> Seq(col("doc_id")),
     "llm_dedup_clusters" -> Seq(col("doc_id")),
+    "llm_dedup_containment" -> Seq(col("id_a"), col("id_b")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
@@ -180,6 +183,18 @@ object LlmQueries {
     "llm_dedup_minhash" ->
       s"""WITH $minhashVerifiedCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_dedup_containment" ->
+      s"""WITH $minhashVerifiedCte,
+         |cont AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(len(list_filter(sa.gs, v -> list_contains(sb.gs, v))) AS DOUBLE) /
+         |      least(len(sa.gs), len(sb.gs)) AS containment
+         |  FROM pairs p
+         |  JOIN shg sa ON p.id_a = sa.doc_id
+         |  JOIN shg sb ON p.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b, containment FROM cont WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     // connected components over the verified minhash pairs: min reachable
     // id per node via a recursive CTE (UNION-distinct guarantees the

@@ -44,6 +44,16 @@ class LlmSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("containment: appended-tail near-copy scores 1.0 where jaccard is diluted") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(0L -> text)
+    // nearDupCorpus injects the +tail copy: every original shingle is
+    // contained in the copy → containment 1.0; jaccard is 28/32 < 1
+    val out = LlmOps.dedupContainment(LlmOps.nearDupCorpus(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 10000000L)) === 1.0)
+  }
+
   test("ngram jaccard: band-blocked near-dup pair scores high, jaccard in (0,1]") {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(0L -> text)
