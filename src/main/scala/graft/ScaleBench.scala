@@ -51,13 +51,33 @@ object ScaleBench {
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
+    // documents replicated for the dedup family. Shifting doc_id alone
+    // would leave every replica's text verbatim-identical — cross-replica
+    // pairs then grow with factor² and the probe measures dup-density
+    // stress, not corpus scale. A per-replica lowercase rotation keeps
+    // each replica's shingle space disjoint, so dup structure (and the
+    // candidate-pair count) scales linearly with the corpus — the honest
+    // shape of "10× more data, same dup rate".
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs = Tables.documents(spark, sfDir)
+    (0 until factor).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i * keyShift))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
     val headline = Seq("q1_agg", "q_topk_parts", "q5_nation_revenue",
-      "q3_topk_orders", "q17_small_qty_revenue")
+      "q3_topk_orders", "q17_small_qty_revenue",
+      "llm_dedup_exact", "llm_dedup_minhash")
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sqlContext.clearCache() // dedup queries persist signature tables
+      dt
     }
 
     // warm both paths once (codegen/classload), then measure median of 3
