@@ -406,6 +406,25 @@ object LlmOps {
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
+  /** The terminal step of the dedup pipeline: materialize the deduplicated
+    * corpus. Resolves `pairs` into clusters ([[dedupClusters]]) and
+    * anti-joins the corpus against the non-keeper members, keeping every
+    * document that either has no near-dup at all or is its cluster's
+    * keeper (minimum doc id — deterministic, engine-agnostic).
+    *
+    * Scale: the right side of the anti join is ids only (no text), sized
+    * by the duplicate count, not the corpus; AQE broadcasts it when small.
+    * A heavily-duplicated corpus degrades to a sort-merge anti join
+    * shuffling the corpus by id — the unavoidable cost of a global dedup;
+    * bucketing the corpus by `idCol` co-locates it.
+    */
+  def dedupApply(corpus: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = dedupClusters(pairs)
+      .filter(!col("is_keeper")).select(col("doc_id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------- embedding cosine
 
   /** Ordered-fold dot product of two array<double> columns (Spark SQL text):

@@ -21,6 +21,13 @@ object LlmQueries {
       LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d))))),
     "llm_dedup_containment" -> ((s, d) => LlmOps.dedupContainment(
       LlmOps.nearDupCorpus(Tables.documents(s, d)))),
+    // the terminal apply step dumps (doc_id, n_chars): the kept rows'
+    // identity + a content witness, without hauling text through compare
+    "llm_dedup_apply" -> ((s, d) => {
+      val corpus = LlmOps.nearDupCorpus(Tables.documents(s, d))
+      LlmOps.dedupApply(corpus, LlmOps.dedupMinHash(corpus))
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+    }),
     "llm_boilerplate"   -> ((s, d) => LlmOps.boilerplate(Tables.documents(s, d))),
     "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
@@ -77,6 +84,7 @@ object LlmQueries {
     "llm_dedup_simhash" -> Seq(col("doc_id")),
     "llm_dedup_clusters" -> Seq(col("doc_id")),
     "llm_dedup_containment" -> Seq(col("id_a"), col("id_b")),
+    "llm_dedup_apply"   -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
@@ -183,6 +191,23 @@ object LlmQueries {
     "llm_dedup_minhash" ->
       s"""WITH $minhashVerifiedCte
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // terminal apply: corpus minus non-keeper cluster members (keeper =
+    // component min id, the same recursive-CC fixpoint as llm_dedup_clusters)
+    "llm_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION ALL SELECT id_b, id_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+         |),
+         |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node)
+         |SELECT c.doc_id, length(c.text) AS n_chars FROM corpus c
+         |WHERE c.doc_id NOT IN (SELECT node FROM dropped) ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_containment" ->
       s"""WITH $minhashVerifiedCte,

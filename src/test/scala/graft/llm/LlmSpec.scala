@@ -107,6 +107,18 @@ class LlmSpec extends SparkSpec {
     assert(clusters(0L) === 0L && clusters(7L) === 7L)
   }
 
+  test("dedup apply: drops non-keeper cluster members, keeps keepers and singletons") {
+    // disjoint vocabularies: 0 and 7 never pair; nearDupCorpus injects a
+    // near-copy of each → those copies are the non-keepers to drop
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val d = docs(0L -> textA, 7L -> textB)
+    val corpus = LlmOps.nearDupCorpus(d)
+    val kept = LlmOps.dedupApply(corpus, LlmOps.dedupMinHash(corpus))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 7L))
+  }
+
   test("boilerplate: corpus-wide common bigram is flagged in every doc carrying it") {
     // 20 docs, each ending with the shared "footer text" bigram; doc bodies
     // are disjoint → at a 50% df threshold (10 of 20 docs) exactly that
