@@ -577,6 +577,28 @@ object LlmOps {
       .orderBy(col("pri"), col(idCol))
       .limit(n)
 
+  /** Stratified reproducible sample: the `perStratum` lowest hash
+    * priorities within each stratum (source, language, …) — the balanced-
+    * mixture builder a multi-source training set needs, where a uniform
+    * global sample would mirror the corpus' source skew instead of
+    * correcting it. Same salted-hash priority as [[sampleByHash]], so both
+    * samplers agree doc-by-doc and across engines.
+    *
+    * Scale: one shuffle on the stratum key, rank inside the window. With
+    * very few strata that key is low-cardinality; the bounded-buffer
+    * [[graft.functions.TopKAgg]] per stratum is the skew-proof swap (heaps
+    * combine map-side, nothing larger than perStratum crosses the wire).
+    */
+  def sampleStratified(corpus: DataFrame, perStratum: Int,
+      stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
+    ensureH56(corpus).withColumn("pri",
+        expr(h56(s"concat('sample|', cast($idCol as string))")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= perStratum)
+      .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes

@@ -48,6 +48,8 @@ object LlmQueries {
     "llm_train_split"   -> ((s, d) => TextAnalysis.trainValSplit(Tables.documents(s, d))),
     "llm_sample_hash"   -> ((s, d) => LlmOps.sampleByHash(
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
+    "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
+      Tables.documents(s, d), perStratum = 25)),
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
@@ -85,6 +87,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> Seq(col("doc_id")),
     "llm_dedup_containment" -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_apply"   -> Seq(col("doc_id")),
+    "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
@@ -468,6 +471,18 @@ object LlmQueries {
     "llm_sample_hash" ->
       s"""SELECT doc_id, ${h56Duck("concat('sample|', CAST(doc_id AS VARCHAR))")} AS pri
          |FROM documents ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+    "llm_sample_stratified" ->
+      s"""WITH pri AS (
+         |  SELECT source, doc_id,
+         |    ${h56Duck("concat('sample|', CAST(doc_id AS VARCHAR))")} AS pri
+         |  FROM documents
+         |)
+         |SELECT source, doc_id, pri, rnk FROM (
+         |  SELECT source, doc_id, pri,
+         |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
+         |  FROM pri)
+         |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
 
     "llm_train_split" ->
       s"""SELECT doc_id, bucket,

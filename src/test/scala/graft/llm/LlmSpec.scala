@@ -119,6 +119,19 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(0L, 7L))
   }
 
+  test("stratified sample: exactly perStratum docs per source, ranks 1..n, deterministic") {
+    val d = (1L to 20L).map(i => (i, s"text $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val out = LlmOps.sampleStratified(d, perStratum = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 6)
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap ===
+      Map("a" -> Seq(1L, 2L, 3L), "b" -> Seq(1L, 2L, 3L)))
+    val again = LlmOps.sampleStratified(d, perStratum = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.sortBy(x => (x._1, x._3)).toSeq === again.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
   test("boilerplate: corpus-wide common bigram is flagged in every doc carrying it") {
     // 20 docs, each ending with the shared "footer text" bigram; doc bodies
     // are disjoint → at a 50% df threshold (10 of 20 docs) exactly that
