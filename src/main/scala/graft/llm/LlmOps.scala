@@ -158,6 +158,38 @@ object LlmOps {
     }
   }
 
+  /** Shared candidate generation for the minhash-banded dedup family
+    * ([[dedupMinHash]], [[dedupContainment]]): returns the persisted
+    * hashed-shingle table `(doc_id, gs)` and the distinct banded candidate
+    * pairs `(id_a, id_b)`.
+    *
+    * Both frames are persisted deliberately: `hashed` is referenced 3×
+    * (signature derivation + both sides of the verify join) — at 100 TB it
+    * is the materialized signature table every MinHash pipeline keeps —
+    * and the band table feeds both sides of its self-join, which would
+    * otherwise re-run the whole hash+signature derivation twice.
+    */
+  private def minHashCandidates(corpus: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = withMinHashBands(hashed)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    (hashed, pairs)
+  }
+
   /** MinHash+LSH near-dup detection: shingle → minhash → band → bucket-join
     * → exact-Jaccard verify ≥ threshold. The self-join is on
     * (band_idx, band_key) buckets only — at 100 TB the shuffle key space is
@@ -167,31 +199,10 @@ object LlmOps {
     */
   def dedupMinHash(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.6): DataFrame = {
-    // persist the hashed-shingle table: it is referenced 3× (signature
-    // derivation + both sides of the verify join); without it Spark
-    // re-tokenizes and re-hashes the corpus on every reference. At 100 TB
-    // this is the materialized signature table every MinHash pipeline
-    // keeps. Verification compares the 31-bit shingle hashes, not the
-    // shingle strings (smaller state, cheaper intersects) — both engines
-    // derive identical hashes, so the Jaccard is identical too.
-    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = withMinHashBands(hashed)
-    // persist the band table as well: it feeds both sides of the self-join,
-    // and without it the whole hash+signature derivation runs twice.
-    val bands = mh.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    // verification compares the 31-bit shingle hashes, not the shingle
+    // strings (smaller state, cheaper intersects) — both engines derive
+    // identical hashes, so the Jaccard is identical too
+    val (hashed, pairs) = minHashCandidates(corpus, idCol, textCol)
     pairs
       .join(hashed.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(hashed.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -214,22 +225,7 @@ object LlmOps {
     */
   def dedupContainment(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.9): DataFrame = {
-    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = withMinHashBands(hashed)
-      .select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val (hashed, pairs) = minHashCandidates(corpus, idCol, textCol)
     pairs
       .join(hashed.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(hashed.as("sb"), col("id_b") === col("sb.doc_id"))
