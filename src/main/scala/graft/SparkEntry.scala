@@ -6,7 +6,7 @@ import graft.Ord._
 /** Driver contract — see /root/repo/SURVEY.md §7 (build plan) and §8
   * (operator → query/spec coverage matrix).
   *
-  * 72 queries across four domains, every SQL-expressible one paired with
+  * 73 queries across four domains, every SQL-expressible one paired with
   * DuckDB oracle SQL (verified bit-exact at sf0.001/0.01/0.1; the two
   * rows-only entries are mm_decode_stub and q_approx_distinct):
   *   - [[graft.cdc.CdcQueries]]      — the CDC dataflow (SURVEY §2.2-2.4)

@@ -32,6 +32,13 @@ object LlmQueries {
     "llm_dedup_ngram"   -> ((s, d) => LlmOps.dedupNgram(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_cosine"  -> ((s, d) => LlmOps.dedupCosine(
       LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
+    // dedupClusters/dedupApply are pair-source-generic: the same CC +
+    // anti-join machinery over cosine pairs = semantic dedup of vectors
+    "llm_dedup_semantic" -> ((s, d) => {
+      val corpus = LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d)))
+      LlmOps.dedupApply(corpus, LlmOps.dedupCosine(corpus), idCol = "vec_id")
+        .select(col("vec_id"))
+    }),
     "llm_ann_topk"      -> ((s, d) => LlmOps.annTopK(Tables.embeddings(s, d))),
     // the operator returns the real int array; the dumped query serializes
     // it (driver compare sorts on column values — arrays aren't sortable)
@@ -87,6 +94,7 @@ object LlmQueries {
     "llm_dedup_clusters" -> Seq(col("doc_id")),
     "llm_dedup_containment" -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_apply"   -> Seq(col("doc_id")),
+    "llm_dedup_semantic" -> Seq(col("vec_id")),
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
@@ -171,6 +179,24 @@ object LlmQueries {
   private def signBucketDuck(e: String): String =
     "concat(" + (1 to 8).map(i =>
       s"CASE WHEN $e[$i] >= CAST(0.0 AS DOUBLE) THEN '1' ELSE '0' END").mkString(", ") + ")"
+
+  /** Sign-bucketed cosine candidate pairs over the embeddings corpus —
+    * shared by the cosine dedup oracle and the semantic-dedup (apply)
+    * oracle. Yields CTEs `corpus` (vectors ∪ perturbed copies) and `p`
+    * (id_a, id_b, cosine). */
+  private lazy val cosinePairsCte: String =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE))
+       |  FROM base WHERE vec_id % 10 = 0
+       |),
+       |bk AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM corpus),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotDuck("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)""".stripMargin
 
   private val langs = TextAnalysis.Profiles.map(_._1)
   private def inListDuck(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
@@ -338,19 +364,26 @@ object LlmQueries {
         |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "llm_dedup_cosine" ->
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |corpus AS (
-         |  SELECT vec_id, e FROM base
-         |  UNION ALL
-         |  SELECT vec_id + 1000000, list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE))
-         |  FROM base WHERE vec_id % 10 = 0
-         |),
-         |bk AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM corpus),
-         |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dotDuck("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |)
+      s"""WITH $cosinePairsCte
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // semantic dedup: the cosine pairs resolved through the same
+    // recursive-CC fixpoint as llm_dedup_apply, then the vector corpus
+    // minus non-keepers — dedupClusters/dedupApply are pair-source-generic
+    "llm_dedup_semantic" ->
+      s"""WITH RECURSIVE $cosinePairsCte,
+         |dup AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION ALL SELECT id_b, id_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+         |),
+         |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node)
+         |SELECT c.vec_id FROM corpus c
+         |WHERE c.vec_id NOT IN (SELECT node FROM dropped) ORDER BY vec_id""".stripMargin,
 
     "llm_ann_topk" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

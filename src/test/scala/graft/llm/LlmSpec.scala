@@ -255,6 +255,18 @@ class LlmSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("semantic dedup: perturbed vector copies dropped, their originals kept") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val corpus = LlmOps.cosineCorpus(LlmOps.embBase(vecs))
+    val kept = LlmOps.dedupApply(corpus, LlmOps.dedupCosine(corpus), idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // injected near-copies (of vec 0 and 10) are the non-keepers
+    assert(!kept.contains(1000000L) && !kept.contains(1000010L))
+    assert(Set(0L, 10L).subsetOf(kept))
+  }
+
   test("ann topk: k rows per query, self excluded, descending cosine") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(d => math.cos(i * 3 + d).toFloat), (i % 4).toInt)
