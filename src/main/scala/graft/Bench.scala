@@ -39,24 +39,37 @@ object Bench {
       spark.sqlContext.clearCache()
     }
     // noop sink: materializes every output column (a bare count() would let
-    // Catalyst prune the projections being measured). SPARK_GRAFT_REPS>1
-    // reports the per-query median of N runs — ambient machine load on the
-    // shared sandbox has historically swung single-shot totals by ~1.4×.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // Catalyst prune the projections being measured). Default is the
+    // per-query median of 3 runs — ambient machine load on the shared
+    // sandbox has historically swung single-shot totals by ~1.4× (two
+    // rounds of single-rep driver artifacts were pure noise). The median
+    // is computed over SUCCESSFUL reps only: a throwing rep fast-fails and
+    // would otherwise deflate the headline total. A query whose every rep
+    // fails is listed in `failed` and excluded from `total`.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (1 to reps).map { _ =>
+    val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache() // drop per-query persisted signature tables
-        dt
+        (dt, ok)
       }
-      name -> ts.sorted.apply((ts.size - 1) / 2)
+      repTimes(name) = runs.map(_._1)
+      val good = runs.collect { case (dt, true) => dt }
+      if (good.size < runs.size && !failed.contains(name)) failed += name
+      if (good.isEmpty) None
+      else Some(name -> good.sorted.apply((good.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsJson = repTimes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -148,7 +161,7 @@ object Bench {
     } catch { case _: Throwable => (0.0, 0.0) }
     val scaleRatio = if (scaleBase > 0) scaleScaled / scaleBase else 0.0
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio}""")
     spark.stop()
   }
 }

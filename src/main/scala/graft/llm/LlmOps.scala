@@ -50,9 +50,12 @@ object LlmOps {
   def ensureH56(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (!s.catalog.functionExists("h56"))
+      // null-guarded to match the native expression's null-in → null-out
+      // semantics (boxed java.lang.Long so the UDF's return type is nullable)
       s.udf.register("h56", (x: String) =>
-        graft.functions.Md5Prefix56.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)))
+        if (x == null) null
+        else java.lang.Long.valueOf(graft.functions.Md5Prefix56.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x))))
     df
   }
 
@@ -365,7 +368,25 @@ object LlmOps {
     * persisted across iterations and the loop stops at a fixpoint; the
     * large-star/small-star refinement is the drop-in upgrade if a corpus
     * ever produces deep chain components.
+    *
+    * Lineage discipline: every generation's plan would otherwise embed
+    * every prior generation's `InMemoryRelation` (a 13k-line plan dump at
+    * diameter 3; a planner/memory hazard on a deep-chain component at
+    * 100×), so the loop `localCheckpoint()`s every
+    * [[CheckpointEveryIters]] iterations to cut the chain, and the final
+    * labels are checkpointed too — the returned frame is self-contained,
+    * letting the loop's working caches (directed pairs, edges,
+    * intermediate generations) be unpersisted before returning instead of
+    * accumulating in the session cache across invocations.
     */
+  val CheckpointEveryIters = 3
+
+  /** Iteration count of the most recent [[dedupClusters]] fixpoint on this
+    * JVM — read by ScaleBench to report how the propagation depth behaves
+    * as the corpus scales (it tracks component diameter, not corpus size).
+    */
+  val lastClusterIterations = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -382,23 +403,40 @@ object LlmOps {
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("lbl"))
       .persist(lvl)
+    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
+      iters += 1
       // one join + combinable min per iteration; the old label rides along
       // so convergence is read off the same frame (no second join), and
       // the superseded generation is dropped from the cache immediately
       val prop = edges.join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(prop, col("node") === col("src"), "left")
+      val gen = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist(lvl)
+      // periodic localCheckpoint (eager) materializes the generation and
+      // truncates its lineage to local blocks; other generations persist
+      val next =
+        if (iters % CheckpointEveryIters == 0) gen.localCheckpoint()
+        else gen.persist(lvl)
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
       labels.unpersist(false)
       labels = next.select("node", "lbl")
+      interim += next
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    lastClusterIterations.set(iters)
+    // final checkpoint severs the result from every loop-internal cache,
+    // so the working set can be released here rather than leaking into the
+    // caller's session (the blocks behind the returned frame are reclaimed
+    // by the ContextCleaner once the frame itself is garbage-collected)
+    val resolved = labels.localCheckpoint()
+    interim.foreach(_.unpersist(false))
+    edges.unpersist(false)
+    p.unpersist(false)
+    resolved.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
