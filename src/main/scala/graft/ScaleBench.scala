@@ -70,7 +70,12 @@ object ScaleBench {
 
     val headline = Seq("q1_agg", "q_topk_parts", "q5_nation_revenue",
       "q3_topk_orders", "q17_small_qty_revenue",
-      "llm_dedup_exact", "llm_dedup_minhash")
+      "llm_dedup_exact", "llm_dedup_minhash",
+      "llm_dedup_clusters", "llm_dedup_apply")
+    // queries that run the CC fixpoint — their iteration count (component
+    // diameter) is the scale-safety figure: it must stay flat as the
+    // corpus grows, or the lineage-truncation cadence needs revisiting
+    val ccQueries = Set("llm_dedup_clusters", "llm_dedup_apply")
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -87,12 +92,14 @@ object ScaleBench {
 
     val rows = headline.map { q =>
       val base = median3(sfDir, q)
+      val baseIters = graft.llm.LlmOps.lastClusterIterations.get()
       val scaled = median3(out, q)
-      (q, base, scaled, scaled / base)
+      val scaledIters = graft.llm.LlmOps.lastClusterIterations.get()
+      val iters = if (ccQueries(q)) s""","base_iters":$baseIters,"scaled_iters":$scaledIters"""
+        else ""
+      (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}$iters}""")
     }
-    val qs = rows.map { case (q, b, s, r) =>
-      s""""$q":{"base_sec":$b,"scaled_sec":$s,"ratio":$r}"""
-    }.mkString("{", ",", "}")
+    val qs = rows.map(_._2).mkString("{", ",", "}")
     println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }

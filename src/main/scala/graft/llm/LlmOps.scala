@@ -215,20 +215,54 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Containment near-dup: same banded-LSH candidates as [[dedupMinHash]],
-    * scored by max directional containment |A∩B|/min(|A|,|B|) instead of
-    * Jaccard — the measure that catches "B embeds A verbatim" when A is
-    * much shorter (Jaccard divides by the union and dilutes exactly those
-    * pairs). Same 100 TB shape: bucketed candidates, hash-array verify.
-    * Caveat stated plainly: the candidate bands are Jaccard-tuned, so a
-    * tiny doc inside a huge one may not surface as a candidate (its
-    * minhashes are minima over very different set sizes); the upgrade for
-    * strongly-asymmetric containment is prefix/suffix blocking or
-    * one-sided minhash, at the cost of skew exposure.
+  /** One-sided blocking knobs for [[dedupContainment]]: each doc probes
+    * with its [[OneSidedProbeK]] smallest shingle hashes against an
+    * inverted index of all shingle hashes, df-capped at [[OneSidedDfCap]].
+    */
+  val OneSidedProbeK = 3
+  val OneSidedDfCap  = 256
+
+  /** Containment near-dup: banded-LSH candidates as [[dedupMinHash]] PLUS
+    * one-sided min-hash candidates, scored by max directional containment
+    * |A∩B|/min(|A|,|B|) instead of Jaccard — the measure that catches "B
+    * embeds A verbatim" when A is much shorter (Jaccard divides by the
+    * union and dilutes exactly those pairs).
+    *
+    * The Jaccard-tuned bands alone miss exactly the strongly-asymmetric
+    * pairs this operator exists for (a tiny doc inside a huge one has
+    * near-zero band agreement: its minhashes are minima over very
+    * different set sizes). The one-sided scheme covers them: if A ⊆ B then
+    * every shingle of A — in particular its k smallest hashes — appears in
+    * B's shingle set, so probing with each doc's k smallest hashes against
+    * an inverted index of all shingle hashes surfaces the pair by
+    * construction (recall 1.0 for full containment, unless all k probes
+    * are df-capped boilerplate shingles).
+    *
+    * 100 TB shape: the inverted index is linear in the corpus's total
+    * distinct-shingle count (the same cost class as [[decontaminate]]'s
+    * equi-join); the probe side is k rows per doc; dropping shingle hashes
+    * with document frequency > [[OneSidedDfCap]] bounds the hottest join
+    * bucket, so candidate output is ≤ k·n·cap — linear, no quadratic
+    * blowup. The df threshold costs one extra combinable groupBy pass.
+    * `oneSided = false` restores the bands-only blocking (kept for the
+    * regression spec that proves the bands miss short-in-long pairs).
     */
   def dedupContainment(corpus: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 0.9): DataFrame = {
-    val (hashed, pairs) = minHashCandidates(corpus, idCol, textCol)
+      textCol: String = "text", threshold: Double = 0.9,
+      oneSided: Boolean = true): DataFrame = {
+    val (hashed, bandPairs) = minHashCandidates(corpus, idCol, textCol)
+    val pairs = if (!oneSided) bandPairs else {
+      val posting = hashed.select(col("doc_id"), explode(col("gs")).as("g"))
+      val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= OneSidedDfCap).select("g")
+      val probe = hashed.select(col("doc_id").as("probe_id"),
+        explode(expr(s"slice(array_sort(gs), 1, $OneSidedProbeK)")).as("g"))
+      val onesided = probe.join(posting, Seq("g")).join(rare, Seq("g"))
+        .filter(col("probe_id") =!= col("doc_id"))
+        .select(least(col("probe_id"), col("doc_id")).as("id_a"),
+          greatest(col("probe_id"), col("doc_id")).as("id_b"))
+      bandPairs.unionByName(onesided).distinct()
+    }
     pairs
       .join(hashed.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(hashed.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -382,14 +416,25 @@ object LlmOps {
   val CheckpointEveryIters = 3
 
   /** Iteration count of the most recent [[dedupClusters]] fixpoint on this
-    * JVM — read by ScaleBench to report how the propagation depth behaves
-    * as the corpus scales (it tracks component diameter, not corpus size).
+    * JVM — reported in ScaleBench's JSON so the scale probe shows how the
+    * propagation depth behaves as the corpus scales (it tracks component
+    * diameter, not corpus size).
     */
   val lastClusterIterations = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+    // Checkpoint mode: localCheckpoint is the right call in local mode and
+    // on the bench (no executor loss), but it is lossy if an executor dies
+    // on a real cluster. Setting spark.graft.cc.checkpointDir switches the
+    // loop to reliable checkpoints written to that directory — the cluster
+    // deployment knob.
+    val ckptDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // persist the directed pairs once: the union references them twice,
     // and without the cache the upstream pair-generation (LSH join +
     // verify) would run twice
@@ -403,37 +448,46 @@ object LlmOps {
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("lbl"))
       .persist(lvl)
-    val interim = scala.collection.mutable.ArrayBuffer[DataFrame](labels)
+    // `prev` is the exact persisted/checkpointed generation frame:
+    // unpersist only matches sameResult plans, so calling it on a
+    // projection of the generation (as earlier rounds did) was a no-op
+    // and superseded generations stayed cached for the whole loop.
+    var prev: DataFrame = labels
     var changed = 1L
     var iters = 0
     while (changed > 0) {
       iters += 1
       // one join + combinable min per iteration; the old label rides along
-      // so convergence is read off the same frame (no second join), and
-      // the superseded generation is dropped from the cache immediately
+      // so convergence is read off the same frame (no second join)
       val prop = edges.join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
       val gen = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // periodic localCheckpoint (eager) materializes the generation and
-      // truncates its lineage to local blocks; other generations persist
+      // periodic checkpoint (eager) materializes the generation and
+      // truncates its lineage; other generations persist
       val next =
-        if (iters % CheckpointEveryIters == 0) gen.localCheckpoint()
+        if (iters % CheckpointEveryIters == 0) truncate(gen)
         else gen.persist(lvl)
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
-      labels.unpersist(false)
+      // `next` is materialized at this point (checkpoint is eager; count
+      // populated the persist), so the superseded generation can be
+      // released. For persisted generations this frees the blocks now; for
+      // locally-checkpointed ones unpersist is a no-op — their RDD-level
+      // blocks are reclaimed by the ContextCleaner once the frame is
+      // garbage-collected, same as the final frame documented below.
+      prev.unpersist(false)
+      prev = next
       labels = next.select("node", "lbl")
-      interim += next
     }
     lastClusterIterations.set(iters)
     // final checkpoint severs the result from every loop-internal cache,
     // so the working set can be released here rather than leaking into the
     // caller's session (the blocks behind the returned frame are reclaimed
     // by the ContextCleaner once the frame itself is garbage-collected)
-    val resolved = labels.localCheckpoint()
-    interim.foreach(_.unpersist(false))
+    val resolved = truncate(labels)
+    prev.unpersist(false)
     edges.unpersist(false)
     p.unpersist(false)
     resolved.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))

@@ -238,15 +238,28 @@ object LlmQueries {
          |SELECT c.doc_id, length(c.text) AS n_chars FROM corpus c
          |WHERE c.doc_id NOT IN (SELECT node FROM dropped) ORDER BY doc_id""".stripMargin,
 
+    // candidates = Jaccard-tuned bands ∪ one-sided min-hash probes (each
+    // doc's 3 smallest shingle hashes vs a df-capped inverted index) —
+    // mirrors LlmOps.dedupContainment's short-in-long blocking
     "llm_dedup_containment" ->
       s"""WITH $minhashVerifiedCte,
+         |posting AS (SELECT doc_id, unnest(gs) AS g FROM shg),
+         |rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) <= ${LlmOps.OneSidedDfCap}),
+         |probe AS (SELECT doc_id AS probe_id, unnest(list_sort(gs)[1:${LlmOps.OneSidedProbeK}]) AS g FROM shg),
+         |onesided AS (
+         |  SELECT DISTINCT least(pr.probe_id, po.doc_id) AS id_a,
+         |    greatest(pr.probe_id, po.doc_id) AS id_b
+         |  FROM probe pr JOIN posting po USING (g) JOIN rare USING (g)
+         |  WHERE pr.probe_id <> po.doc_id
+         |),
+         |cands AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM onesided),
          |cont AS (
-         |  SELECT p.id_a, p.id_b,
+         |  SELECT c.id_a, c.id_b,
          |    CAST(len(list_filter(sa.gs, v -> list_contains(sb.gs, v))) AS DOUBLE) /
          |      least(len(sa.gs), len(sb.gs)) AS containment
-         |  FROM pairs p
-         |  JOIN shg sa ON p.id_a = sa.doc_id
-         |  JOIN shg sb ON p.id_b = sb.doc_id
+         |  FROM cands c
+         |  JOIN shg sa ON c.id_a = sa.doc_id
+         |  JOIN shg sb ON c.id_b = sb.doc_id
          |)
          |SELECT id_a, id_b, containment FROM cont WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 

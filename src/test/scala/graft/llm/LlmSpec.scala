@@ -54,6 +54,25 @@ class LlmSpec extends SparkSpec {
     assert(out((0L, 10000000L)) === 1.0)
   }
 
+  test("containment: one-sided blocking surfaces short-in-long pairs the bands miss") {
+    // A 5-token doc verbatim-embedded in a 200-token doc: containment is
+    // 1.0, but the Jaccard-tuned minhash bands (minima over 3 vs 198
+    // shingles) essentially never agree — the exact blind spot the
+    // one-sided probe exists for. Assert the miss with bands-only
+    // blocking AND the hit with one-sided blocking, so a future blocking
+    // change can't silently regress either side.
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val short = (50 to 54).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> long, 2L -> short)
+    val bandsOnly = LlmOps.dedupContainment(d, oneSided = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!bandsOnly.contains((1L, 2L)),
+      "fixture invalid: bands already block this pair — make the docs more asymmetric")
+    val withOneSided = LlmOps.dedupContainment(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(withOneSided((1L, 2L)) === 1.0)
+  }
+
   test("ngram jaccard: band-blocked near-dup pair scores high, jaccard in (0,1]") {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(0L -> text)
