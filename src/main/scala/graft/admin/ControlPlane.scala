@@ -26,7 +26,56 @@ object ControlPlane {
           array(lit("running"), lit("error"), lit("stopped"), lit("starting")),
           (graft.cdc.ops.Normalize.intDiv(col("c_custkey"), lit(3L)) % 4).cast("int") + 1).as("status"))
 
+  /** Users-table stand-in (reference `app/models.py:229-239`: id, unique
+    * email, role enum admin|user|amsa, is_active, created_at), derived
+    * deterministically from `customer` so the DuckDB oracle rebuilds the
+    * identical frame. Every 50th user re-uses user 1's email — the
+    * duplicate the reference's create/update uniqueness guard exists to
+    * catch (`app/routers/auth.py:55-58`).
+    */
+  def users(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("user_id"),
+      concat(lit("user"),
+        when(col("c_custkey") % 50 === 0, lit(1L)).otherwise(col("c_custkey"))
+          .cast("string"),
+        lit("@example.com")).as("email"),
+      element_at(array(lit("admin"), lit("user"), lit("amsa")),
+        (col("c_custkey") % 3).cast("int") + 1).as("role"),
+      (col("c_custkey") % 7 =!= 0).as("is_active"),
+      (lit(1704067200000L) + col("c_custkey") * 1000).as("created_at_ms"))
+
+  private val usersCte: String =
+    """users AS (
+      |  SELECT c_custkey AS user_id,
+      |    'user' || CAST(CASE WHEN c_custkey % 50 = 0 THEN 1 ELSE c_custkey END AS VARCHAR) || '@example.com' AS email,
+      |    ['admin','user','amsa'][CAST(c_custkey % 3 AS INT) + 1] AS role,
+      |    c_custkey % 7 <> 0 AS is_active,
+      |    1704067200000 + c_custkey * 1000 AS created_at_ms
+      |  FROM customer
+      |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F4/O1 — admin users list, ordered by id (reference
+    // `app/routers/auth.py:78-82` list_users).
+    "cp_users_list" -> ((s, d) =>
+      users(Tables.customer(s, d)).orderBy(col("user_id"))),
+
+    // F5 — duplicate-email guard: the existence probe behind the
+    // reference's "Email already registered" 400 (`auth.py:55-58`),
+    // run corpus-wide as a uniqueness audit.
+    "cp_users_dup_email" -> ((s, d) =>
+      users(Tables.customer(s, d))
+        .groupBy(col("email")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)),
+
+    // F4 — role + active filter (require_roles(admin) ∧ is_active, the
+    // reference's login/authorization predicate, `auth.py:17-27,75`).
+    "cp_users_role_filter" -> ((s, d) =>
+      users(Tables.customer(s, d))
+        .filter(col("role") === "admin" && col("is_active"))
+        .select(col("user_id"), col("email"), col("role"))),
+
     // O1 — order_by + limit + offset pagination (clients list).
     "cp_pagination" -> ((s, d) =>
       Tables.customer(s, d)
@@ -109,6 +158,9 @@ object ControlPlane {
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
   def dumpOrder: Map[String, Seq[Column]] = Map(
+    "cp_users_list"       -> Seq(col("user_id")),
+    "cp_users_dup_email"  -> Seq(col("email")),
+    "cp_users_role_filter" -> Seq(col("user_id")),
     "cp_search_ilike"     -> Seq(col("c_custkey")),
     "cp_groupby_count"    -> Seq(col("o_orderstatus")),
     "cp_latest_per_key"   -> Seq(col("o_custkey")),
@@ -118,6 +170,21 @@ object ControlPlane {
   )
 
   def oracle: Map[String, String] = Map(
+    "cp_users_list" ->
+      s"""WITH $usersCte
+         |SELECT user_id, email, role, is_active, created_at_ms
+         |FROM users ORDER BY user_id""".stripMargin,
+
+    "cp_users_dup_email" ->
+      s"""WITH $usersCte
+         |SELECT email, count(*) AS n FROM users
+         |GROUP BY email HAVING count(*) > 1 ORDER BY email""".stripMargin,
+
+    "cp_users_role_filter" ->
+      s"""WITH $usersCte
+         |SELECT user_id, email, role FROM users
+         |WHERE role = 'admin' AND is_active ORDER BY user_id""".stripMargin,
+
     "cp_pagination" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20",
 

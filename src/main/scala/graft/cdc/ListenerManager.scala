@@ -204,6 +204,42 @@ final class ListenerManager(
     states.toDF()
   }
 
+  /** Bulk lifecycle: start every active client in one call — the
+    * reference's `POST /listeners/start-active`
+    * (`app/routers/listeners.py:119-123` → `listener_manager.py:231-238`:
+    * select clients WHERE is_active, start each). Per-client isolation
+    * like the reference's loop: a client whose start call throws is
+    * recorded and does NOT block the remaining clients (a bad config on
+    * one client must not take down the fleet start). Subscribe failures
+    * inside the runner (the normal path) surface per-client as status
+    * `error` via the usual restart/alert policy, also without affecting
+    * other clients.
+    *
+    * `clients` is a control-plane frame (driver-side cardinality — the
+    * same rows the reference selects from Postgres); only `idCol` of the
+    * active rows is collected.
+    *
+    * @return (client ids whose start was issued, (id, error) for clients
+    *         whose start call itself threw)
+    */
+  def startActive(clients: DataFrame, idCol: String = "client_id",
+      activeCol: String = "is_active")(
+      subscribe: String => StreamingQuery): (Seq[String], Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions.col
+    val ids = clients.filter(col(activeCol))
+      .select(col(idCol).cast("string")).collect().map(_.getString(0)).toSeq
+    val failed = mutable.ArrayBuffer.empty[(String, String)]
+    val started = ids.flatMap { id =>
+      try { start(id)(subscribe); Some(id) }
+      catch {
+        case e: Throwable =>
+          failed += id -> Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          None
+      }
+    }
+    (started, failed.toSeq)
+  }
+
   /** Stop every managed listener (app-shutdown hook,
     * `listener_manager.py:216-224`).
     */

@@ -77,6 +77,39 @@ object StatusBoard {
       .drop("mgr_client_id", "mgr_status", "live_status", "live_running")
   }
 
+  /** The reference's GET /debug/pool activity half (`app/main.py:99-130`:
+    * pg_stat_activity GROUP BY state → per-state counts + total): the same
+    * A2 aggregation over any status frame — [[statuses]] (live queries),
+    * [[ListenerManager.statusFrame]] (lifecycle view, includes `error`
+    * listeners gone from `spark.streams`), or [[managedStatusBoard]] (the
+    * union). One row per state plus the reference's explicit `total`.
+    */
+  def activityByState(statusFrame: DataFrame,
+      stateCol: String = "status"): DataFrame = {
+    val byState = statusFrame.groupBy(col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n"))
+    byState.unionByName(
+      byState.agg(sum(col("n")).cast("bigint").as("n"))
+        .select(lit("total").as("state"), col("n")))
+  }
+
+  /** The reference's GET /debug/pool internals half (`app/main.py:80-96`:
+    * SQLAlchemy pool gauges per process) translated to the Spark runtime:
+    * one row per executor with its live task/storage gauges from the
+    * status tracker, plus the configured ceiling (defaultParallelism — the
+    * analog of pool_size + max_overflow). Driver-built snapshot at
+    * cluster cardinality (one row per executor, never data volume).
+    */
+  def executorPool(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val maxConc = spark.sparkContext.defaultParallelism
+    spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+      (s"${e.host}:${e.port}", e.numRunningTasks(), e.cacheSize(),
+        e.usedOnHeapStorageMemory(), e.totalOnHeapStorageMemory(), maxConc)
+    }.toDF("executor", "running_tasks", "cache_size_bytes",
+      "used_onheap_storage", "total_onheap_storage", "max_concurrency")
+  }
+
   def clientStatusBoard(spark: SparkSession, clients: DataFrame,
       clientIdCol: String = "client_id"): DataFrame = {
     val boardCols = Seq("status", "batch_id", "num_input_rows", "running")

@@ -133,6 +133,35 @@ class ListenerManagerSpec extends SparkSpec {
     } finally mgr.stopAll()
   }
 
+  test("start-active: one-call bulk start; a bad client doesn't block the rest") {
+    // reference POST /listeners/start-active (listeners.py:119-123): start
+    // every is_active client. cBad's subscribe throws fatal inside its
+    // runner; cSync's subscribe factory throws on the start call itself.
+    // Neither may prevent the healthy clients from coming up, and the
+    // inactive client must not be started at all.
+    val mgr = new ListenerManager(sleep = _ => ())
+    val clients = Seq(
+      ("cA", true), ("cBad", true), ("cB", true), ("cOff", false)
+    ).toDF("client_id", "is_active")
+    try {
+      val (started, failedSync) = mgr.startActive(clients) {
+        case "cBad" => oneShotSubscribe("cBad") { (_, _) =>
+            throw new Reliability.FatalConfigError("topic not found")
+          }
+        case id => healthySubscribe(id)
+      }
+      // all three active clients get a start call — subscribe failures
+      // surface through the runner as per-client status, never as a throw
+      // out of startActive (so no client can block the ones after it)
+      assert(started.toSet === Set("cA", "cBad", "cB"))
+      assert(failedSync.isEmpty)
+      eventually()(mgr.status("cA").status == "running")
+      eventually()(mgr.status("cB").status == "running")
+      eventually()(mgr.status("cBad").status == "error")
+      assert(mgr.status("cOff").status === "stopped")
+    } finally mgr.stopAll()
+  }
+
   test("K4: clean stop raises no alert") {
     val alerts = new ConcurrentLinkedQueue[ListenerManager.Alert]()
     val mgr = new ListenerManager(sleep = _ => (), onAlert = alerts.add(_))
@@ -232,6 +261,30 @@ class ListenerManagerSpec extends SparkSpec {
       // still knows it ended in error
       assert(board("cBad") === ("error", false))
       assert(board("cNone") === ("stopped", false))
+    } finally mgr.stopAll()
+  }
+
+  test("pool diagnostics: per-state counts with total; executor pool gauges") {
+    // reference GET /debug/pool (app/main.py:73-136): db_activity =
+    // per-state counts + total; pool = per-process connection gauges.
+    val mgr = new ListenerManager(sleep = _ => ())
+    try {
+      mgr.start("dA")(healthySubscribe)
+      mgr.start("dB")(healthySubscribe)
+      eventually() {
+        mgr.status("dA").status == "running" && mgr.status("dB").status == "running"
+      }
+      val act = StatusBoard.activityByState(mgr.statusFrame(spark))
+        .as[(String, Long)].collect().toMap
+      assert(act("running") === 2L)
+      assert(act("total") === 2L)
+      mgr.stop("dA")
+      val act2 = StatusBoard.activityByState(mgr.statusFrame(spark))
+        .as[(String, Long)].collect().toMap
+      assert(act2("running") === 1L && act2("stopped") === 1L && act2("total") === 2L)
+      val pool = StatusBoard.executorPool(spark).collect()
+      assert(pool.nonEmpty) // local mode: the driver is the one executor
+      assert(pool.forall(_.getAs[Int]("max_concurrency") > 0))
     } finally mgr.stopAll()
   }
 
