@@ -233,10 +233,15 @@ object LlmOps {
     * near-zero band agreement: its minhashes are minima over very
     * different set sizes). The one-sided scheme covers them: if A ⊆ B then
     * every shingle of A — in particular its k smallest hashes — appears in
-    * B's shingle set, so probing with each doc's k smallest hashes against
-    * an inverted index of all shingle hashes surfaces the pair by
-    * construction (recall 1.0 for full containment, unless all k probes
-    * are df-capped boilerplate shingles).
+    * B's shingle set, so probing with each doc's k smallest RARE hashes
+    * (df ≤ [[OneSidedDfCap]]) against an inverted index of all shingle
+    * hashes surfaces the pair by construction — recall 1.0 for full
+    * containment whenever the doc has ≥1 rare shingle at all. Rarity is
+    * applied BEFORE the min-k (semi-join the exploded hashes against the
+    * rare set, then rank): taking the k smallest overall and intersecting
+    * with rare afterwards — the round-6 blocking — silently dropped every
+    * probe of a short doc whose smallest hashes were all boilerplate,
+    * losing exactly the short-in-long pairs this operator exists for.
     *
     * 100 TB shape: the inverted index is linear in the corpus's total
     * distinct-shingle count (the same cost class as [[decontaminate]]'s
@@ -249,15 +254,23 @@ object LlmOps {
     */
   def dedupContainment(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.9,
-      oneSided: Boolean = true): DataFrame = {
+      oneSided: Boolean = true, dfCap: Int = OneSidedDfCap): DataFrame = {
     val (hashed, bandPairs) = minHashCandidates(corpus, idCol, textCol)
     val pairs = if (!oneSided) bandPairs else {
       val posting = hashed.select(col("doc_id"), explode(col("gs")).as("g"))
       val rare = posting.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= OneSidedDfCap).select("g")
-      val probe = hashed.select(col("doc_id").as("probe_id"),
-        explode(expr(s"slice(array_sort(gs), 1, $OneSidedProbeK)")).as("g"))
-      val onesided = probe.join(posting, Seq("g")).join(rare, Seq("g"))
+        .filter(col("df") <= dfCap).select("g")
+      // rare-first min-k: every posting row that survives the rare
+      // semi-join is a candidate probe; rank within doc and keep the k
+      // smallest. Joining probes back to posting only meets df≤cap hashes
+      // by construction, so the hottest bucket stays bounded.
+      val probe = posting.select(col("doc_id").as("probe_id"), col("g"))
+        .join(rare, Seq("g"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy("g")))
+        .filter(col("rn") <= OneSidedProbeK)
+        .select("probe_id", "g")
+      val onesided = probe.join(posting, Seq("g"))
         .filter(col("probe_id") =!= col("doc_id"))
         .select(least(col("probe_id"), col("doc_id")).as("id_a"),
           greatest(col("probe_id"), col("doc_id")).as("id_b"))

@@ -239,17 +239,21 @@ object LlmQueries {
          |WHERE c.doc_id NOT IN (SELECT node FROM dropped) ORDER BY doc_id""".stripMargin,
 
     // candidates = Jaccard-tuned bands ∪ one-sided min-hash probes (each
-    // doc's 3 smallest shingle hashes vs a df-capped inverted index) —
-    // mirrors LlmOps.dedupContainment's short-in-long blocking
+    // doc's 3 smallest RARE shingle hashes vs a df-capped inverted index;
+    // rarity filters BEFORE the min-k) — mirrors
+    // LlmOps.dedupContainment's short-in-long blocking
     "llm_dedup_containment" ->
       s"""WITH $minhashVerifiedCte,
          |posting AS (SELECT doc_id, unnest(gs) AS g FROM shg),
          |rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) <= ${LlmOps.OneSidedDfCap}),
-         |probe AS (SELECT doc_id AS probe_id, unnest(list_sort(gs)[1:${LlmOps.OneSidedProbeK}]) AS g FROM shg),
+         |rp AS (SELECT doc_id AS probe_id, g,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY g) AS rn
+         |  FROM posting JOIN rare USING (g)),
+         |probe AS (SELECT probe_id, g FROM rp WHERE rn <= ${LlmOps.OneSidedProbeK}),
          |onesided AS (
          |  SELECT DISTINCT least(pr.probe_id, po.doc_id) AS id_a,
          |    greatest(pr.probe_id, po.doc_id) AS id_b
-         |  FROM probe pr JOIN posting po USING (g) JOIN rare USING (g)
+         |  FROM probe pr JOIN posting po USING (g)
          |  WHERE pr.probe_id <> po.doc_id
          |),
          |cands AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM onesided),

@@ -73,6 +73,49 @@ class LlmSpec extends SparkSpec {
     assert(withOneSided((1L, 2L)) === 1.0)
   }
 
+  test("containment: boilerplate-headed short doc still probes (rare-first min-k)") {
+    // Short doc = 30 boilerplate tokens (shared verbatim with 3 filler
+    // docs) + 5 unique tokens; the long doc embeds the short doc verbatim.
+    // At dfCap=2 every boilerplate-internal shingle is common (df=5), and
+    // the short doc's 3 smallest shingle hashes are ALL boilerplate —
+    // asserted structurally below — so the round-6 blocking (k smallest
+    // OVERALL, intersected with rare afterwards) contributed zero usable
+    // probes from the short doc and lost the pair. Rare-first min-k
+    // (rarity filter BEFORE the ranking) restores recall 1.0: the short
+    // doc's boundary/unique shingles (df=2, shared only with the long
+    // doc) become its probes.
+    val boiler = (1 to 30).map(i => s"boil0x$i").mkString(" ")
+    val uniq   = (1 to 5).map(j => s"uniq0y$j").mkString(" ")
+    val short  = s"$boiler $uniq"
+    val long   = ((1 to 80).map(i => s"pre$i") ++ Seq(short) ++
+      (1 to 85).map(i => s"suf$i")).mkString(" ")
+    val fillers = (0 until 3).map(f =>
+      (10L + f) -> (boiler + " " + (1 to 10).map(j => s"fill${f}z$j").mkString(" ")))
+    val d = docs(Seq(1L -> long, 2L -> short) ++ fillers: _*)
+
+    // structural precondition = the round-6 miss: the short doc's 3
+    // smallest shingle hashes all have df > 2, so k-smallest-overall ∩
+    // rare was empty for it
+    val gs = LlmOps.withShingles(LlmOps.ensureH56(d).select(col("doc_id"), col("text")))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${LlmOps.h56("s")} % ${LlmOps.MersenneP}))"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val df_ = gs.groupBy("g").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shortSmallest = gs.filter(col("doc_id") === 2L).select("g")
+      .as[Long].collect().sorted.take(LlmOps.OneSidedProbeK)
+    assert(shortSmallest.forall(g => df_(g) > 2),
+      "fixture invalid: the short doc's smallest hashes are no longer all boilerplate")
+    // and the bands alone don't rescue it
+    val bandsOnly = LlmOps.dedupContainment(d, oneSided = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!bandsOnly.contains((1L, 2L)),
+      "fixture invalid: bands already block this pair")
+
+    val out = LlmOps.dedupContainment(d, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+  }
+
   test("ngram jaccard: band-blocked near-dup pair scores high, jaccard in (0,1]") {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val d = docs(0L -> text)
