@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Dedup / similarity / text-analysis semantics on tiny controlled frames. */
 class LlmSpec extends SparkSpec {
@@ -153,6 +154,35 @@ class LlmSpec extends SparkSpec {
     assert(out === Map(
       1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
       10L -> ((10L, true)), 11L -> ((10L, false))))
+  }
+
+  test("cluster resolution: reliable-checkpoint path matches localCheckpoint and writes files") {
+    // spark.graft.cc.checkpointDir is the cluster-deployment branch of the
+    // CC loop (reliable checkpoints survive executor loss where
+    // localCheckpoint does not). A 10-node chain forces ≥3 propagation
+    // rounds, so the in-loop periodic checkpoint fires too, not just the
+    // final truncate. Assert value-identical clusters and that checkpoint
+    // files actually land in the directory.
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def run() = LlmOps.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      spark.conf.set("spark.graft.cc.checkpointDir", dir.toString)
+      val viaReliable = run()
+      assert(viaReliable === viaLocal)
+      assert(viaReliable.forall { case (_, (lbl, _)) => lbl == 1L })
+      assert(LlmOps.lastClusterIterations.get() >= LlmOps.CheckpointEveryIters,
+        "fixture invalid: chain too shallow to exercise the periodic checkpoint")
+      val ckptFiles = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-"))
+      assert(ckptFiles > 0, "no reliable-checkpoint files were written")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("cluster resolution over minhash pairs: every near-dup maps to its base doc") {
