@@ -99,8 +99,20 @@ object ScaleBench {
         else ""
       (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}$iters}""")
     }
+    // adversarial CC probe: a 1000-node path component (diameter 999) —
+    // the worst case for min-label propagation. With the pointer-jump
+    // engaged the loop must close in O(log d) rounds; publish the measured
+    // count so a regression to O(d) is visible in the artifact.
+    import spark.implicits._
+    val chainT0 = System.nanoTime()
+    graft.llm.LlmOps.dedupClusters(
+        (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+      .write.format("noop").mode("overwrite").save()
+    val chainSec = (System.nanoTime() - chainT0) / 1e9
+    val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
+
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec}""")
     spark.stop()
   }
 }

@@ -410,11 +410,17 @@ object LlmOps {
     * group). Deterministic output (component min), so any engine agrees.
     *
     * Scale: each iteration is one join + one map-side-combinable min —
-    * iteration count is the component diameter, which for near-dup graphs
-    * is tiny (dup groups are cliques-ish, diameter ≤ ~3). Frames are
-    * persisted across iterations and the loop stops at a fixpoint; the
-    * large-star/small-star refinement is the drop-in upgrade if a corpus
-    * ever produces deep chain components.
+    * iteration count tracks the component diameter, which for near-dup
+    * graphs is tiny (dup groups are cliques-ish, diameter ≤ ~3), so the
+    * common case pays nothing extra. Adversarial deep-chain components
+    * are bounded too: from iteration [[ShortcutAfterIters]] the loop adds
+    * a pointer-jump round (compose each node's label through the previous
+    * generation's label table, lbl ← min(lbl, lbl(lbl))) — reach roughly
+    * doubles per round, so a diameter-d component converges in
+    * O([[ShortcutAfterIters]] + log d) iterations instead of O(d); the
+    * deep-chain spec and ScaleBench's `chain1k_iters` probe measure it.
+    * The jump join keys on the label table (n rows, ids only), strictly
+    * smaller than the edge join it rides with.
     *
     * Lineage discipline: every generation's plan would otherwise embed
     * every prior generation's `InMemoryRelation` (a 13k-line plan dump at
@@ -427,6 +433,14 @@ object LlmOps {
     * accumulating in the session cache across invocations.
     */
   val CheckpointEveryIters = 3
+
+  /** First iteration that adds the pointer-jump round to the CC loop.
+    * Below this, components have converged already in the typical dedup
+    * corpus (clique-ish groups, diameter ≤ ~3) and the extra join would
+    * be pure overhead; past it, the loop is evidently walking a deep
+    * component and the jump turns the remaining O(d) tail into O(log d).
+    */
+  val ShortcutAfterIters = 4
 
   /** Iteration count of the most recent [[dedupClusters]] fixpoint on this
     * JVM — reported in ScaleBench's JSON so the scale probe shows how the
@@ -475,9 +489,20 @@ object LlmOps {
       val prop = edges.join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val gen = labels.join(prop, col("node") === col("src"), "left")
+      val gen0 = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // pointer-jump on deep components: lbl ← min(lbl, lbl(lbl)) via the
+      // previous (persisted) generation — reach doubles per round, so a
+      // chain that would take O(d) propagation rounds finishes in
+      // O(log d). Labels only decrease and every label is a node id from
+      // the same component (lbl(lbl) is transitively connected), so the
+      // invariant — and the component-min fixpoint — is unchanged.
+      val gen = if (iters < ShortcutAfterIters) gen0 else
+        gen0.join(labels.select(col("node").as("jn"), col("lbl").as("jlbl")),
+            col("lbl") === col("jn"), "left")
+          .select(col("node"), col("old_lbl"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
       // periodic checkpoint (eager) materializes the generation and
       // truncates its lineage; other generations persist
       val next =

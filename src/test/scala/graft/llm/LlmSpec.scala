@@ -156,6 +156,23 @@ class LlmSpec extends SparkSpec {
       10L -> ((10L, true)), 11L -> ((10L, false))))
   }
 
+  test("cluster resolution: deep chain converges in O(log d) rounds, not O(d)") {
+    // Adversarial worst case for min-label propagation: one 512-node path
+    // component (diameter 511). Plain propagation needs ~511 rounds; the
+    // pointer-jump that engages at ShortcutAfterIters doubles reach per
+    // round, so the loop must finish in ShortcutAfterIters + ~2·log2(512)
+    // rounds. The bound asserted here is generous slack over the measured
+    // count but two orders below the propagation-only cost.
+    val pairs = (1L until 512L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = LlmOps.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 512)
+    assert(out.values.forall(_ == 1L), "every chain node must resolve to the component min")
+    val iters = LlmOps.lastClusterIterations.get()
+    assert(iters <= 25,
+      s"deep-chain fixpoint took $iters rounds - pointer-jump is not engaging")
+  }
+
   test("cluster resolution: reliable-checkpoint path matches localCheckpoint and writes files") {
     // spark.graft.cc.checkpointDir is the cluster-deployment branch of the
     // CC loop (reliable checkpoints survive executor loss where
