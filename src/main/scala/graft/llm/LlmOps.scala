@@ -817,6 +817,49 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "cosine")
   }
 
+  /** One-bit flip of a '0'/'1' bucket string at position `i` (1-based) —
+    * shared SQL dialect (concat/substr/case) so the DuckDB oracle can
+    * interpolate the identical expression.
+    */
+  def flipBitSql(b: String, i: Int, bits: Int): String =
+    s"concat(substr($b, 1, ${i - 1}), " +
+      s"case when substr($b, $i, 1) = '1' then '0' else '1' end, " +
+      s"substr($b, ${i + 1}, ${bits - i}))"
+
+  /** Multi-probe LSH ANN: like [[annLsh]] but each query also probes every
+    * Hamming-distance-1 neighbor of its sign bucket (bits+1 probe keys per
+    * query). A true near neighbor that straddles ONE hyperplane — the
+    * dominant LSH miss mode, since a high-cosine pair disagrees on few
+    * signs — lands in exactly such a bucket, so recall rises sharply for a
+    * bounded extra scan (candidates grow ~(bits+1)/2^bits of the corpus,
+    * still bucket-local).
+    *
+    * Scale: probe keys stay broadcast (nQueries·(bits+1) rows); the probe
+    * buckets of one query are distinct by construction, so no candidate
+    * dedup pass is needed and the join output stays linear in the probed
+    * bucket mass. Deterministic buckets keep it oracle-expressible.
+    */
+  def annMultiprobe(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      bucketBits: Int = 8): DataFrame = {
+    val base = embBase(emb, idCol, vecCol)
+      .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("bucket").as("qbucket"), col("nrm").as("qnrm"))
+    val probes = q.select(col("qid"), col("qe"), col("qnrm"),
+      explode(array(col("qbucket") +: (1 to bucketBits).map(i =>
+        expr(flipBitSql("qbucket", i, bucketBits))): _*)).as("probe"))
+    val scored = base.join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

@@ -47,6 +47,7 @@ object LlmQueries {
     "llm_ann_quantized" -> ((s, d) => LlmOps.annQuantized(Tables.embeddings(s, d))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
+    "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -107,6 +108,7 @@ object LlmQueries {
     "llm_ann_quantized" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
     "llm_ann_lsh"       -> Seq(col("qid"), col("rnk")),
+    "llm_ann_multiprobe" -> Seq(col("qid"), col("rnk")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
     "llm_token_count"   -> Seq(col("doc_id")),
@@ -422,6 +424,25 @@ object LlmQueries {
          |scored AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
          |  FROM based b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+         |),
+         |r AS (SELECT qid, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // annLsh widened to Hamming-1 probe buckets: probe keys = own bucket +
+    // the 8 one-bit flips, identical flip expression on both engines
+    "llm_ann_multiprobe" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |based AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qbucket, nrm AS qnrm FROM based WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT qid, qe, qnrm, unnest([qbucket, ${(1 to 8).map(i => LlmOps.flipBitSql("qbucket", i, 8)).mkString(", ")}]) AS probe
+         |  FROM q
+         |),
+         |scored AS (
+         |  SELECT p.qid, b.vec_id, ${dotDuck("p.qe", "b.e")} / (p.qnrm * b.nrm) AS cosine
+         |  FROM based b JOIN probes p ON b.bucket = p.probe AND b.vec_id <> p.qid
          |),
          |r AS (SELECT qid, vec_id, cosine,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk

@@ -391,6 +391,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ann multiprobe: recovers the true NN one hyperplane away that lsh misses") {
+    // The dominant LSH miss mode: a high-cosine neighbor that straddles
+    // exactly one hyperplane. Query (id 0) has a barely-positive first
+    // coordinate; its TRUE nearest neighbor (id 1) is identical except
+    // that coordinate is barely negative → Hamming-1 bucket. Same-bucket
+    // id 2 is a weaker match. annLsh must rank id 2 first and never see
+    // id 1; annMultiprobe must find id 1 and rank it first.
+    val vecs = Seq(
+      (0L, Array(0.1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (1L, Array(-0.1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)), // true NN, 1 sign flip
+      (2L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),    // same bucket, weaker
+      (3L, Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val lsh = LlmOps.annLsh(vecs, k = 2, nQueries = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // rnk -> vec_id
+    assert(lsh.values.toSet === Set(2L), "lsh must only see the same-bucket candidate")
+    val mp = LlmOps.annMultiprobe(vecs, k = 2, nQueries = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(mp === Map(1L -> 1L, 2L -> 2L),
+      "multiprobe must recover the Hamming-1 true NN and rank it first")
+  }
+
   test("text stats: token counts and ratios") {
     val d = docs(1L -> "the cat sat, on the mat!")
     val r = TextAnalysis.textStats(d).collect()(0)
