@@ -32,7 +32,9 @@ object Streaming {
       sourceDir: String,
       checkpointDir: String,
       cutoffMs: Long = CdcView.SinceCutoffMs,
-      maxFilesPerTrigger: Int = 1)
+      maxFilesPerTrigger: Int = 1,
+      dedupe: Boolean = false,
+      dedupeDelay: String = "2 days")
 
   /** events.parquet schema with ts as epoch-nanos long (see graft.Tables). */
   val eventsSchema: StructType = StructType(Seq(
@@ -43,14 +45,26 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Build the streaming delivery DataFrame (unstarted). */
+  /** Build the streaming delivery DataFrame (unstarted). With
+    * `spec.dedupe` set, ingest-side replay dedup
+    * ([[graft.streaming.Windows.dedupStream]]) runs BEFORE the route: an
+    * event_id re-delivered by the source in a later micro-batch (the
+    * at-least-once replay the reference leaves to consumers, ref
+    * `app/services/sf_pubsub.py:753-754`) is suppressed by watermark-
+    * bounded state, so the delivery sink sees each event once.
+    * `CdcView.fromEvents` selects its own columns, so the dedup's
+    * event_time never leaks into the delivery schema.
+    */
   def routed(spark: SparkSession, spec: PipelineSpec): DataFrame = {
     graft.Tables.setup(spark)
     val src = spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", spec.maxFilesPerTrigger)
       .parquet(spec.sourceDir)
-    Pipeline.deliveries(CdcView.fromEvents(src), spec.cutoffMs)
+    val ingest = if (spec.dedupe)
+      graft.streaming.Windows.dedupStream(src, spec.dedupeDelay)
+    else src
+    Pipeline.deliveries(CdcView.fromEvents(ingest), spec.cutoffMs)
   }
 
   /** Start the pipeline with a delivery callback (K1 webhook analog).

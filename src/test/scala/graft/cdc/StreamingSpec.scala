@@ -95,6 +95,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batchRun).isEmpty && batchRun.exceptAll(streamed).isEmpty)
   }
 
+  test("ingest dedup in the delivery path: cross-batch replayed events delivered once") {
+    // The source re-delivers events 400-499 in the second micro-batch —
+    // the at-least-once replay the reference leaves to consumers. With
+    // spec.dedupe the pipeline suppresses them before the route, so the
+    // parquet sink holds each delivery exactly once; without it the
+    // duplicates flow through (control, proves the fixture is real).
+    // dedupeDelay is made huge so the assertion isolates duplicate
+    // suppression from late-row drops (watermark semantics are covered by
+    // WindowsSpec).
+    val src = tmp("graft-src6"); val out = tmp("graft-out6"); val outDup = tmp("graft-out6d")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.filter(col("event_id") < 500).coalesce(1).write.parquet(s"$src/s1")
+    ev.filter(col("event_id") >= 400).coalesce(1).write.parquet(s"$src/s2")
+    val d = new java.io.File(src)
+    for (sub <- Seq("s1", "s2"); f <- new java.io.File(d, sub).listFiles()
+         if f.getName.endsWith(".parquet")) {
+      Files.move(f.toPath, new java.io.File(d, s"$sub.parquet").toPath)
+    }
+    Seq("s1", "s2").foreach { sub =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d, sub))
+    }
+
+    val deduped = Streaming.PipelineSpec("c1", src, tmp("graft-ckp6"),
+      dedupe = true, dedupeDelay = "36500 days")
+    Streaming.startToParquet(spark, deduped, out).awaitTermination()
+    val streamed = spark.read.parquet(out).drop("client_id")
+    val batch = Pipeline.deliveries(CdcView(spark, "/root/testdata/sf0.001"))
+    assert(streamed.count() === batch.count(), "each replayed event delivered exactly once")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // control: same source without dedupe delivers the replayed slice twice
+    val plain = Streaming.PipelineSpec("c1", src, tmp("graft-ckp6d"))
+    Streaming.startToParquet(spark, plain, outDup).awaitTermination()
+    val dupCount = spark.read.parquet(outDup).count()
+    assert(dupCount > batch.count(),
+      "fixture invalid: the overlap slice produced no duplicate deliveries")
+  }
+
   test("K4 alert listener captures terminated-with-error") {
     val src = tmp("graft-src3"); val ckp = tmp("graft-ckp3")
     writeSlices(src)
