@@ -725,6 +725,48 @@ object LlmOps {
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
   }
 
+  /** Sequence packing — the last step of a pretraining data build: the
+    * corpus is one long token stream (docs concatenated in deterministic
+    * doc_id order) chunked into fixed `budget`-token training sequences,
+    * doc boundaries ignored (GPT-style packing). Output per doc: its
+    * global token offset and the first/last sequence index it lands in —
+    * everything a packer needs to materialize sequence shards.
+    *
+    * The core is a corpus-global prefix sum, which a naive
+    * `Window.orderBy(doc_id)` would serialize onto ONE partition — the
+    * classic scale trap. This is the standard two-level distributed
+    * prefix sum instead: (1) cumsum inside doc_id-range shards (a
+    * partitioned window, parallel), (2) per-shard totals — one tiny row
+    * per shard — get their own running sum and broadcast back as each
+    * shard's global offset. At 100 TB the only serial work is the
+    * shard-total window, `corpus/shardSize` rows; `shardSize` dials that
+    * (and a third level nests the same trick if ever needed).
+    *
+    * Token counts are whitespace tokens ([[TextAnalysis.tokenCount]]'s
+    * `ws_tokens`), exact integers — both engines agree bit-for-bit.
+    */
+  def packSequences(corpus: DataFrame, budget: Int = 2048,
+      shardSize: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = textCorpus(corpus, idCol, textCol)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val sharded = toks.withColumn("shard", expr(s"doc_id div $shardSize"))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
+    val within = sharded.withColumn("cum", sum("n_tokens").over(wIn))
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_total"))
+      .withColumn("shard_off", coalesce(sum("shard_total").over(wShard), lit(0L)))
+      .select("shard", "shard_off")
+    within.join(broadcast(offsets), Seq("shard"))
+      .withColumn("start_off", col("shard_off") + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $budget").as("seq_first"),
+        expr(s"(start_off + n_tokens - 1) div $budget").as("seq_last"))
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes

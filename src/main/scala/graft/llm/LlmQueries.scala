@@ -58,6 +58,7 @@ object LlmQueries {
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
     "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
       Tables.documents(s, d), perStratum = 25)),
+    "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
@@ -98,6 +99,7 @@ object LlmQueries {
     "llm_dedup_semantic" -> Seq(col("vec_id")),
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
+    "llm_pack_sequences" -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
@@ -340,6 +342,19 @@ object LlmQueries {
         |  COALESCE(nb.n_boiler, 0) AS n_boiler,
         |  CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(grams) AS boiler_frac
         |FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // the shard-decomposed prefix sum equals the plain global window sum
+    // by construction, so the oracle states the math directly; the CAST
+    // keeps DuckDB's SUM(BIGINT)→HUGEINT from drifting the schema
+    "llm_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |      FROM toks)
+         |SELECT doc_id, n_tokens, start_off,
+         |  start_off // 2048 AS seq_first,
+         |  (start_off + n_tokens - 1) // 2048 AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

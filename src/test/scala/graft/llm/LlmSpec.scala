@@ -413,6 +413,30 @@ class LlmSpec extends SparkSpec {
       "multiprobe must recover the Hamming-1 true NN and rank it first")
   }
 
+  test("pack sequences: global offsets across shards, spans straddle the budget") {
+    // shardSize=2 forces the two-level prefix sum across 3 shards;
+    // budget=5 makes doc 3 straddle sequences 0-1 and doc 6 start exactly
+    // on a boundary. Token counts: 3,4,2,5,1,3 → offsets 0,3,7,9,14,15.
+    val d = docs(
+      1L -> "a b c", 2L -> "d e f g", 3L -> "h i",
+      4L -> "j k l m n", 5L -> "o", 6L -> "p q r")
+    val out = LlmOps.packSequences(d, budget = 5, shardSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 0L, 0L, 0L)),   // tokens 0-2   → seq 0
+      2L -> ((4L, 3L, 0L, 1L)),   // tokens 3-6   → straddles 0→1
+      3L -> ((2L, 7L, 1L, 1L)),
+      4L -> ((5L, 9L, 1L, 2L)),
+      5L -> ((1L, 14L, 2L, 2L)),
+      6L -> ((3L, 15L, 3L, 3L)))) // starts exactly on the seq-3 boundary
+    // scale guard: the corpus-sized window must be partitioned by shard —
+    // only the tiny shard-totals window may be unpartitioned
+    val plan = LlmOps.packSequences(d, budget = 5, shardSize = 2)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("shard")), "per-doc cumsum must partition by shard")
+  }
+
   test("text stats: token counts and ratios") {
     val d = docs(1L -> "the cat sat, on the mat!")
     val r = TextAnalysis.textStats(d).collect()(0)
