@@ -53,6 +53,7 @@ object LlmQueries {
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "llm_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "llm_repetition"    -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "llm_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d))),
     "llm_train_split"   -> ((s, d) => TextAnalysis.trainValSplit(Tables.documents(s, d))),
     "llm_sample_hash"   -> ((s, d) => LlmOps.sampleByHash(
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
@@ -116,6 +117,7 @@ object LlmQueries {
     "llm_token_count"   -> Seq(col("doc_id")),
     "llm_fingerprint"   -> Seq(col("doc_id")),
     "llm_repetition"    -> Seq(col("doc_id")),
+    "llm_quality_filter" -> Seq(col("doc_id")),
     "llm_train_split"   -> Seq(col("doc_id")),
     "llm_scrub_pii"     -> Seq(col("doc_id")),
     "mm_embed_join"     -> Seq(col("label")),
@@ -577,6 +579,30 @@ object LlmQueries {
          |  SELECT doc_id, ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
          |  FROM documents
          |) ORDER BY doc_id""".stripMargin,
+
+    // per-rule fail flags + keep, mirrored threshold-for-threshold; both
+    // engines derive the same doubles, so the boolean cuts agree exactly
+    "llm_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, text, toks,
+         |    list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS all3
+         |  FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+         |    1.0 - CAST(len(list_distinct(all3)) AS DOUBLE) / len(all3) AS rep3_frac,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+         |  FROM g),
+         |f AS (SELECT doc_id, n_tokens, avg_token_len, rep3_frac, punct_ratio,
+         |    n_tokens < 10 AS fail_short,
+         |    avg_token_len > CAST(12.0 AS DOUBLE) AS fail_token_len,
+         |    rep3_frac > CAST(0.2 AS DOUBLE) AS fail_repetition,
+         |    punct_ratio > CAST(0.3 AS DOUBLE) AS fail_punct
+         |  FROM s)
+         |SELECT doc_id, n_tokens, avg_token_len, rep3_frac, punct_ratio,
+         |  fail_short, fail_token_len, fail_repetition, fail_punct,
+         |  NOT fail_short AND NOT fail_token_len AND NOT fail_repetition AND NOT fail_punct AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "llm_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

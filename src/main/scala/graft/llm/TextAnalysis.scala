@@ -97,6 +97,38 @@ object TextAnalysis {
         (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
           .as("rep3_frac"))
 
+  /** C4/Gopher-style rule-based quality filter — the composed keep/drop
+    * decision a curation pipeline runs before training, with per-rule
+    * fail flags kept observable (corpus forensics need to know WHY a doc
+    * dropped, not just that it did): too short, implausible mean token
+    * length, trigram repetition, punctuation density. One narrow
+    * projection, no shuffle, whole-stage-codegen friendly — linear at any
+    * corpus size. Thresholds are the knobs; defaults follow the published
+    * heuristics (Gopher word-length band, C4-ish repetition cut).
+    */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 10,
+      maxAvgTokenLen: Double = 12.0, maxRep3: Double = 0.2,
+      maxPunctRatio: Double = 0.3): DataFrame =
+    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumn("all3", expr(
+        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
+          .as("avg_token_len"),
+        (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
+          .as("rep3_frac"),
+        (expr("cast(regexp_count(text, '[^a-z0-9 ]') as double)") /
+          greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"))
+      .withColumn("fail_short", col("n_tokens") < minTokens)
+      .withColumn("fail_token_len", col("avg_token_len") > maxAvgTokenLen)
+      .withColumn("fail_repetition", col("rep3_frac") > maxRep3)
+      .withColumn("fail_punct", col("punct_ratio") > maxPunctRatio)
+      .withColumn("keep", !col("fail_short") && !col("fail_token_len") &&
+        !col("fail_repetition") && !col("fail_punct"))
+
   /** PII scrubbing: mask email-shaped and long-digit-run tokens — the
     * text-cleaning pass every corpus pipeline runs before training. The
     * regexes stay in the Java∩RE2 common dialect so the oracle matches.

@@ -437,6 +437,23 @@ class LlmSpec extends SparkSpec {
     assert(windows.exists(_.contains("shard")), "per-doc cumsum must partition by shard")
   }
 
+  test("quality filter: each rule fires on its own pathology, clean doc keeps") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      1L -> clean,                                    // keeps
+      2L -> "too short",                              // < 10 tokens
+      3L -> (1 to 15).map(_ => "pneumonoultramicroscopicsilico").mkString(" "), // avg len
+      4L -> ((1 to 20).map(_ => "spam spam spam").mkString(" ")), // repetition
+      5L -> ((1 to 15).map(i => s"w$i!!!???##").mkString(" ")))   // punct density
+    val out = TextAnalysis.qualityFilter(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Boolean]("fail_short") && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Boolean]("fail_token_len") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("fail_repetition") && !out(4L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Boolean]("fail_punct") && !out(5L).getAs[Boolean]("keep"))
+  }
+
   test("text stats: token counts and ratios") {
     val d = docs(1L -> "the cat sat, on the mat!")
     val r = TextAnalysis.textStats(d).collect()(0)
