@@ -437,6 +437,21 @@ class LlmSpec extends SparkSpec {
     assert(windows.exists(_.contains("shard")), "per-doc cumsum must partition by shard")
   }
 
+  test("flipBitSql flips exactly position i, including both boundary bits") {
+    // bit 1 exercises the empty head substr, bit 8 the empty tail substr —
+    // the off-by-one hazards of the shared Spark/DuckDB flip expression
+    val base = "10110010"
+    val df = Seq(base).toDF("b")
+    (1 to 8).foreach { i =>
+      val flipped = df.selectExpr(LlmOps.flipBitSql("b", i, 8)).head.getString(0)
+      assert(flipped.length === 8, s"bit $i changed the length")
+      flipped.zipWithIndex.foreach { case (c, j) =>
+        if (j == i - 1) assert(c !== base(j), s"bit $i not flipped")
+        else assert(c === base(j), s"bit $i disturbed position ${j + 1}")
+      }
+    }
+  }
+
   test("quality filter: each rule fires on its own pathology, clean doc keeps") {
     val clean = (1 to 30).map(i => s"word$i").mkString(" ")
     val d = docs(
