@@ -90,8 +90,11 @@ object Bench {
     val partialJson = partialFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentSorted = sentinelTimes.sorted
     val sentMed = if (sentSorted.nonEmpty) sentSorted((sentSorted.size - 1) / 2) else 0.0
+    // nearest-rank p90 = ceil(0.9n)-1: (n*0.9).toInt overshoots by one
+    // rank whenever 0.9n is exact (n a multiple of 10), reporting the max
+    // as "p90" at n=10 — the false load signal the sentinel exists to avoid
     val sentP90 = if (sentSorted.nonEmpty)
-      sentSorted(math.min(sentSorted.size - 1, (sentSorted.size * 0.9).toInt)) else 0.0
+      sentSorted(math.max(0, math.ceil(sentSorted.size * 0.9).toInt - 1)) else 0.0
     val sentDisp = if (sentMed > 0) sentP90 / sentMed else 0.0
 
     // ---- per-query floor: the fixed cost every measured query pays that

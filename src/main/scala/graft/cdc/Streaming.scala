@@ -54,6 +54,16 @@ object Streaming {
     * bounded state, so the delivery sink sees each event once.
     * `CdcView.fromEvents` selects its own columns, so the dedup's
     * event_time never leaks into the delivery schema.
+    *
+    * The watermark bound cuts both ways: a FIRST-TIME event arriving more
+    * than `dedupeDelay` of event time behind the observed maximum is
+    * dropped as late by the stateful operator — that is what bounds the
+    * state, but it means `dedupe = true` trades the unconditional
+    * at-least-once contract for "at-least-once within `dedupeDelay` of
+    * disorder". Size `dedupeDelay` to the source's maximum out-of-order
+    * skew (a replayed event arrives close to its original, so dedup
+    * itself needs only a short horizon); leave `dedupe = false` where
+    * late data must never be lost.
     */
   def routed(spark: SparkSession, spec: PipelineSpec): DataFrame = {
     graft.Tables.setup(spark)

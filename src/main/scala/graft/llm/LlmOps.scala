@@ -751,7 +751,11 @@ object LlmOps {
     val toks = textCorpus(corpus, idCol, textCol)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    // both the window branch and the shard-totals branch read this frame —
+    // persist it (ids + counts only, text never cached) or the corpus gets
+    // scanned and tokenized twice
     val sharded = toks.withColumn("shard", expr(s"doc_id div $shardSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy("shard").orderBy("doc_id")
     val within = sharded.withColumn("cum", sum("n_tokens").over(wIn))
     val wShard = Window.orderBy("shard")
@@ -835,29 +839,47 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "idot")
   }
 
-  /** LSH-bucketed ANN: each query probes only its own hyperplane
-    * sign-bucket (the same LSH as [[dedupCosine]]) — the scale path where
-    * the scanned candidate set drops by the bucket count (~2^bits);
-    * recall is tuned by widening the code or probing neighbor buckets.
-    * Complements [[annIvf]], whose coarse quantizer is a learned label.
+  /** Shared scaffold of the sign-bucket ANN family: bucket + norm the
+    * corpus, broadcast the query rows expanded to their probe buckets
+    * (exact bucket only, or bucket ∪ Hamming-1 neighbors), score within
+    * probed buckets, window top-k. One implementation keeps [[annLsh]] and
+    * [[annMultiprobe]] — and their shared tie-breaking — from diverging.
     */
-  def annLsh(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
-      vecCol: String = "embedding", nQueries: Int = 8,
-      bucketBits: Int = 8): DataFrame = {
+  private def annSignBucketed(emb: DataFrame, k: Int, idCol: String,
+      vecCol: String, nQueries: Int, bucketBits: Int,
+      hamming1: Boolean): DataFrame = {
     val base = embBase(emb, idCol, vecCol)
       .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-    val scored = base.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+    val probeKeys =
+      if (!hamming1) array(col("qbucket"))
+      else array(col("qbucket") +: (1 to bucketBits).map(i =>
+        expr(flipBitSql("qbucket", i, bucketBits))): _*)
+    val probes = q.select(col("qid"), col("qe"), col("qnrm"),
+      explode(probeKeys).as("probe"))
+    val scored = base.join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "cosine")
   }
+
+  /** LSH-bucketed ANN: each query probes only its own hyperplane
+    * sign-bucket (the same LSH as [[dedupCosine]]) — the scale path where
+    * the scanned candidate set drops by the bucket count (~2^bits);
+    * recall is tuned by widening the code or probing neighbor buckets
+    * ([[annMultiprobe]]). Complements [[annIvf]], whose coarse quantizer
+    * is a learned label.
+    */
+  def annLsh(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      bucketBits: Int = 8): DataFrame =
+    annSignBucketed(emb, k, idCol, vecCol, nQueries, bucketBits, hamming1 = false)
 
   /** One-bit flip of a '0'/'1' bucket string at position `i` (1-based) —
     * shared SQL dialect (concat/substr/case) so the DuckDB oracle can
@@ -883,24 +905,8 @@ object LlmOps {
     */
   def annMultiprobe(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
-      bucketBits: Int = 8): DataFrame = {
-    val base = embBase(emb, idCol, vecCol)
-      .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
-      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("bucket").as("qbucket"), col("nrm").as("qnrm"))
-    val probes = q.select(col("qid"), col("qe"), col("qnrm"),
-      explode(array(col("qbucket") +: (1 to bucketBits).map(i =>
-        expr(flipBitSql("qbucket", i, bucketBits))): _*)).as("probe"))
-    val scored = base.join(broadcast(probes),
-        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
-      .select("qid", "rnk", "vec_id", "cosine")
-  }
+      bucketBits: Int = 8): DataFrame =
+    annSignBucketed(emb, k, idCol, vecCol, nQueries, bucketBits, hamming1 = true)
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path

@@ -595,7 +595,7 @@ object LlmQueries {
          |  FROM g),
          |f AS (SELECT doc_id, n_tokens, avg_token_len, rep3_frac, punct_ratio,
          |    n_tokens < 10 AS fail_short,
-         |    avg_token_len > CAST(12.0 AS DOUBLE) AS fail_token_len,
+         |    avg_token_len < CAST(3.0 AS DOUBLE) OR avg_token_len > CAST(12.0 AS DOUBLE) AS fail_token_len,
          |    rep3_frac > CAST(0.2 AS DOUBLE) AS fail_repetition,
          |    punct_ratio > CAST(0.3 AS DOUBLE) AS fail_punct
          |  FROM s)

@@ -80,6 +80,18 @@ object TextAnalysis {
         (length(col("text")).cast("double") / size(split(col("text"), " ")))
           .as("chars_per_token"))
 
+  /** (doc_id, text, toks, shingles, all3, rep3_frac): trigram-repetition
+    * columns shared by [[repetition]] and [[qualityFilter]] — one
+    * definition, so the documented invariant that both queries derive the
+    * SAME doubles (and the same oracle mirror) cannot silently diverge.
+    */
+  private def withRep3(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumn("all3", expr(
+        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .withColumn("rep3_frac",
+        lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
+
   /** Intra-document repetition scoring — the standard "fraction of
     * duplicated word n-grams" curation signal (a high score marks
     * boilerplate/looping text): rep_n = 1 - distinct/total over word
@@ -87,43 +99,40 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .withColumn("all3", expr(
-        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+    withRep3(docs, idCol, textCol)
       .select(
         col("doc_id"),
         size(col("all3")).cast("bigint").as("n_grams"),
         size(col("shingles")).cast("bigint").as("n_distinct"),
-        (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
-          .as("rep3_frac"))
+        col("rep3_frac"))
 
   /** C4/Gopher-style rule-based quality filter — the composed keep/drop
     * decision a curation pipeline runs before training, with per-rule
     * fail flags kept observable (corpus forensics need to know WHY a doc
-    * dropped, not just that it did): too short, implausible mean token
-    * length, trigram repetition, punctuation density. One narrow
+    * dropped, not just that it did): too short, mean token length outside
+    * the plausible band (BOTH cuts — single-character gibberish fails the
+    * low side, unbroken-run junk the high side, the Gopher word-length
+    * band), trigram repetition, punctuation density. One narrow
     * projection, no shuffle, whole-stage-codegen friendly — linear at any
     * corpus size. Thresholds are the knobs; defaults follow the published
     * heuristics (Gopher word-length band, C4-ish repetition cut).
     */
   def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minTokens: Int = 10,
-      maxAvgTokenLen: Double = 12.0, maxRep3: Double = 0.2,
-      maxPunctRatio: Double = 0.3): DataFrame =
-    LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .withColumn("all3", expr(
-        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 12.0,
+      maxRep3: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame =
+    withRep3(docs, idCol, textCol)
       .select(
         col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
           .as("avg_token_len"),
-        (lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
-          .as("rep3_frac"),
+        col("rep3_frac"),
         (expr("cast(regexp_count(text, '[^a-z0-9 ]') as double)") /
           greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"))
       .withColumn("fail_short", col("n_tokens") < minTokens)
-      .withColumn("fail_token_len", col("avg_token_len") > maxAvgTokenLen)
+      .withColumn("fail_token_len",
+        col("avg_token_len") < minAvgTokenLen || col("avg_token_len") > maxAvgTokenLen)
       .withColumn("fail_repetition", col("rep3_frac") > maxRep3)
       .withColumn("fail_punct", col("punct_ratio") > maxPunctRatio)
       .withColumn("keep", !col("fail_short") && !col("fail_token_len") &&

@@ -459,7 +459,8 @@ class LlmSpec extends SparkSpec {
       2L -> "too short",                              // < 10 tokens
       3L -> (1 to 15).map(_ => "pneumonoultramicroscopicsilico").mkString(" "), // avg len
       4L -> ((1 to 20).map(_ => "spam spam spam").mkString(" ")), // repetition
-      5L -> ((1 to 15).map(i => s"w$i!!!???##").mkString(" ")))   // punct density
+      5L -> ((1 to 15).map(i => s"w$i!!!???##").mkString(" ")),   // punct density
+      6L -> ('a' to 'o').mkString(" "))  // 15 single-char tokens → low band cut
     val out = TextAnalysis.qualityFilter(d).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Boolean]("keep"))
@@ -467,6 +468,8 @@ class LlmSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("fail_token_len") && !out(3L).getAs[Boolean]("keep"))
     assert(out(4L).getAs[Boolean]("fail_repetition") && !out(4L).getAs[Boolean]("keep"))
     assert(out(5L).getAs[Boolean]("fail_punct") && !out(5L).getAs[Boolean]("keep"))
+    // the Gopher band is two-sided: single-char gibberish fails LOW
+    assert(out(6L).getAs[Boolean]("fail_token_len") && !out(6L).getAs[Boolean]("keep"))
   }
 
   test("text stats: token counts and ratios") {
