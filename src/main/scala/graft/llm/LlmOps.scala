@@ -725,6 +725,39 @@ object LlmOps {
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
   }
 
+  /** Window length for [[dedupSpans]] (tokens). */
+  val SpanWindow = 10
+
+  /** Exact substring-span dedup — the k-gram-fingerprint approximation of
+    * suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): hash every [[SpanWindow]]-token window
+    * (stride 1) and flag the windows whose hash occurs ≥2 times
+    * corpus-wide, within-doc repeats included. Where the minhash family
+    * answers "are these documents near-copies?", this answers "which exact
+    * SPANS are duplicated?" — the signal used to cut repeated boilerplate
+    * runs out of otherwise-unique documents.
+    *
+    * Scale: the window table is one row per token (the same volume class
+    * as [[decontaminate]]'s exploded shingles), the groupBy is a
+    * map-side-combinable count on the 56-bit hash, and the join back
+    * touches only duplicated hashes — output is proportional to the
+    * duplicated mass, not the corpus. Docs shorter than the window get
+    * one whole-doc window (the [[withShingles]] convention).
+    */
+  def dedupSpans(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = SpanWindow): DataFrame = {
+    val wins = textCorpus(corpus, idCol, textCol)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(toks)-${window - 1}, 1)), " +
+          s"i -> ${h56(s"concat_ws(' ', slice(toks, i, $window))")})"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"), col("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    wins.join(dup, Seq("h")).select("doc_id", "pos", "h", "n_occ")
+  }
+
   /** Sequence packing — the last step of a pretraining data build: the
     * corpus is one long token stream (docs concatenated in deterministic
     * doc_id order) chunked into fixed `budget`-token training sequences,

@@ -60,6 +60,8 @@ object LlmQueries {
     "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
       Tables.documents(s, d), perStratum = 25)),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
+    // run over the injected-near-dup corpus so duplicated spans exist
+    "llm_dedup_spans" -> ((s, d) => LlmOps.dedupSpans(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
@@ -101,6 +103,7 @@ object LlmQueries {
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
+    "llm_dedup_spans"   -> Seq(col("doc_id"), col("pos")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
@@ -344,6 +347,18 @@ object LlmQueries {
         |  COALESCE(nb.n_boiler, 0) AS n_boiler,
         |  CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / len(grams) AS boiler_frac
         |FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // every 10-token window hashed stride-1; only hashes with corpus-wide
+    // occurrence >= 2 survive the join back — mirrors LlmOps.dedupSpans
+    "llm_dedup_spans" ->
+      s"""WITH corpus AS (${LlmOps.NearCorpusSql}),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |p AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-${LlmOps.SpanWindow - 1}, 1)+1)) AS pos FROM t),
+         |wins AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h56Duck(s"array_to_string(list_slice(toks, pos, pos+${LlmOps.SpanWindow - 1}), ' ')")} AS h
+         |  FROM p),
+         |dup AS (SELECT h, count(*) AS n_occ FROM wins GROUP BY h HAVING count(*) >= 2)
+         |SELECT doc_id, pos, h, n_occ FROM wins JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin,
 
     // the shard-decomposed prefix sum equals the plain global window sum
     // by construction, so the oracle states the math directly; the CAST

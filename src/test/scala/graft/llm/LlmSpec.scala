@@ -413,6 +413,21 @@ class LlmSpec extends SparkSpec {
       "multiprobe must recover the Hamming-1 true NN and rank it first")
   }
 
+  test("span dedup flags exactly the duplicated 10-token windows, nothing else") {
+    // docs 1 and 2 share tokens s1..s12 verbatim (doc 2 embeds them at
+    // token position 4); all other tokens are unique. Only windows fully
+    // inside the shared region duplicate: 12-10+1 = 3 start positions per
+    // doc, boundary-crossing windows mix in unique tokens and stay unflagged.
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = s"$span " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val d2 = (1 to 3).map(i => s"b$i").mkString(" ") + s" $span " +
+      (1 to 20).map(i => s"c$i").mkString(" ")
+    val out = LlmOps.dedupSpans(docs(1L -> d1, 2L -> d2)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L)))
+    assert(out.forall(_.getAs[Long]("n_occ") === 2L))
+  }
+
   test("pack sequences: global offsets across shards, spans straddle the budget") {
     // shardSize=2 forces the two-level prefix sum across 3 shards;
     // budget=5 makes doc 3 straddle sequences 0-1 and doc 6 start exactly
