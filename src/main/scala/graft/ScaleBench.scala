@@ -71,7 +71,8 @@ object ScaleBench {
     val headline = Seq("q1_agg", "q_topk_parts", "q5_nation_revenue",
       "q3_topk_orders", "q17_small_qty_revenue",
       "llm_dedup_exact", "llm_dedup_minhash",
-      "llm_dedup_clusters", "llm_dedup_apply")
+      "llm_dedup_clusters", "llm_dedup_apply",
+      "llm_dedup_spans", "llm_pack_sequences")
     // queries that run the CC fixpoint — their iteration count (component
     // diameter) is the scale-safety figure: it must stay flat as the
     // corpus grows, or the lineage-truncation cadence needs revisiting
