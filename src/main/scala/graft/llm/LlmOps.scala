@@ -758,6 +758,39 @@ object LlmOps {
     wins.join(dup, Seq("h")).select("doc_id", "pos", "h", "n_occ")
   }
 
+  /** The apply step of [[dedupSpans]] — Lee-et-al semantics: keep the
+    * FIRST occurrence of every duplicated window (rank by (doc_id, pos)
+    * within each hash — deterministic, engine-agnostic), cut the tokens
+    * of every later occurrence, and rebuild each doc's text from the
+    * surviving tokens. Overlapping cut windows merge naturally through
+    * the per-token coverage test. Output: the cleaned corpus plus how
+    * many tokens were cut.
+    *
+    * Scale: the rank is a window over the duplicated hashes only; the
+    * cut list per doc is collected once (bounded by the doc's own window
+    * count) and the token filter is a per-row higher-order function —
+    * no shuffle touches the text until the final join back, which
+    * carries (doc_id, cut positions) only.
+    */
+  def dedupSpansApply(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = SpanWindow): DataFrame = {
+    val flagged = dedupSpans(corpus, idCol, textCol, window)
+    val cuts = flagged.withColumn("occ", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("occ") >= 2)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("cut_pos"))
+    textCorpus(corpus, idCol, textCol)
+      .withColumn("toks", split(col("text"), " "))
+      .join(cuts, Seq("doc_id"), "left")
+      // token index j is 0-based; window positions are 1-based
+      .withColumn("keep_toks", expr(
+        s"CASE WHEN cut_pos IS NULL THEN toks ELSE " +
+          s"filter(toks, (t, j) -> NOT exists(cut_pos, p -> j+1 >= p AND j+1 <= p+${window - 1})) END"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("keep_toks")).as("text_clean"),
+        (size(col("toks")) - size(col("keep_toks"))).cast("bigint").as("n_tokens_cut"))
+  }
+
   /** Sequence packing — the last step of a pretraining data build: the
     * corpus is one long token stream (docs concatenated in deterministic
     * doc_id order) chunked into fixed `budget`-token training sequences,

@@ -62,6 +62,7 @@ object LlmQueries {
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
     "llm_dedup_spans" -> ((s, d) => LlmOps.dedupSpans(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
+    "llm_dedup_spans_apply" -> ((s, d) => LlmOps.dedupSpansApply(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
@@ -104,6 +105,7 @@ object LlmQueries {
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
     "llm_dedup_spans"   -> Seq(col("doc_id"), col("pos")),
+    "llm_dedup_spans_apply" -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
@@ -359,6 +361,29 @@ object LlmQueries {
          |  FROM p),
          |dup AS (SELECT h, count(*) AS n_occ FROM wins GROUP BY h HAVING count(*) >= 2)
          |SELECT doc_id, pos, h, n_occ FROM wins JOIN dup USING (h) ORDER BY doc_id, pos""".stripMargin,
+
+    // keep the first occurrence of every duplicated window (rank within
+    // hash by doc_id, pos), cut the rest, rebuild text from survivors.
+    // DuckDB list lambdas index 1-based = Spark's j+1.
+    "llm_dedup_spans_apply" ->
+      s"""WITH corpus AS (${LlmOps.NearCorpusSql}),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |p AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-${LlmOps.SpanWindow - 1}, 1)+1)) AS pos FROM t),
+         |wins AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h56Duck(s"array_to_string(list_slice(toks, pos, pos+${LlmOps.SpanWindow - 1}), ' ')")} AS h
+         |  FROM p),
+         |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         |occ AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS occ
+         |  FROM wins JOIN dup USING (h)),
+         |cuts AS (SELECT doc_id, list(pos) AS cut_pos FROM occ WHERE occ >= 2 GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, t.toks,
+         |    CASE WHEN c.cut_pos IS NULL THEN t.toks
+         |         ELSE list_filter(t.toks, (tk, i) -> len(list_filter(c.cut_pos, p -> i >= p AND i <= p+${LlmOps.SpanWindow - 1})) = 0)
+         |    END AS keep_toks
+         |  FROM t LEFT JOIN cuts c USING (doc_id))
+         |SELECT doc_id, COALESCE(array_to_string(keep_toks, ' '), '') AS text_clean,
+         |  CAST(len(toks) - len(keep_toks) AS BIGINT) AS n_tokens_cut
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // the shard-decomposed prefix sum equals the plain global window sum
     // by construction, so the oracle states the math directly; the CAST

@@ -428,6 +428,23 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_occ") === 2L))
   }
 
+  test("span dedup apply: first occurrence kept whole, later occurrence cut exactly") {
+    // same fixture as the flagging spec: the 12-token span s1..s12 lives
+    // at pos 1 in doc 1 (first occurrence → kept) and pos 4 in doc 2
+    // (later occurrence → its 3 overlapping cut windows cover tokens
+    // 4..15, exactly the embedded span)
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d1 = s"$span " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val d2 = (1 to 3).map(i => s"b$i").mkString(" ") + s" $span " +
+      (1 to 20).map(i => s"c$i").mkString(" ")
+    val out = LlmOps.dedupSpansApply(docs(1L -> d1, 2L -> d2)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((d1, 0L)), "first occurrence must stay verbatim")
+    val d2Clean = (1 to 3).map(i => s"b$i").mkString(" ") + " " +
+      (1 to 20).map(i => s"c$i").mkString(" ")
+    assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
+  }
+
   test("pack sequences: global offsets across shards, spans straddle the budget") {
     // shardSize=2 forces the two-level prefix sum across 3 shards;
     // budget=5 makes doc 3 straddle sequences 0-1 and doc 6 start exactly
