@@ -725,6 +725,90 @@ object LlmOps {
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
   }
 
+  /** Integer domain weight for a `srcN` source name: N % 3 + 1 (∈ {1,2,3}).
+    * A deterministic stand-in for the per-domain mixture weights a real
+    * training build reads from config — integer so the quota arithmetic is
+    * exact on every engine.
+    */
+  def mixWeightSql(sourceCol: String): String =
+    s"cast(substr($sourceCol, 4) as int) % 3 + 1"
+
+  /** Domain-mixture resampling — the "data mixing" step of a pretraining
+    * build: given per-domain integer weights w_s, emit the LARGEST corpus
+    * subset whose domain proportions are exactly w_s : w_t : …. The
+    * feasible scale is t = min_s(n_s div w_s) (the most constrained domain
+    * caps everyone), each domain keeps its quota k_s = w_s·t, and WHICH
+    * docs fill a quota is the salted-hash-rank rule shared with
+    * [[sampleByHash]]/[[sampleStratified]] — reproducible on any engine or
+    * cluster size, no RNG.
+    *
+    * Scale: domain counts are a map-side-combinable groupBy (one row per
+    * domain); the global min is an agg over that tiny frame, broadcast
+    * back; the only per-doc work is one hash + one windowed rank inside
+    * each domain. Few huge domains ⇒ the rank window skews like any
+    * low-cardinality window — the bounded-buffer [[graft.functions.TopKAgg]]
+    * per domain is the skew-proof swap once k_s fits a heap.
+    */
+  def domainMix(corpus: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val docs = ensureH56(corpus).select(
+        col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .withColumn("w", expr(mixWeightSql("source")).cast("bigint"))
+      .withColumn("pri", expr(h56("concat('mix|', cast(doc_id as string))")))
+    val quotas = docs.groupBy("source", "w").agg(count(lit(1)).as("n_s"))
+      .withColumn("cap", expr("n_s div w"))
+    val t = quotas.agg(min("cap").as("t"))
+    val k = quotas.crossJoin(broadcast(t))
+      .select(col("source"), (col("w") * col("t")).as("k_s"))
+    val wRank = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .join(broadcast(k), Seq("source"))
+      .filter(col("rnk") <= col("k_s"))
+      .select("source", "doc_id", "w", "rnk", "k_s")
+  }
+
+  /** Output shard count for [[globalShuffle]]. */
+  val ShuffleShards = 8
+
+  /** Deterministic global training-order shuffle + shard assignment — the
+    * step that turns a curated corpus into shuffled training shards: every
+    * doc gets a salted 56-bit hash priority (a reproducible pseudo-random
+    * permutation — same order on any engine, cluster size, or rerun), a
+    * global position `idx` in that order, and a round-robin shard
+    * (`idx % shards`) with its in-shard position (`idx div shards`) —
+    * shard sizes balanced to ±1 by construction, each shard preserving
+    * the global order, which is what epoch-deterministic data loaders
+    * need.
+    *
+    * The global rank is the [[packSequences]] scale trap again — a naive
+    * `Window.orderBy(pri)` serializes the corpus onto one partition. Same
+    * cure, keyed differently: the hash priority is uniform on [0, 2^56),
+    * so its top [[ShuffleBucketBits]] bits form balanced pre-sorted range
+    * buckets "for free" (no sampling pass, unlike range partitioning);
+    * rank inside each bucket (parallel window), then bucket COUNTS — one
+    * tiny row each — get the running-sum offset that makes ranks global.
+    */
+  val ShuffleBucketBits = 10
+
+  def globalShuffle(corpus: DataFrame, shards: Int = ShuffleShards,
+      idCol: String = "doc_id"): DataFrame = {
+    val prid = ensureH56(corpus).select(col(idCol).as("doc_id"))
+      .withColumn("pri", expr(h56("concat('shuffle|', cast(doc_id as string))")))
+      .withColumn("bucket", expr(s"pri div ${1L << (56 - ShuffleBucketBits)}"))
+    val wIn = Window.partitionBy("bucket").orderBy(col("pri"), col("doc_id"))
+    val within = prid.withColumn("r_in", row_number().over(wIn).cast("bigint"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = prid.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .withColumn("bucket_off", coalesce(sum("n_b").over(wOff), lit(0L)))
+      .select("bucket", "bucket_off")
+    within.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("idx", col("bucket_off") + col("r_in") - 1)
+      .select(col("doc_id"), col("pri"), col("idx"),
+        (col("idx") % shards).as("shard"),
+        expr(s"idx div $shards").as("pos"))
+  }
+
   /** Window length for [[dedupSpans]] (tokens). */
   val SpanWindow = 10
 

@@ -59,6 +59,8 @@ object LlmQueries {
       Tables.documents(s, d).select("doc_id", "text"), n = 100).select("doc_id", "pri")),
     "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
       Tables.documents(s, d), perStratum = 25)),
+    "llm_domain_mix"    -> ((s, d) => LlmOps.domainMix(Tables.documents(s, d))),
+    "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
     "llm_dedup_spans" -> ((s, d) => LlmOps.dedupSpans(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -102,6 +104,8 @@ object LlmQueries {
     "llm_dedup_apply"   -> Seq(col("doc_id")),
     "llm_dedup_semantic" -> Seq(col("vec_id")),
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
+    "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
+    "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
     "llm_dedup_spans"   -> Seq(col("doc_id"), col("pos")),
@@ -611,6 +615,38 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
          |  FROM pri)
          |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // largest exact-proportion subset: t = min(n_s div w_s), quota w_s*t,
+    // quota filled by the lowest salted-hash ranks — integer math + the
+    // shared h56 priority keep both engines doc-identical
+    "llm_domain_mix" ->
+      s"""WITH docs AS (
+         |  SELECT source, doc_id,
+         |    CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT) AS w,
+         |    ${h56Duck("concat('mix|', CAST(doc_id AS VARCHAR))")} AS pri
+         |  FROM documents
+         |),
+         |q AS (SELECT source, w, count(*) AS n_s FROM docs GROUP BY source, w),
+         |t AS (SELECT min(n_s // w) AS t FROM q),
+         |k AS (SELECT source, w * t.t AS k_s FROM q CROSS JOIN t),
+         |r AS (SELECT source, doc_id, w, pri,
+         |        CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT) AS rnk
+         |      FROM docs)
+         |SELECT r.source, r.doc_id, r.w, r.rnk, k.k_s
+         |FROM r JOIN k USING (source) WHERE r.rnk <= k.k_s ORDER BY source, doc_id""".stripMargin,
+
+    // the oracle states the semantics directly (one global window); the
+    // Spark side's bucketed two-level rank equals it by construction
+    "llm_global_shuffle" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    ${h56Duck("concat('shuffle|', CAST(doc_id AS VARCHAR))")} AS pri
+         |  FROM documents),
+         |r AS (SELECT doc_id, pri,
+         |        CAST(row_number() OVER (ORDER BY pri, doc_id) - 1 AS BIGINT) AS idx
+         |      FROM p)
+         |SELECT doc_id, pri, idx, idx % ${LlmOps.ShuffleShards} AS shard,
+         |  idx // ${LlmOps.ShuffleShards} AS pos
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "llm_train_split" ->
       s"""SELECT doc_id, bucket,

@@ -445,6 +445,41 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
   }
 
+  test("domain mix: exact target proportions, most-constrained domain caps the build") {
+    // weights from the name: src1→2, src2→3, src3→1. Counts 10/9/5 →
+    // caps 10 div 2 = 5, 9 div 3 = 3, 5 div 1 = 5 → t = 3 → quotas 6/9/3:
+    // src2 is fully consumed (the binding constraint), the rest downsample
+    val rows = (1L to 10L).map(i => (i, "src1")) ++
+      (11L to 19L).map(i => (i, "src2")) ++ (21L to 25L).map(i => (i, "src3"))
+    val d = rows.toDF("doc_id", "source")
+    val out = LlmOps.domainMix(d).collect()
+    val perSrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(perSrc === Map("src1" -> 6, "src2" -> 9, "src3" -> 3))
+    // quota filled by the LOWEST hash ranks — rnk within each source is 1..k_s
+    val ranks = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("rnk")).sorted.toSeq).toMap
+    assert(ranks("src1") === (1L to 6L))
+    assert(ranks("src3") === (1L to 3L))
+  }
+
+  test("global shuffle: idx is a permutation, shards balanced ±1, order follows the hash") {
+    val d = (0L until 100L).toDF("doc_id")
+    val out = LlmOps.globalShuffle(d).collect()
+    assert(out.map(_.getAs[Long]("idx")).sorted.toSeq === (0L until 100L))
+    // round-robin shards: 100 docs over 8 shards → four of 13, four of 12
+    val sizes = out.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).values.toSeq.sorted
+    assert(sizes === Seq(12, 12, 12, 12, 13, 13, 13, 13))
+    // the permutation IS the (pri, doc_id) sort order — the bucketed
+    // two-level rank must equal the naive global window
+    val byIdx = out.sortBy(_.getAs[Long]("idx"))
+      .map(r => (r.getAs[Long]("pri"), r.getAs[Long]("doc_id"))).toSeq
+    assert(byIdx === byIdx.sorted)
+    // pos is the in-shard cursor in global order
+    out.foreach { r =>
+      assert(r.getAs[Long]("pos") === r.getAs[Long]("idx") / 8)
+    }
+  }
+
   test("pack sequences: global offsets across shards, spans straddle the budget") {
     // shardSize=2 forces the two-level prefix sum across 3 shards;
     // budget=5 makes doc 3 straddle sequences 0-1 and doc 6 start exactly
