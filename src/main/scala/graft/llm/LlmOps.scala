@@ -725,6 +725,79 @@ object LlmOps {
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
   }
 
+  /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —
+    * exact copies of every 10th doc (already in the base corpus → must be
+    * dropped) ∪ every 7th doc with a fresh tail (genuinely new content →
+    * must survive), ids offset so the two batches are disjoint from base.
+    */
+  def incrementalBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental fresh tail")).as("text")))
+
+  val IncrementalBatchSql: String =
+    """SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 30000000, text || ' incremental fresh tail' FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Incremental (batch-vs-corpus) exact dedup — the steady-state shape of
+    * a production ingest: a new batch arrives, only the docs whose content
+    * hash is NOT already in the base corpus survive. A left-anti equi-join
+    * on the 32-hex content hash: neither side's text crosses the shuffle,
+    * and the base side is its fingerprint projection only — at 100 TB the
+    * base fingerprints are ~3 orders smaller than the corpus and the
+    * anti-join shuffles hashes, not documents. The batch side is typically
+    * tiny vs base ⇒ AQE picks a broadcast of the batch hashes and the base
+    * fingerprint scan never shuffles at all.
+    */
+  def incrementalDedup(base: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val baseFp = textCorpus(base, idCol, textCol)
+      .select(md5(col("text")).as("content_hash"))
+    textCorpus(batch, idCol, textCol)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(baseFp, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+  }
+
+  /** The scale path of [[incrementalDedup]] when the BASE fingerprint set
+    * is too large to broadcast but a few bytes per hash still fit driver
+    * memory as a Bloom filter: pre-screen the batch with
+    * `mightContain(content_hash)` — definitely-new docs (no false
+    * negatives by construction) skip the join entirely; only the
+    * might-contain sliver (true dups + fpp·new) pays the exact anti-join.
+    * Same output as [[incrementalDedup]] bit-for-bit; the join input
+    * shrinks by the true-negative rate (~the fraction of genuinely new
+    * content, usually most of a crawl). Bloom membership has no built-in
+    * SQL expression, so the probe is a documented scalar UDF over the
+    * broadcast filter — off the codegen hot path by design (it gates the
+    * shuffle, not the scan).
+    */
+  def incrementalDedupBloom(base: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = base.sparkSession
+    // persisted like packSequences' shard frame: the bloom build's count
+    // materializes it, the exact anti-join below re-reads it from cache —
+    // hashes only, never text
+    val baseFp = textCorpus(base, idCol, textCol)
+      .select(md5(col("text")).as("content_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = baseFp.stat.bloomFilter("content_hash",
+      math.max(baseFp.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((h: String) => bfB.value.mightContain(h))
+    val batchFp = textCorpus(batch, idCol, textCol)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val definitelyNew = batchFp.filter(!might(col("content_hash")))
+    val needExact = batchFp.filter(might(col("content_hash")))
+      .join(baseFp, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+    definitelyNew.select("doc_id", "content_hash")
+      .unionByName(needExact)
+  }
+
   /** Integer domain weight for a `srcN` source name: N % 3 + 1 (∈ {1,2,3}).
     * A deterministic stand-in for the per-domain mixture weights a real
     * training build reads from config — integer so the quota arithmetic is

@@ -60,6 +60,10 @@ object LlmQueries {
     "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
       Tables.documents(s, d), perStratum = 25)),
     "llm_domain_mix"    -> ((s, d) => LlmOps.domainMix(Tables.documents(s, d))),
+    "llm_dedup_incremental" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
+    }),
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
@@ -105,6 +109,7 @@ object LlmQueries {
     "llm_dedup_semantic" -> Seq(col("vec_id")),
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
+    "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
@@ -615,6 +620,14 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
          |  FROM pri)
          |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // batch-vs-base anti-join on the content hash: only genuinely new
+    // content survives the incremental ingest
+    "llm_dedup_incremental" ->
+      s"""WITH batch AS (${LlmOps.IncrementalBatchSql})
+         |SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+         |ORDER BY doc_id""".stripMargin,
 
     // largest exact-proportion subset: t = min(n_s div w_s), quota w_s*t,
     // quota filled by the lowest salted-hash ranks — integer math + the

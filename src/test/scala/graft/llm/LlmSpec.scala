@@ -445,6 +445,29 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
   }
 
+  test("incremental dedup: exact copies dropped, fresh content survives; bloom path agrees") {
+    val base = docs(10L -> "alpha beta gamma", 14L -> "delta epsilon zeta",
+      3L -> "eta theta iota")
+    val batch = LlmOps.incrementalBatch(base)
+    // batch = exact copy of doc 10 (+20000000, must drop) ∪ fresh-tailed
+    // copies of docs 14 and 3? (only %7==0 → 14) (+30000000, must survive)
+    val exact = LlmOps.incrementalDedup(base, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact.keySet === Set(30000014L))
+    val bloom = LlmOps.incrementalDedupBloom(base, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bloom === exact, "bloom pre-filtered path must be bit-identical")
+    // the bloom actually prunes: the base hash is contained (no false
+    // negatives, guaranteed) and the fresh batch hash tests negative here
+    // (deterministic for this fixed fixture), i.e. it skips the exact join
+    val bf = base.select(md5(col("text")).as("h")).stat.bloomFilter("h", 3, 0.01)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(bf.mightContain(md5hex("alpha beta gamma")))
+    assert(!bf.mightContain(md5hex("delta epsilon zeta incremental fresh tail")))
+  }
+
   test("domain mix: exact target proportions, most-constrained domain caps the build") {
     // weights from the name: src1→2, src2→3, src3→1. Counts 10/9/5 →
     // caps 10 div 2 = 5, 9 div 3 = 3, 5 div 1 = 5 → t = 3 → quotas 6/9/3:
