@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -723,6 +723,157 @@ object LlmOps {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= perStratum)
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------- BPE
+
+  /** Distinct words with corpus frequencies — BPE's working set. Words
+    * via whitespace split (empties dropped), counts map-side-combinable;
+    * at 100 TB the distinct-word table is the classic heavy-tail
+    * aggregation, orders smaller than the corpus.
+    */
+  private def wordCounts(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    textCorpus(corpus, idCol, textCol)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-symbol pair frequencies over the initial (character) BPE
+    * state — the inner loop of BPE vocabulary training, run corpus-wide:
+    * for every distinct word, every adjacent character pair, weighted by
+    * the word's corpus frequency; top pairs by (freq desc, pair asc). The
+    * first merge a BPE trainer would pick is row 1.
+    *
+    * Scale: pair explosion is per-distinct-word (heavy-tail bounded), the
+    * count is a combinable groupBy on a 2-symbol key, and the top-k plans
+    * as TakeOrdered. Characters via explicit substr (not the empty-regex
+    * split, whose trailing-empty behavior is engine/version-dependent) so
+    * the oracle mirrors symbol-for-symbol.
+    */
+  def bpePairs(corpus: DataFrame, topK: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    wordCounts(corpus, idCol, textCol)
+      // single-char words carry no pairs; dropping them here also dodges
+      // sequence(1, 0)'s descending-range surprise
+      .filter(length(col("w")) > 1)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(w)-1), i -> struct(substr(w, i, 1) AS a, substr(w, i+1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("sym_a"), col("sym_b"))
+      .limit(topK)
+      .select("sym_a", "sym_b", "freq")
+
+  /** One leftmost-greedy merge pass of pair (a,b) over a symbol array —
+    * the ordered left-fold makes "no double consumption" structural: a
+    * freshly merged symbol can only pair with the NEXT raw symbol, exactly
+    * BPE's scan semantics ('a a a' + (a,a) → [aa, a], 'a a a a' → [aa, aa]).
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE vocabulary training (Sennrich et al. 2016): for
+    * `nMerges` rounds, count adjacent-symbol pairs over the distinct-word
+    * table (weighted by word frequency), merge the most frequent pair
+    * (ties broken (a, b) ascending — fully deterministic), rewrite every
+    * word's symbols with one leftmost-greedy fold pass. Returns the merge
+    * table (rank, sym_a, sym_b, freq) — the trained tokenizer.
+    *
+    * Scale: the state is the distinct-word frame (never the corpus); each
+    * round is one combinable pair-count agg + one argmax over it (the
+    * single collected row per round is a driver scalar, like the CC
+    * fixpoint's convergence count) + one narrow projection. Rounds are
+    * inherently sequential (each merge depends on the last) — vocab
+    * training is O(vocab) rounds by definition; state persists per round
+    * with the previous generation released, the CC loop's cache
+    * discipline.
+    */
+  def bpeTrain(corpus: DataFrame, nMerges: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    var state = wordCounts(corpus, idCol, textCol)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+      .select("cnt", "syms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // zip_with over offset slices, not sequence(1, n-1): Spark's
+      // sequence counts DOWN when start > stop, so a 1-symbol word would
+      // fabricate indices [1, 0] instead of no pairs
+      val best = state
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), (a, b) -> struct(a, b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, f))
+        val next = state.withColumn("syms", mergeFold(col("syms"), a, b))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        state.unpersist()
+        state = next
+        r += 1
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")
+  }
+
+  /** Apply a trained merge table to text — BPE encoding: per word, start
+    * from characters and repeatedly apply the applicable merge with the
+    * LOWEST rank (one leftmost-greedy pass each) until none applies; per
+    * doc, the resulting token count (the number a token-budgeted data
+    * build actually needs). Per-row iterative logic — genuinely outside
+    * SQL — so this is the documented typed-map extension point (the
+    * [[Multimodal.decodeStub]] precedent): merge ranks broadcast once,
+    * encoding embarrassingly parallel, no shuffle.
+    */
+  def bpeApply(corpus: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val rankB = spark.sparkContext.broadcast(rank)
+    textCorpus(corpus, idCol, textCol).as[(Long, String)].map { case (id, text) =>
+      val nToks = text.split(" ").filter(_.nonEmpty).iterator.map { w =>
+        var syms = w.map(_.toString).toVector
+        var done = false
+        while (!done && syms.length > 1) {
+          val cand = syms.sliding(2).zipWithIndex
+            .flatMap { case (Seq(x, y), _) => rankB.value.get((x, y)) }
+            .reduceOption(math.min)
+          cand match {
+            case None => done = true
+            case Some(rk) =>
+              val (a, b) = merges(rk)
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  out += (a + b); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.result()
+          }
+        }
+        syms.length
+      }.sum
+      (id, nToks.toLong)
+    }.toDF("doc_id", "n_bpe_tokens")
   }
 
   /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —

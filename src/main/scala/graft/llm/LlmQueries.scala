@@ -64,6 +64,11 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
     }),
+    "llm_bpe_pairs"     -> ((s, d) => LlmOps.bpePairs(Tables.documents(s, d))),
+    // iterative vocab training — each merge depends on the last, outside
+    // static SQL → rows-only; the algorithm is spec-verified against a
+    // single-node reference (LlmSpec "bpe train")
+    "llm_bpe_train"     -> ((s, d) => LlmOps.bpeTrain(Tables.documents(s, d))),
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
@@ -110,6 +115,8 @@ object LlmQueries {
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
+    "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
+    "llm_bpe_train"     -> Seq(col("rank")),
     "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
@@ -620,6 +627,20 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
          |  FROM pri)
          |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // adjacent-char pair counts over distinct words weighted by word
+    // frequency; range() is end-exclusive = Spark's sequence() inclusive
+    // to len-1; the CAST keeps DuckDB's SUM(BIGINT)→HUGEINT in schema
+    "llm_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM w WHERE length(w) > 0 GROUP BY w),
+        |p AS (SELECT cnt, unnest(list_transform(range(1, length(w)),
+        |        i -> struct_pack(a := substr(w, i, 1), b := substr(w, i+1, 1)))) AS p
+        |      FROM wc),
+        |c AS (SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(cnt) AS BIGINT) AS freq
+        |      FROM p GROUP BY 1, 2)
+        |SELECT sym_a, sym_b, freq FROM c
+        |ORDER BY freq DESC, sym_a, sym_b LIMIT 50""".stripMargin,
 
     // batch-vs-base anti-join on the content hash: only genuinely new
     // content survives the incremental ingest

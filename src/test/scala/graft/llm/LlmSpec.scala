@@ -445,6 +445,61 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
   }
 
+  /** Single-node BPE reference (Sennrich et al. alg. 1) with the same
+    * tie-break — the oracle for the distributed trainer.
+    */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var state = words.map { case (w, c) => (w.map(_.toString).toVector, c) }.toVector
+    (1 to n).flatMap { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), f) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+        state = state.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        Some((r, a, b, f))
+      }
+    }
+  }
+
+  test("bpe train: distributed merges equal the single-node reference, ties included") {
+    // the classic Sennrich fixture — 'es' and 'est' emerge before 'lo'
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = words.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val d = docs(1L -> text)
+    val got = LlmOps.bpeTrain(d, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    val want = refBpe(words, 6)
+    assert(got === want)
+    assert(got.head._2 === "e" && got.head._3 === "s" && got.head._4 === 9L,
+      "first merge must be (e,s) with freq 6+3")
+  }
+
+  test("bpe apply: lowest-rank merge first, leftmost-greedy within a pass") {
+    val merges = Seq(("e", "s"), ("es", "t"))
+    // 'test': t,e,s,t →(e,s)→ t,es,t →(es,t)→ t,est = 2 tokens;
+    // 'best': b,e,s,t →(e,s)→ b,es,t →(es,t)→ b,est = 2 tokens
+    val out = LlmOps.bpeApply(docs(1L -> "test best", 2L -> "aaaa"), merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 4L)
+    assert(out(2L) === 4L, "no applicable merge leaves raw characters")
+  }
+
   test("incremental dedup: exact copies dropped, fresh content survives; bloom path agrees") {
     val base = docs(10L -> "alpha beta gamma", 14L -> "delta epsilon zeta",
       3L -> "eta theta iota")
