@@ -1282,6 +1282,72 @@ object LlmOps {
       bucketBits: Int = 8): DataFrame =
     annSignBucketed(emb, k, idCol, vecCol, nQueries, bucketBits, hamming1 = true)
 
+  /** Ordered squared-L2 fold over two double arrays — bit-exact across
+    * engines like [[dotSql]] (same element order, 0.0 + v₁ ≡ v₁).
+    */
+  def ssdSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  val PqSubspaces   = 4  // m: 64-dim vectors → 16-dim subvectors
+  val PqCentroids   = 16 // K per subspace codebook
+  val PqSubDim      = 16
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): each vector is split into [[PqSubspaces]]
+    * subvectors; per subspace a [[PqCentroids]]-entry codebook quantizes
+    * the subvector to its nearest centroid (squared-L2, ties to the
+    * lowest centroid id); a query ranks candidates by the asymmetric
+    * distance — exact query subvectors vs the candidate's reconstructed
+    * centroids. Codes cost m·log₂K bits per vector (here 16 bits vs 512
+    * bytes raw, a 256× index shrink) — the memory step-change that makes
+    * billion-vector search fit RAM.
+    *
+    * K-means needs no RNG here: the codebook is the subvectors of the K
+    * lowest salted-hash-priority rows — deterministic on every engine
+    * (same discipline as [[sampleByHash]]), which keeps the whole
+    * operator oracle-expressible. Scale: codebooks are K rows broadcast
+    * twice (assignment, reconstruction); assignment is a linear
+    * n·m·K-row frame (n·64 here) reduced by a per-(vector, subspace)
+    * window; reconstruction re-assembles each candidate's approx vector
+    * with an order-fixing array_sort (collect_list order is not
+    * deterministic); search is the [[annTopK]] broadcast-queries shape
+    * over codes, never raw vectors.
+    */
+  def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      m: Int = PqSubspaces, kc: Int = PqCentroids,
+      sub: Int = PqSubDim): DataFrame = {
+    val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
+    val pri = base.withColumn("pri",
+      expr(h56("concat('pq|', cast(vec_id as string))")))
+    // K rows: the unpartitioned window is over the already-limited frame
+    val pivots = pri.orderBy(col("pri"), col("vec_id")).limit(kc)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("pri"), col("vec_id"))) - 1).cast("int"))
+      .select("cid", "e").withColumnRenamed("e", "ce")
+    val assign = base
+      .select(col("vec_id"), col("e"), explode(expr(s"sequence(0, ${m - 1})")).as("s"))
+      .crossJoin(broadcast(pivots))
+      .withColumn("d", expr(ssdSql(
+        s"slice(e, s*$sub+1, $sub)", s"slice(ce, s*$sub+1, $sub)")))
+    val wA = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
+    val codes = assign.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1).select("vec_id", "s", "cid")
+    val approx = codes.join(broadcast(pivots), Seq("cid"))
+      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val scored = approx.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", expr(ssdSql("qe", "approx")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "adist")
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

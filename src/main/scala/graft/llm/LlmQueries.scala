@@ -48,6 +48,7 @@ object LlmQueries {
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
+    "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -133,6 +134,7 @@ object LlmQueries {
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
     "llm_ann_lsh"       -> Seq(col("qid"), col("rnk")),
     "llm_ann_multiprobe" -> Seq(col("qid"), col("rnk")),
+    "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
     "llm_token_count"   -> Seq(col("doc_id")),
@@ -201,6 +203,8 @@ object LlmQueries {
 
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"
+  private def ssdDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (acc, v) -> acc + v)"
   private def cosineDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
   private def signBucketDuck(e: String): String =
@@ -521,6 +525,33 @@ object LlmQueries {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
          |      FROM scored)
          |SELECT qid, rnk, vec_id, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // PQ mirrored step-for-step: hash-rank codebook, per-subspace argmin
+    // with (d, cid) ties, ORDER BY-inside-list() to fix the reconstruction
+    // order, asymmetric-distance top-k. ssd folds match Spark's exactly.
+    "llm_ann_pq" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base),
+         |pv0 AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
+         |pv AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0),
+         |sub AS (SELECT unnest(range(0, ${LlmOps.PqSubspaces})) AS s),
+         |asn AS (SELECT b.vec_id, sub.s, p.cid,
+         |    ${ssdDuck(s"list_slice(b.e, sub.s*${LlmOps.PqSubDim}+1, sub.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim})",
+                       s"list_slice(p.ce, sub.s*${LlmOps.PqSubDim}+1, sub.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim})")} AS d
+         |  FROM base b CROSS JOIN pv p CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk FROM asn)
+         |  WHERE rk = 1),
+         |ap AS (SELECT c.vec_id,
+         |    flatten(list(list_slice(p.ce, c.s*${LlmOps.PqSubDim}+1, c.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim}) ORDER BY c.s)) AS approx
+         |  FROM codes c JOIN pv p USING (cid) GROUP BY c.vec_id),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+         |scored AS (SELECT q.qid, a.vec_id, ${ssdDuck("q.qe", "a.approx")} AS adist
+         |  FROM ap a CROSS JOIN q WHERE a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT qid, rnk, vec_id, adist FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "llm_quantize_int8" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -445,6 +445,28 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
   }
 
+  test("pq ann: codes reconstruct cluster structure, top-k stays in-cluster") {
+    // 40 vectors in R^8, four well-separated clusters (one-hot * 10 by
+    // vec_id % 4) with small deterministic jitter: quantization error ≪
+    // inter-cluster distance, so ADC top-3 must be same-cluster
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = LlmOps.annPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4)
+      .collect()
+    assert(out.length === 6, "2 queries x top-3")
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid"); val vid = r.getAs[Long]("vec_id")
+      assert(vid % 4 === qid % 4,
+        s"neighbor $vid of query $qid crossed clusters")
+      assert(r.getAs[Double]("adist") >= 0.0)
+    }
+  }
+
   /** Single-node BPE reference (Sennrich et al. alg. 1) with the same
     * tie-break — the oracle for the distributed trainer.
     */
