@@ -215,6 +215,33 @@ object LlmOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Character-level near-dup: the same banded-LSH candidate generation as
+    * [[dedupMinHash]], but verified by RELATIVE EDIT DISTANCE —
+    * levenshtein over the raw text divided by the longer length. Catches
+    * the edit-shaped near-copies token-set Jaccard under-scores (small
+    * in-place character edits preserve edit distance but mutate shingles)
+    * and is the dedup criterion used when "≤ x% of characters changed" is
+    * the spec. Levenshtein is native (codegen'd) on both engines.
+    *
+    * Scale: candidates stay band-bounded (never all-pairs); text is only
+    * hauled for candidate pairs, and the O(|a|·|b|) verify cost is why
+    * this variant is reserved for candidate sets, not corpus scans.
+    */
+  def dedupEdit(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+    val txt = textCorpus(corpus, idCol, textCol)
+    val (_, pairs) = minHashCandidates(corpus, idCol, textCol)
+    pairs
+      .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
+      .withColumn("edit_dist",
+        levenshtein(col("ta.text"), col("tb.text")).cast("bigint"))
+      .withColumn("rel_edit", col("edit_dist").cast("double") /
+        greatest(length(col("ta.text")), length(col("tb.text"))))
+      .filter(col("rel_edit") <= threshold)
+      .select("id_a", "id_b", "edit_dist", "rel_edit")
+  }
+
   /** One-sided blocking knobs for [[dedupContainment]]: each doc probes
     * with its [[OneSidedProbeK]] smallest shingle hashes against an
     * inverted index of all shingle hashes, df-capped at [[OneSidedDfCap]].
@@ -1346,6 +1373,33 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "adist")
+  }
+
+  /** Two-stage retrieval — the production ANN pattern: the PQ index
+    * produces a cheap `shortlist`-deep candidate set per query
+    * ([[annPq]]'s asymmetric distance over 16-bit codes), then ONLY those
+    * candidates are re-ranked by exact cosine over the raw vectors.
+    * Recall is set by the shortlist depth, exactness of the final
+    * ordering by the re-rank — and the raw-vector reads drop from n per
+    * query to `shortlist` per query, which is the whole economics of a
+    * quantized index at scale.
+    */
+  def annPqRefine(emb: DataFrame, k: Int = 5, shortlist: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
+      sub: Int = PqSubDim): DataFrame = {
+    val short = annPq(emb, shortlist, idCol, vecCol, nQueries, m, kc, sub)
+      .select("qid", "vec_id")
+    val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val scored = short.join(base, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster

@@ -49,6 +49,8 @@ object LlmQueries {
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
+    "llm_ann_pq_refine" -> ((s, d) => LlmOps.annPqRefine(Tables.embeddings(s, d))),
+    "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count"   -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -135,6 +137,8 @@ object LlmQueries {
     "llm_ann_lsh"       -> Seq(col("qid"), col("rnk")),
     "llm_ann_multiprobe" -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
+    "llm_ann_pq_refine" -> Seq(col("qid"), col("rnk")),
+    "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
     "llm_token_count"   -> Seq(col("doc_id")),
@@ -205,6 +209,36 @@ object LlmQueries {
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"
   private def ssdDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (acc, v) -> acc + v)"
+
+  /** The PQ index + full ADC ranking as a CTE chain ending in `r`
+    * (qid, vec_id, adist, rnk) — shared by the PQ query (top-10) and the
+    * two-stage refine query (shortlist 20 → exact re-rank). `base` stays
+    * in scope for the re-rank's raw vectors.
+    */
+  private lazy val pqChainDuck: String = {
+    val sd = LlmOps.PqSubDim
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base),
+       |pv0 AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
+       |pv AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0),
+       |sub AS (SELECT unnest(range(0, ${LlmOps.PqSubspaces})) AS s),
+       |asn AS (SELECT b.vec_id, sub.s, p.cid,
+       |    ${ssdDuck(s"list_slice(b.e, sub.s*$sd+1, sub.s*$sd+$sd)",
+                     s"list_slice(p.ce, sub.s*$sd+1, sub.s*$sd+$sd)")} AS d
+       |  FROM base b CROSS JOIN pv p CROSS JOIN sub),
+       |codes AS (SELECT vec_id, s, cid FROM (
+       |    SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk FROM asn)
+       |  WHERE rk = 1),
+       |ap AS (SELECT c.vec_id,
+       |    flatten(list(list_slice(p.ce, c.s*$sd+1, c.s*$sd+$sd) ORDER BY c.s)) AS approx
+       |  FROM codes c JOIN pv p USING (cid) GROUP BY c.vec_id),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
+       |scored AS (SELECT q.qid, a.vec_id, ${ssdDuck("q.qe", "a.approx")} AS adist
+       |  FROM ap a CROSS JOIN q WHERE a.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, adist,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
+       |      FROM scored)""".stripMargin
+  }
   private def cosineDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
   private def signBucketDuck(e: String): String =
@@ -530,28 +564,23 @@ object LlmQueries {
     // with (d, cid) ties, ORDER BY-inside-list() to fix the reconstruction
     // order, asymmetric-distance top-k. ssd folds match Spark's exactly.
     "llm_ann_pq" ->
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base),
-         |pv0 AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
-         |pv AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0),
-         |sub AS (SELECT unnest(range(0, ${LlmOps.PqSubspaces})) AS s),
-         |asn AS (SELECT b.vec_id, sub.s, p.cid,
-         |    ${ssdDuck(s"list_slice(b.e, sub.s*${LlmOps.PqSubDim}+1, sub.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim})",
-                       s"list_slice(p.ce, sub.s*${LlmOps.PqSubDim}+1, sub.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim})")} AS d
-         |  FROM base b CROSS JOIN pv p CROSS JOIN sub),
-         |codes AS (SELECT vec_id, s, cid FROM (
-         |    SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk FROM asn)
-         |  WHERE rk = 1),
-         |ap AS (SELECT c.vec_id,
-         |    flatten(list(list_slice(p.ce, c.s*${LlmOps.PqSubDim}+1, c.s*${LlmOps.PqSubDim}+${LlmOps.PqSubDim}) ORDER BY c.s)) AS approx
-         |  FROM codes c JOIN pv p USING (cid) GROUP BY c.vec_id),
-         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 8),
-         |scored AS (SELECT q.qid, a.vec_id, ${ssdDuck("q.qe", "a.approx")} AS adist
-         |  FROM ap a CROSS JOIN q WHERE a.vec_id <> q.qid),
-         |r AS (SELECT qid, vec_id, adist,
-         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
-         |      FROM scored)
+      s"""WITH $pqChainDuck
          |SELECT qid, rnk, vec_id, adist FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // two-stage retrieval: the PQ chain's shortlist (rnk <= 20) re-ranked
+    // by exact cosine over raw vectors — same dot folds as llm_ann_topk
+    "llm_ann_pq_refine" ->
+      s"""WITH $pqChainDuck,
+         |nb AS (SELECT vec_id, e, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |qq AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM nb WHERE vec_id < 8),
+         |sc AS (SELECT s.qid, s.vec_id,
+         |    ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM r s JOIN nb b USING (vec_id) JOIN qq q USING (qid)
+         |  WHERE s.rnk <= 20),
+         |rr AS (SELECT qid, vec_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT qid, rnk, vec_id, cosine FROM rr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "llm_quantize_int8" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -658,6 +687,22 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
          |  FROM pri)
          |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // same banded candidates as minhash, verified by relative levenshtein
+    // (native on both engines) instead of shingle Jaccard
+    "llm_dedup_edit" ->
+      s"""WITH $minhashVerifiedCte,
+         |ed AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist,
+         |    CAST(levenshtein(ca.text, cb.text) AS DOUBLE) /
+         |      greatest(length(ca.text), length(cb.text)) AS rel_edit
+         |  FROM pairs p
+         |  JOIN corpus ca ON p.id_a = ca.doc_id
+         |  JOIN corpus cb ON p.id_b = cb.doc_id
+         |)
+         |SELECT id_a, id_b, edit_dist, rel_edit FROM ed
+         |WHERE rel_edit <= CAST(0.2 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
 
     // adjacent-char pair counts over distinct words weighted by word
     // frequency; range() is end-exclusive = Spark's sequence() inclusive

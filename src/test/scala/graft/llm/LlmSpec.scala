@@ -445,6 +445,42 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((d2Clean, 12L)), "later occurrence loses exactly the span")
   }
 
+  test("edit dedup: small character edits pass, the unrelated doc never pairs") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(0L -> text, 7L -> text.replace("tok5 ", "tok5x "),
+      2L -> "completely different words entirely unrelated content here")
+    // nearDupCorpus injects tail-appended copies of 0 and 7: both small
+    // edits relative to ~250 chars → rel_edit ≪ 0.2
+    val out = LlmOps.dedupEdit(LlmOps.nearDupCorpus(d)).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10000000L)))
+    assert(pairs.contains((7L, 10000007L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    val byPair = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    // the tail " graft near dup tail" is exactly 20 edits
+    assert(byPair((0L, 10000000L))._1 === 20L)
+    assert(byPair((0L, 10000000L))._2 < 0.2)
+  }
+
+  test("pq refine: shortlist + exact re-rank equals brute-force cosine top-k") {
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // a 20-deep shortlist holds every same-cluster candidate (9), so the
+    // exact re-rank must reproduce brute force exactly, cosines included
+    val refined = LlmOps.annPqRefine(emb, k = 3, shortlist = 20,
+        nQueries = 2, m = 2, kc = 8, sub = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val brute = LlmOps.annTopK(emb, k = 3, nQueries = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(refined === brute)
+  }
+
   test("pq ann: codes reconstruct cluster structure, top-k stays in-cluster") {
     // 40 vectors in R^8, four well-separated clusters (one-hot * 10 by
     // vec_id % 4) with small deterministic jitter: quantization error ≪

@@ -54,9 +54,11 @@ class PlanQualitySpec extends SparkSpec {
     // the two broadcast-query ANN scans intentionally cross-join against
     // a bounded 8-row broadcast side; boilerplate and tok_freq join a
     // single-row corpus total — all plan as BroadcastNestedLoopJoin by
-    // construction
+    // construction. domain_mix crosses a 1-row global-min frame; the PQ
+    // family crosses the K-row broadcast codebook and the 8-row query set.
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
-      "llm_boilerplate", "llm_tok_freq", "llm_keywords")
+      "llm_boilerplate", "llm_tok_freq", "llm_keywords",
+      "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
