@@ -68,11 +68,25 @@ object ScaleBench {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // embeddings replicated for the ANN probes: ids shifted, a small
+    // per-replica deterministic perturbation keeps replica vectors
+    // distinct; the query set stays the 8 original ids, so the probe is
+    // "same queries, 10× the candidates" — the honest ANN scale shape.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * keyShift))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (v, j) -> v + cast($i % 7 as float) * cast(0.001 as float) * cast(j % 5 - 2 as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     val headline = Seq("q1_agg", "q_topk_parts", "q5_nation_revenue",
       "q3_topk_orders", "q17_small_qty_revenue",
       "llm_dedup_exact", "llm_dedup_minhash",
       "llm_dedup_clusters", "llm_dedup_apply",
-      "llm_dedup_spans", "llm_pack_sequences")
+      "llm_dedup_spans", "llm_pack_sequences",
+      "llm_dedup_incremental", "llm_global_shuffle", "llm_domain_mix",
+      "llm_bpe_pairs", "llm_ann_pq")
     // queries that run the CC fixpoint — their iteration count (component
     // diameter) is the scale-safety figure: it must stay flat as the
     // corpus grows, or the lineage-truncation cadence needs revisiting

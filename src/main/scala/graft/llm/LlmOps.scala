@@ -1340,11 +1340,13 @@ object LlmOps {
     * deterministic); search is the [[annTopK]] broadcast-queries shape
     * over codes, never raw vectors.
     */
-  def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
-      vecCol: String = "embedding", nQueries: Int = 8,
-      m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim): DataFrame = {
-    val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
+  /** (vec_id, approx) — every vector replaced by its PQ reconstruction:
+    * hash-rank codebook, per-(vector, subspace) nearest-centroid window,
+    * order-fixed reassembly. The index core shared by [[annPq]] and
+    * [[annIvfPq]].
+    */
+  private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
+      sub: Int): DataFrame = {
     val pri = base.withColumn("pri",
       expr(h56("concat('pq|', cast(vec_id as string))")))
     // K rows: the unpartitioned window is over the already-limited frame
@@ -1360,10 +1362,18 @@ object LlmOps {
     val wA = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
     val codes = assign.withColumn("rk", row_number().over(wA))
       .filter(col("rk") === 1).select("vec_id", "s", "cid")
-    val approx = codes.join(broadcast(pivots), Seq("cid"))
+    codes.join(broadcast(pivots), Seq("cid"))
       .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+  }
+
+  def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      m: Int = PqSubspaces, kc: Int = PqCentroids,
+      sub: Int = PqSubDim): DataFrame = {
+    val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
+    val approx = pqApproxFrame(base, m, kc, sub)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = approx.crossJoin(broadcast(q))
@@ -1373,6 +1383,33 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "adist")
+  }
+
+  /** IVF-PQ — the composed architecture a billion-vector index actually
+    * ships (FAISS's IndexIVFPQ): the coarse quantizer ([[annIvf]]'s label
+    * cells) prunes the candidate set to the query's own cell, and within
+    * the cell candidates are scored by PQ asymmetric distance over 16-bit
+    * codes, not raw vectors. Scan cost drops multiplicatively: cells cut
+    * the candidate COUNT, codes cut the bytes PER candidate.
+    */
+  def annIvfPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
+      sub: Int = PqSubDim): DataFrame = {
+    val base = ensureH56(emb).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+    val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub)
+      .join(base.select("vec_id", "label"), Seq("vec_id"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("label").as("qlabel"))
+    val scored = approx.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("adist", expr(ssdSql("qe", "approx")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "adist")
   }
 
   /** Two-stage retrieval — the production ANN pattern: the PQ index

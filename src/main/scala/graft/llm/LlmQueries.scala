@@ -50,6 +50,7 @@ object LlmQueries {
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
     "llm_ann_pq_refine" -> ((s, d) => LlmOps.annPqRefine(Tables.embeddings(s, d))),
+    "llm_ann_ivfpq"     -> ((s, d) => LlmOps.annIvfPq(Tables.embeddings(s, d))),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -138,6 +139,7 @@ object LlmQueries {
     "llm_ann_multiprobe" -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq_refine" -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivfpq"     -> Seq(col("qid"), col("rnk")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
@@ -566,6 +568,20 @@ object LlmQueries {
     "llm_ann_pq" ->
       s"""WITH $pqChainDuck
          |SELECT qid, rnk, vec_id, adist FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // IVF-PQ: the PQ chain's reconstructions, candidates pruned to the
+    // query's coarse cell (label) before ADC ranking
+    "llm_ann_ivfpq" ->
+      s"""WITH $pqChainDuck,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |qq AS (SELECT q.qid, q.qe, l.label AS qlabel FROM q JOIN lb l ON q.qid = l.vec_id),
+         |sc AS (SELECT q.qid, a.vec_id, lb.label, ${ssdDuck("q.qe", "a.approx")} AS adist
+         |  FROM ap a JOIN lb ON a.vec_id = lb.vec_id
+         |  JOIN qq q ON lb.label = q.qlabel AND a.vec_id <> q.qid),
+         |rr AS (SELECT qid, vec_id, label, adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT qid, rnk, vec_id, label, adist FROM rr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // two-stage retrieval: the PQ chain's shortlist (rnk <= 20) re-ranked
     // by exact cosine over raw vectors — same dot folds as llm_ann_topk

@@ -481,6 +481,24 @@ class LlmSpec extends SparkSpec {
     assert(refined === brute)
   }
 
+  test("ivf-pq: candidates pruned to the coarse cell, ranked by code distance") {
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = LlmOps.annIvfPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4)
+      .collect()
+    assert(out.length === 6, "2 queries x top-3")
+    out.foreach { r =>
+      assert(r.getAs[Int]("label") === (r.getAs[Long]("qid") % 4).toInt,
+        "a candidate escaped the query's coarse cell")
+      assert(r.getAs[Double]("adist") >= 0.0)
+    }
+  }
+
   test("pq ann: codes reconstruct cluster structure, top-k stays in-cluster") {
     // 40 vectors in R^8, four well-separated clusters (one-hot * 10 by
     // vec_id % 4) with small deterministic jitter: quantization error ≪
