@@ -752,6 +752,32 @@ object LlmOps {
       .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
   }
 
+  /** Corpus health dashboard in one pass — the numbers a data build
+    * monitors between stages: volume (docs/tokens/chars), diversity
+    * (distinct sources/langs), exact-dup mass (1 − unique content hashes /
+    * docs), and token-length extremes. One multi-aggregate over the
+    * corpus; the distinct counts are exact (each costs one expand-shuffle
+    * on a narrow key — switch to approx_count_distinct at the monitoring
+    * tier where ±2% is fine and one pass must serve dashboards).
+    */
+  def corpusStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col("source"), col("lang"))
+      .withColumn("nt", size(split(col("text"), " ")).cast("bigint"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum(length(col("text")).cast("bigint")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        min("nt").as("min_tokens"),
+        max("nt").as("max_tokens"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
+      .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
+
   // ------------------------------------------------------------- BPE
 
   /** Distinct words with corpus frequencies — BPE's working set. Words

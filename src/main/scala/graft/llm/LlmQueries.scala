@@ -69,6 +69,16 @@ object LlmQueries {
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
     }),
     "llm_bpe_pairs"     -> ((s, d) => LlmOps.bpePairs(Tables.documents(s, d))),
+    // run over the injected-dup corpus so dup_frac is non-trivial; source/
+    // lang joined back from the base table (injected copies inherit them)
+    "llm_corpus_stats"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = LlmOps.exactDupCorpus(docs)
+        .join(docs.select(col("doc_id").as("base_id"), col("source"), col("lang")),
+          col("doc_id") % 20000000L === col("base_id"))
+        .select("doc_id", "text", "source", "lang")
+      LlmOps.corpusStats(corpus)
+    }),
     // iterative vocab training — each merge depends on the last, outside
     // static SQL → rows-only; the algorithm is spec-verified against a
     // single-node reference (LlmSpec "bpe train")
@@ -120,6 +130,7 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
+    "llm_corpus_stats"  -> Seq(col("n_docs")),
     "llm_bpe_train"     -> Seq(col("rank")),
     "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
@@ -703,6 +714,26 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk
          |  FROM pri)
          |WHERE rnk <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // one-pass corpus dashboard over the injected-dup corpus; every CAST
+    // mirrors Spark's types (sum→BIGINT, ratio divisions in DOUBLE)
+    "llm_corpus_stats" ->
+      s"""WITH corpus AS (${LlmOps.ExactCorpusSql}),
+         |j AS (SELECT c.doc_id, c.text, d.source, d.lang
+         |      FROM corpus c JOIN documents d ON c.doc_id % 20000000 = d.doc_id),
+         |t AS (SELECT doc_id, text, source, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM j)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT md5(text)) AS n_unique_texts,
+         |  min(nt) AS min_tokens,
+         |  max(nt) AS max_tokens,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_frac,
+         |  CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens
+         |FROM t""".stripMargin,
 
     // same banded candidates as minhash, verified by relative levenshtein
     // (native on both engines) instead of shingle Jaccard

@@ -481,6 +481,24 @@ class LlmSpec extends SparkSpec {
     assert(refined === brute)
   }
 
+  test("corpus stats: one-pass dashboard counts the dup mass exactly") {
+    val d = Seq(
+      (1L, "a b c", "src1", "en"),
+      (2L, "a b c", "src2", "en"),
+      (3L, "d e", "src1", "fr")).toDF("doc_id", "text", "source", "lang")
+    val r = LlmOps.corpusStats(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("n_chars") === 13L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_unique_texts") === 2L)
+    assert(r.getAs[Long]("min_tokens") === 2L)
+    assert(r.getAs[Long]("max_tokens") === 3L)
+    assert(r.getAs[Double]("dup_frac") === 1.0 / 3)
+    assert(r.getAs[Double]("avg_tokens") === 8.0 / 3)
+  }
+
   test("ivf-pq: candidates pruned to the coarse cell, ranked by code distance") {
     val rows = (0L until 40L).map { id =>
       val c = (id % 4).toInt
