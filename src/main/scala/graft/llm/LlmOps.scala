@@ -234,6 +234,11 @@ object LlmOps {
     pairs
       .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
+      // levenshtein ≥ |len_a − len_b|, so a pair whose length gap alone
+      // exceeds threshold·max can never survive — skip its O(n·m) verify.
+      // Output-identical by construction (the oracle needs no mirror).
+      .filter(abs(length(col("ta.text")) - length(col("tb.text"))) <=
+        lit(threshold) * greatest(length(col("ta.text")), length(col("tb.text"))))
       .withColumn("edit_dist",
         levenshtein(col("ta.text"), col("tb.text")).cast("bigint"))
       .withColumn("rel_edit", col("edit_dist").cast("double") /
