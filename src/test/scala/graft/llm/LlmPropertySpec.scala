@@ -1,0 +1,82 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator properties for the training-pipeline operators
+  * added in round 7: permutation/balance laws of the global shuffle,
+  * exactness/maximality of the domain mixer, set semantics of incremental
+  * dedup, and BPE encode bounds. Fixed seeds — runs are deterministic.
+  */
+class LlmPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("globalShuffle: permutation, ±1 shard balance, hash order — any corpus size") {
+    val sizes = samples(Gen.chooseNum(1, 120), 6)
+    sizes.foreach { n =>
+      val out = LlmOps.globalShuffle((0L until n.toLong).toDF("doc_id")).collect()
+      assert(out.map(_.getAs[Long]("idx")).sorted.toSeq === (0L until n.toLong),
+        s"n=$n: idx must be a permutation")
+      val sizesByShard = out.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+      if (sizesByShard.nonEmpty)
+        assert(sizesByShard.max - sizesByShard.min <= 1, s"n=$n: shards unbalanced")
+      val byIdx = out.sortBy(_.getAs[Long]("idx"))
+        .map(r => (r.getAs[Long]("pri"), r.getAs[Long]("doc_id"))).toSeq
+      assert(byIdx === byIdx.sorted, s"n=$n: idx order must follow (pri, doc_id)")
+    }
+  }
+
+  test("domainMix: exact w_s·t proportions, quota feasible, t maximal") {
+    val gen = Gen.listOfN(4, Gen.chooseNum(1, 30))
+    samples(gen, 5).zipWithIndex.foreach { case (counts, trial) =>
+      val rows = counts.zipWithIndex.flatMap { case (c, s) =>
+        (0 until c).map(i => (trial * 10000L + s * 100L + i, s"src$s"))
+      }
+      val out = LlmOps.domainMix(rows.toDF("doc_id", "source")).collect()
+      val w = (s: Int) => (s % 3 + 1).toLong
+      val t = counts.zipWithIndex.map { case (c, s) => c / w(s) }.min
+      val got = out.groupBy(_.getAs[String]("source"))
+        .map { case (src, rs) => src.drop(3).toInt -> rs.length.toLong }
+      counts.indices.foreach { s =>
+        assert(got.getOrElse(s, 0L) === w(s) * t,
+          s"counts=$counts: src$s quota must be w·t")
+        assert(got.getOrElse(s, 0L) <= counts(s), "quota exceeds availability")
+      }
+      // maximality: some domain is the binding constraint
+      assert(counts.zipWithIndex.exists { case (c, s) => c / w(s) == t })
+    }
+  }
+
+  test("incrementalDedup: output is exactly batch-minus-base by content, any overlap") {
+    val word = Gen.listOfN(3, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    samples(Gen.listOfN(12, word), 4).zipWithIndex.foreach { case (texts, trial) =>
+      val (baseTexts, batchTexts) = texts.splitAt(6)
+      val base = baseTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = LlmOps.incrementalDedup(base, batch).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val want = batchTexts.zipWithIndex
+        .collect { case (t, i) if !baseTexts.contains(t) => 100L + i }.toSet
+      assert(got === want, s"trial $trial: texts=$texts")
+    }
+  }
+
+  test("bpeApply: empty merges = char count; any merges keep 1..chars per word") {
+    val word = Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString)
+    samples(Gen.listOfN(5, word), 4).foreach { words =>
+      val doc = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val raw = LlmOps.bpeApply(doc, Seq.empty).collect()(0).getLong(1)
+      assert(raw === words.map(_.length).sum.toLong)
+      val merged = LlmOps.bpeApply(doc,
+        Seq(("x", "y"), ("y", "z"), ("xy", "z"))).collect()(0).getLong(1)
+      assert(merged >= words.length.toLong && merged <= raw)
+    }
+  }
+}
