@@ -76,7 +76,7 @@ object ScaleBench {
     (0 until factor).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * keyShift))
         .withColumn("embedding", expr(
-          s"transform(embedding, (v, j) -> v + cast($i % 7 as float) * cast(0.001 as float) * cast(j % 5 - 2 as float))"))
+          s"transform(embedding, (v, j) -> v + cast($i as float) * cast(0.001 as float) * cast(j % 5 - 2 as float))"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

@@ -173,12 +173,17 @@ object LlmOps {
     * otherwise re-run the whole hash+signature derivation twice.
     */
   private def minHashCandidates(corpus: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
-    val hashed = withShingles(textCorpus(corpus, idCol, textCol))
+      textCol: String, persistHashed: Boolean = true): (DataFrame, DataFrame) = {
+    // persistHashed=false for callers (dedupEdit) that never re-read the
+    // signature table — caching it would write the full (doc_id, gs)
+    // frame to block storage once and leak it for the session
+    val hashed0 = withShingles(textCorpus(corpus, idCol, textCol))
       .withColumn("gs", expr(
         s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
       .select("doc_id", "gs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = if (persistHashed)
+      hashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else hashed0
     val bands = withMinHashBands(hashed)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
@@ -230,7 +235,8 @@ object LlmOps {
   def dedupEdit(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.2): DataFrame = {
     val txt = textCorpus(corpus, idCol, textCol)
-    val (_, pairs) = minHashCandidates(corpus, idCol, textCol)
+    val (_, pairs) = minHashCandidates(corpus, idCol, textCol,
+      persistHashed = false)
     pairs
       .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
@@ -766,9 +772,10 @@ object LlmOps {
     * tier where ±2% is fine and one pass must serve dashboards).
     */
   def corpusStats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-        col("source"), col("lang"))
+        col(sourceCol).as("source"), col(langCol).as("lang"))
       .withColumn("nt", size(split(col("text"), " ")).cast("bigint"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -904,20 +911,24 @@ object LlmOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val rank = merges.zipWithIndex.toMap
-    val rankB = spark.sparkContext.broadcast(rank)
+    // one broadcast carries both directions (pair→rank and rank→pair);
+    // reading `merges` inside the lambda would re-ship the table in every
+    // task closure alongside the broadcast
+    val table = merges.toVector
+    val rank = table.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast((rank, table))
     textCorpus(corpus, idCol, textCol).as[(Long, String)].map { case (id, text) =>
       val nToks = text.split(" ").filter(_.nonEmpty).iterator.map { w =>
         var syms = w.map(_.toString).toVector
         var done = false
         while (!done && syms.length > 1) {
           val cand = syms.sliding(2).zipWithIndex
-            .flatMap { case (Seq(x, y), _) => rankB.value.get((x, y)) }
+            .flatMap { case (Seq(x, y), _) => bc.value._1.get((x, y)) }
             .reduceOption(math.min)
           cand match {
             case None => done = true
             case Some(rk) =>
-              val (a, b) = merges(rk)
+              val (a, b) = bc.value._2(rk)
               val out = Vector.newBuilder[String]
               var i = 0
               while (i < syms.length) {
@@ -1074,9 +1085,13 @@ object LlmOps {
 
   def globalShuffle(corpus: DataFrame, shards: Int = ShuffleShards,
       idCol: String = "doc_id"): DataFrame = {
+    // persisted like packSequences' shard frame: both the in-bucket rank
+    // and the bucket-counts branch read it — without the cache the corpus
+    // is scanned and md5-hashed twice (the dominant per-row cost here)
     val prid = ensureH56(corpus).select(col(idCol).as("doc_id"))
       .withColumn("pri", expr(h56("concat('shuffle|', cast(doc_id as string))")))
       .withColumn("bucket", expr(s"pri div ${1L << (56 - ShuffleBucketBits)}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy("bucket").orderBy(col("pri"), col("doc_id"))
     val within = prid.withColumn("r_in", row_number().over(wIn).cast("bigint"))
     val wOff = Window.orderBy("bucket")
@@ -1427,8 +1442,10 @@ object LlmOps {
       vecCol: String = "embedding", labelCol: String = "label",
       nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
       sub: Int = PqSubDim): DataFrame = {
-    val base = ensureH56(emb).select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+    // canonical widening via embBase (it keeps a `label` column when one
+    // exists — normalize the caller's labelCol to that name first)
+    val base = embBase(ensureH56(emb).withColumn("label", col(labelCol)),
+      idCol, vecCol)
     val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub)
       .join(base.select("vec_id", "label"), Seq("vec_id"))
     val q = base.filter(col("vec_id") < nQueries)

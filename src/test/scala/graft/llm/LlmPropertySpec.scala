@@ -47,8 +47,13 @@ class LlmPropertySpec extends SparkSpec {
           s"counts=$counts: src$s quota must be w·t")
         assert(got.getOrElse(s, 0L) <= counts(s), "quota exceeds availability")
       }
-      // maximality: some domain is the binding constraint
-      assert(counts.zipWithIndex.exists { case (c, s) => c / w(s) == t })
+      // maximality of the OPERATOR's scale: recover t from the output
+      // quotas and check t+1 would be infeasible for some domain — this
+      // inspects what domainMix produced, not the test's own arithmetic
+      val tOut = counts.indices.map(s => got.getOrElse(s, 0L) / w(s)).distinct
+      assert(tOut === Seq(t), s"counts=$counts: all quotas must share one t")
+      assert(counts.zipWithIndex.exists { case (c, s) => w(s) * (tOut.head + 1) > c },
+        s"counts=$counts: operator t=${tOut.head} is not maximal")
     }
   }
 
