@@ -1106,6 +1106,21 @@ object LlmOps {
         expr(s"idx div $shards").as("pos"))
   }
 
+  /** Materialize [[globalShuffle]] into per-shard parquet — the training
+    * shards a data loader actually mounts: one `shard=K/` directory per
+    * shard, rows inside each shard laid down in `pos` order (epoch order),
+    * every payload column carried along. One shuffle (partition by shard)
+    * + an in-partition sort; no global sort, no single-task funnel.
+    */
+  def writeTrainingShards(corpus: DataFrame, path: String,
+      shards: Int = ShuffleShards, idCol: String = "doc_id"): Unit =
+    globalShuffle(corpus, shards, idCol)
+      .select("doc_id", "shard", "pos")
+      .join(corpus.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Window length for [[dedupSpans]] (tokens). */
   val SpanWindow = 10
 

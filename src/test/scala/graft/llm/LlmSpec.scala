@@ -481,6 +481,29 @@ class LlmSpec extends SparkSpec {
     assert(refined === brute)
   }
 
+  test("training shards: every shard written, in-shard files in epoch order, nothing lost") {
+    val d = (0L until 50L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    LlmOps.writeTrainingShards(d, dir)
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq === (0 until 8).map(i => s"shard=$i").sorted)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 50L, "all docs must survive the shard write")
+    assert(back.columns.toSet === Set("doc_id", "shard", "pos", "text"))
+    // in-shard parquet row order is the epoch order the loader replays
+    val expected = LlmOps.globalShuffle(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    (0 until 8).foreach { s =>
+      val rows = spark.read.parquet(s"$dir/shard=$s").collect()
+      val positions = rows.map(_.getAs[Long]("pos")).toSeq
+      assert(positions === positions.sorted, s"shard $s rows must be pos-ordered")
+      rows.foreach { r =>
+        assert(expected(r.getAs[Long]("doc_id")) === ((s.toLong, r.getAs[Long]("pos"))))
+      }
+    }
+  }
+
   test("corpus stats: one-pass dashboard counts the dup mass exactly") {
     val d = Seq(
       (1L, "a b c", "src1", "en"),
