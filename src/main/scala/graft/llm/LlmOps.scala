@@ -1233,6 +1233,26 @@ object LlmOps {
         expr(s"(start_off + n_tokens - 1) div $budget").as("seq_last"))
   }
 
+  /** The apply step of [[packSequences]] — the (sequence, doc-slice) map a
+    * packer materializes: one row per (training sequence, contributing
+    * doc), with the doc's 1-based token range inside that sequence. Pure
+    * arithmetic fan-out of the offsets ([[packSequences]]'s two-level
+    * prefix sum does the distributed work); a doc spanning k sequences
+    * emits k rows, so output is corpus tokens / budget + docs, linear.
+    */
+  def packApply(corpus: DataFrame, budget: Int = 2048,
+      shardSize: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    packSequences(corpus, budget, shardSize, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .withColumn("tok_start",
+        greatest(lit(1L), col("seq_id") * budget - col("start_off") + 1))
+      .withColumn("tok_end",
+        least(col("n_tokens"), (col("seq_id") + 1) * budget - col("start_off")))
+      .select(col("doc_id"), col("seq_id"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start") + 1).as("n_in_seq"))
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes

@@ -85,6 +85,7 @@ object LlmQueries {
     "llm_bpe_train"     -> ((s, d) => LlmOps.bpeTrain(Tables.documents(s, d))),
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
+    "llm_pack_apply"    -> ((s, d) => LlmOps.packApply(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
     "llm_dedup_spans" -> ((s, d) => LlmOps.dedupSpans(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_spans_apply" -> ((s, d) => LlmOps.dedupSpansApply(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -135,6 +136,7 @@ object LlmQueries {
     "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
+    "llm_pack_apply"    -> Seq(col("doc_id"), col("seq_id")),
     "llm_dedup_spans"   -> Seq(col("doc_id"), col("pos")),
     "llm_dedup_spans_apply" -> Seq(col("doc_id")),
     "llm_decontaminate" -> Seq(col("doc_id")),
@@ -451,6 +453,24 @@ object LlmQueries {
          |SELECT doc_id, COALESCE(array_to_string(keep_toks, ' '), '') AS text_clean,
          |  CAST(len(toks) - len(keep_toks) AS BIGINT) AS n_tokens_cut
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // the offsets chain of llm_pack_sequences fanned out to one row per
+    // (sequence, doc) with the doc's 1-based token range in that sequence
+    "llm_pack_apply" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |      FROM toks),
+         |f AS (SELECT doc_id, n_tokens, start_off,
+         |        unnest(range(start_off // 2048, (start_off + n_tokens - 1) // 2048 + 1)) AS seq_id
+         |      FROM c),
+         |s AS (SELECT doc_id, seq_id,
+         |        greatest(CAST(1 AS BIGINT), seq_id * 2048 - start_off + 1) AS tok_start,
+         |        least(n_tokens, (seq_id + 1) * 2048 - start_off) AS tok_end
+         |      FROM f)
+         |SELECT doc_id, seq_id, tok_start, tok_end,
+         |  tok_end - tok_start + 1 AS n_in_seq
+         |FROM s ORDER BY doc_id, seq_id""".stripMargin,
 
     // the shard-decomposed prefix sum equals the plain global window sum
     // by construction, so the oracle states the math directly; the CAST

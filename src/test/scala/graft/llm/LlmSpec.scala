@@ -481,6 +481,22 @@ class LlmSpec extends SparkSpec {
     assert(refined === brute)
   }
 
+  test("pack apply: per-sequence doc slices tile the stream, straddles split exactly") {
+    // budget 10: d1 (8 toks) fills seq0[1..8]; d2 (15) straddles seq0
+    // [1..2], seq1 [3..12], seq2 [13..15]; d3 (4) lands wholly in seq2
+    val d = docs(
+      1L -> (1 to 8).map(i => s"a$i").mkString(" "),
+      2L -> (1 to 15).map(i => s"b$i").mkString(" "),
+      3L -> (1 to 4).map(i => s"c$i").mkString(" "))
+    val out = LlmOps.packApply(d, budget = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, 1L, 8L, 8L),
+      (2L, 0L, 1L, 2L, 2L), (2L, 1L, 3L, 12L, 10L), (2L, 2L, 13L, 15L, 3L),
+      (3L, 2L, 1L, 4L, 4L)))
+  }
+
   test("training shards: every shard written, in-shard files in epoch order, nothing lost") {
     val d = (0L until 50L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
