@@ -245,8 +245,16 @@ object LlmOps {
       // Output-identical by construction (the oracle needs no mirror).
       .filter(abs(length(col("ta.text")) - length(col("tb.text"))) <=
         lit(threshold) * greatest(length(col("ta.text")), length(col("tb.text"))))
-      .withColumn("edit_dist",
-        levenshtein(col("ta.text"), col("tb.text")).cast("bigint"))
+      // bounded levenshtein: the per-pair bound ⌊threshold·max⌋ is exactly
+      // the survival cutoff (distances are integers), so every survivor
+      // gets its exact distance and everything else returns -1 — same
+      // output as the unbounded call, at O(bound·n) instead of O(n·m).
+      // The oracle keeps the unbounded form (DuckDB has no bounded
+      // variant); values agree on every surviving row.
+      .withColumn("edit_dist", expr(
+        s"levenshtein(ta.text, tb.text, cast(floor($threshold * greatest(length(ta.text), length(tb.text))) as int))")
+        .cast("bigint"))
+      .filter(col("edit_dist") >= 0)
       .withColumn("rel_edit", col("edit_dist").cast("double") /
         greatest(length(col("ta.text")), length(col("tb.text"))))
       .filter(col("rel_edit") <= threshold)
