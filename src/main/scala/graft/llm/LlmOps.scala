@@ -1051,10 +1051,18 @@ object LlmOps {
     * per domain is the skew-proof swap once k_s fits a heap.
     */
   def domainMix(corpus: DataFrame, sourceCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
-    val docs = ensureH56(corpus).select(
-        col(idCol).as("doc_id"), col(sourceCol).as("source"))
-      .withColumn("w", expr(mixWeightSql("source")).cast("bigint"))
+      idCol: String = "doc_id",
+      weights: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = ensureH56(corpus).select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    // explicit weight map (the library path — a real build reads these
+    // from config; unlisted domains drop out via the inner join) or the
+    // srcN-name-derived default the harness oracle mirrors
+    val docs = (if (weights.nonEmpty) {
+      import spark.implicits._
+      base.join(broadcast(weights.toSeq.toDF("source", "w")), Seq("source"))
+    } else base.withColumn("w", expr(mixWeightSql("source")).cast("bigint")))
       .withColumn("pri", expr(h56("concat('mix|', cast(doc_id as string))")))
     val quotas = docs.groupBy("source", "w").agg(count(lit(1)).as("n_s"))
       .withColumn("cap", expr("n_s div w"))

@@ -623,6 +623,18 @@ class LlmSpec extends SparkSpec {
       "first merge must be (e,s) with freq 6+3")
   }
 
+  test("bpe train: exhaustion stops the loop early with the merges found so far") {
+    // 'ab ab': one merge (a,b) collapses every word to a single symbol —
+    // no pairs remain, so the loop must stop at 1 merge despite nMerges=8
+    val got = LlmOps.bpeTrain(docs(1L -> "ab ab"), nMerges = 8).collect()
+    assert(got.length === 1)
+    assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) === (("a", "b", 2L)))
+    // an all-single-char corpus trains zero merges, schema intact
+    val none = LlmOps.bpeTrain(docs(2L -> "a b c a"), nMerges = 4)
+    assert(none.columns.toSeq === Seq("rank", "sym_a", "sym_b", "freq"))
+    assert(none.count() === 0L)
+  }
+
   test("bpe apply: lowest-rank merge first, leftmost-greedy within a pass") {
     val merges = Seq(("e", "s"), ("es", "t"))
     // 'test': t,e,s,t →(e,s)→ t,es,t →(es,t)→ t,est = 2 tokens;
@@ -671,6 +683,17 @@ class LlmSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Long]("rnk")).sorted.toSeq).toMap
     assert(ranks("src1") === (1L to 6L))
     assert(ranks("src3") === (1L to 3L))
+  }
+
+  test("domain mix: explicit weight map overrides the name rule, unlisted domains drop") {
+    // web:news = 3:1 over 12/8 docs → caps 12 div 3 = 4, 8 div 1 = 8 →
+    // t = 4 → quotas 12/4; 'junk' has no weight listed → excluded entirely
+    val rows = (1L to 12L).map(i => (i, "web")) ++
+      (21L to 28L).map(i => (i, "news")) ++ (31L to 33L).map(i => (i, "junk"))
+    val out = LlmOps.domainMix(rows.toDF("doc_id", "source"),
+      weights = Map("web" -> 3L, "news" -> 1L)).collect()
+    val perSrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(perSrc === Map("web" -> 12, "news" -> 4))
   }
 
   test("global shuffle: idx is a permutation, shards balanced ±1, order follows the hash") {
