@@ -1538,6 +1538,28 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "cosine")
   }
 
+  /** Recall@k of an ANN index against the exact answer — the evaluation
+    * every index deployment monitors: per query, the fraction of the true
+    * (brute-force cosine) top-k the approximate index actually returned.
+    * Default pairing: [[annLsh]] vs [[annTopK]] at the same k. Both sides
+    * are the existing operators; the measurement is one left join +
+    * per-query count — at scale the cost is the two index runs, the
+    * comparison is free.
+    */
+  def annRecall(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      bucketBits: Int = 8): DataFrame = {
+    val exact = annTopK(emb, k, idCol, vecCol, nQueries)
+      .select(col("qid"), col("vec_id"))
+    val approx = annLsh(emb, k, idCol, vecCol, nQueries, bucketBits)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

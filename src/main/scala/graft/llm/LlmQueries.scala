@@ -51,6 +51,7 @@ object LlmQueries {
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
     "llm_ann_pq_refine" -> ((s, d) => LlmOps.annPqRefine(Tables.embeddings(s, d))),
     "llm_ann_ivfpq"     -> ((s, d) => LlmOps.annIvfPq(Tables.embeddings(s, d))),
+    "llm_ann_recall"    -> ((s, d) => LlmOps.annRecall(Tables.embeddings(s, d))),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -153,6 +154,7 @@ object LlmQueries {
     "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq_refine" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfpq"     -> Seq(col("qid"), col("rnk")),
+    "llm_ann_recall"    -> Seq(col("qid")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
@@ -599,6 +601,31 @@ object LlmQueries {
     "llm_ann_pq" ->
       s"""WITH $pqChainDuck
          |SELECT qid, rnk, vec_id, adist FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // recall@5 of the LSH index vs brute force: both chains inline, the
+    // measurement is a per-query count over a left join
+    "llm_ann_recall" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |based AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qbucket, nrm AS qnrm FROM based WHERE vec_id < 8),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b CROSS JOIN q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |aps AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+         |),
+         |apk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM aps)
+         |  WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     // IVF-PQ: the PQ chain's reconstructions, candidates pruned to the
     // query's coarse cell (label) before ADC ranking

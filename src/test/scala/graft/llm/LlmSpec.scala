@@ -538,6 +538,30 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_tokens") === 8.0 / 3)
   }
 
+  test("ann recall: per-query overlap of the LSH index with the exact top-k") {
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = LlmOps.annRecall(emb, k = 3, nQueries = 2).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    // cross-check against the operators themselves
+    val exact = LlmOps.annTopK(emb, k = 3, nQueries = 2).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val approx = LlmOps.annLsh(emb, k = 3, nQueries = 2).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    out.foreach { case (qid, (hits, recall)) =>
+      val want = exact.filter(_._1 == qid).count(approx.contains)
+      assert(hits === want.toLong)
+      assert(recall === want / 3.0)
+    }
+  }
+
   test("ivf-pq: candidates pruned to the coarse cell, ranked by code distance") {
     val rows = (0L until 40L).map { id =>
       val c = (id % 4).toInt

@@ -58,7 +58,8 @@ class PlanQualitySpec extends SparkSpec {
     // family crosses the K-row broadcast codebook and the 8-row query set.
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
-      "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq")
+      "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
+      "llm_ann_recall")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
