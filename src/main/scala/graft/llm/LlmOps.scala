@@ -875,6 +875,10 @@ object LlmOps {
       .select("cnt", "syms")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // previous generation, released only after the NEXT round's argmax has
+    // materialized the current one — the argmax action itself does the
+    // materializing, so no extra count() job per round is needed
+    var prev: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
@@ -889,18 +893,18 @@ object LlmOps {
         .agg(sum("cnt").as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // state is now cached; its parent can go
+      prev = Some(state)
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, f))
-        val next = state.withColumn("syms", mergeFold(col("syms"), a, b))
+        state = state.withColumn("syms", mergeFold(col("syms"), a, b))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        state.unpersist()
-        state = next
         r += 1
       }
     }
+    prev.foreach(_.unpersist())
     state.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")

@@ -70,6 +70,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("global shuffle ranks inside hash-range buckets, not one corpus-wide window") {
+    val p = plan("llm_global_shuffle")
+    // the corpus-sized rank must be the bucket-PARTITIONED window (bucket
+    // is a partition key followed by the pri sort key) …
+    assert("""windowspecdefinition\(bucket#\d+L?, pri#""".r.findFirstIn(p).isDefined,
+      s"expected a bucket-partitioned rank window:\n${p.take(1200)}")
+    // … while the only unpartitioned window runs over the tiny per-bucket
+    // counts (sorts bucket itself), never the corpus
+    assert(!"""windowspecdefinition\(pri#""".r.findFirstIn(p).isDefined,
+      s"corpus-wide unpartitioned rank window found:\n${p.take(1200)}")
+  }
+
   test("operators are SinglePartition-free — ordering belongs to the verify dump only") {
     // Full-table-output operators: at 100 TB a repartition(1) here would
     // funnel the whole result through one task. Global single-row aggs
