@@ -234,8 +234,15 @@ object LlmOps {
     */
   def dedupEdit(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+    // one corpus scan, not three: the projected (doc_id, text) frame feeds
+    // the shingle/band derivation AND both sides of the verify join —
+    // persist it once and hand it to the candidate generator, the same
+    // persistence discipline dedupMinHash applies to its hashed frame.
+    // (The signature table itself stays unpersisted: unlike dedupMinHash,
+    // nothing downstream re-reads the per-doc shingle hashes.)
     val txt = textCorpus(corpus, idCol, textCol)
-    val (_, pairs) = minHashCandidates(corpus, idCol, textCol,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, pairs) = minHashCandidates(txt, "doc_id", "text",
       persistHashed = false)
     pairs
       .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
@@ -756,20 +763,54 @@ object LlmOps {
     * correcting it. Same salted-hash priority as [[sampleByHash]], so both
     * samplers agree doc-by-doc and across engines.
     *
-    * Scale: one shuffle on the stratum key, rank inside the window. With
-    * very few strata that key is low-cardinality; the bounded-buffer
-    * [[graft.functions.TopKAgg]] per stratum is the skew-proof swap (heaps
-    * combine map-side, nothing larger than perStratum crosses the wire).
+    * Scale: the rank-window path shuffles EVERY row of a stratum onto one
+    * partition — with few huge strata that is the classic low-cardinality
+    * window skew. Whenever the quota fits a heap (`perStratum ≤ heapMaxK`
+    * and the id is integral), the bounded-buffer
+    * [[graft.functions.MinKAgg]] runs instead: per-stratum heaps combine
+    * map-side, nothing larger than perStratum crosses the wire, and the
+    * biggest stratum costs the same as the smallest. Output is identical
+    * to the window path row-for-row (same (pri, id) ascending order, same
+    * ranks — proven by the equivalence spec); `heapMaxK = 0` forces the
+    * window path.
     */
   def sampleStratified(corpus: DataFrame, perStratum: Int,
-      stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
-    ensureH56(corpus).withColumn("pri",
-        expr(h56(s"concat('sample|', cast($idCol as string))")))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= perStratum)
-      .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
+      stratumCol: String = "source", idCol: String = "doc_id",
+      heapMaxK: Int = SamplerHeapMaxK): DataFrame = {
+    val docs = ensureH56(corpus).withColumn("pri",
+      expr(h56(s"concat('sample|', cast($idCol as string))")))
+    if (perStratum <= heapMaxK && isIntegralColumn(docs, idCol)) {
+      val idType = docs.schema(idCol).dataType
+      docs.groupBy(col(stratumCol))
+        .agg(graft.functions.MinKAgg.udf(perStratum)(
+          col("pri"), col(idCol).cast("bigint")).as("mins"))
+        .select(col(stratumCol), posexplode(col("mins")).as(Seq("i", "pv")))
+        .select(col(stratumCol), col("pv._2").cast(idType).as(idCol),
+          col("pv._1").as("pri"), (col("i") + 1).cast("bigint").as("rnk"))
+    } else {
+      val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
+      docs.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= perStratum)
+        .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
+    }
   }
+
+  /** Largest per-group quota the samplers serve from the bounded-buffer
+    * [[graft.functions.MinKAgg]] path; beyond it (the heap no longer
+    * amortizes against the shuffle it saves) they fall back to the rank
+    * window. 64k entries ≈ 1 MiB per group buffer.
+    */
+  val SamplerHeapMaxK = 65536
+
+  /** True when `c` is an integral column (the samplers' heap path carries
+    * ids as longs; fractional/string ids keep the generic window path).
+    */
+  private def isIntegralColumn(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   /** Corpus health dashboard in one pass — the numbers a data build
     * monitors between stages: volume (docs/tokens/chars), diversity
@@ -865,10 +906,30 @@ object LlmOps {
     * training is O(vocab) rounds by definition; state persists per round
     * with the previous generation released, the CC loop's cache
     * discipline.
+    *
+    * Lineage discipline (the [[dedupClusters]] rule, applied here): each
+    * round's frame chains a [[mergeFold]] projection onto the previous
+    * generation's `InMemoryRelation`, so at a real vocab size (thousands
+    * of rounds) the plan tree grows without bound and any cache eviction
+    * forces a whole-chain recompute. Every [[BpeTruncateEveryRounds]]
+    * rounds the state is checkpointed instead of persisted — eager, so
+    * the chain is cut and the frame is self-contained from then on.
+    * `spark.graft.cc.checkpointDir` switches local checkpoints to
+    * reliable ones, the same cluster-deployment knob the CC loop honors.
+    * `truncateEvery` is a knob only so the equivalence spec can compare
+    * truncated vs untruncated runs; outputs are identical by construction
+    * (checkpointing materializes the same rows).
     */
+  val BpeTruncateEveryRounds = 8
+
   def bpeTrain(corpus: DataFrame, nMerges: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      truncateEvery: Int = BpeTruncateEveryRounds): DataFrame = {
     val spark = corpus.sparkSession
+    val ckptDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
     var state = wordCounts(corpus, idCol, textCol)
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
@@ -899,8 +960,11 @@ object LlmOps {
       else {
         val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, f))
-        state = state.withColumn("syms", mergeFold(col("syms"), a, b))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gen = state.withColumn("syms", mergeFold(col("syms"), a, b))
+        // periodic eager checkpoint truncates the merge-fold chain; other
+        // generations persist (and are released once superseded, above)
+        state = if (r % truncateEvery == 0) truncate(gen)
+          else gen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r += 1
       }
     }
@@ -1049,14 +1113,22 @@ object LlmOps {
     *
     * Scale: domain counts are a map-side-combinable groupBy (one row per
     * domain); the global min is an agg over that tiny frame, broadcast
-    * back; the only per-doc work is one hash + one windowed rank inside
-    * each domain. Few huge domains ⇒ the rank window skews like any
-    * low-cardinality window — the bounded-buffer [[graft.functions.TopKAgg]]
-    * per domain is the skew-proof swap once k_s fits a heap.
+    * back; the only per-doc work is one hash + one bounded top-k per
+    * domain. Few huge domains ⇒ a rank window would skew like any
+    * low-cardinality window, so whenever every quota fits a heap
+    * (max k_s ≤ heapMaxK — read off the collected per-domain quota frame,
+    * one tiny row per domain, the CC loop's driver-scalar discipline) the
+    * bounded-buffer [[graft.functions.MinKAgg]] runs instead: heaps
+    * combine map-side, at most k_s rows per domain and partition cross
+    * the wire. Past the threshold (quotas are proportional, so a huge
+    * corpus resample can exceed any heap) it falls back to the rank
+    * window; outputs are identical row-for-row either way (equivalence
+    * spec), `heapMaxK = 0` forces the window path.
     */
   def domainMix(corpus: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id",
-      weights: Map[String, Long] = Map.empty): DataFrame = {
+      weights: Map[String, Long] = Map.empty,
+      heapMaxK: Int = SamplerHeapMaxK): DataFrame = {
     val spark = corpus.sparkSession
     val base = ensureH56(corpus).select(
       col(idCol).as("doc_id"), col(sourceCol).as("source"))
@@ -1072,12 +1144,30 @@ object LlmOps {
       .withColumn("cap", expr("n_s div w"))
     val t = quotas.agg(min("cap").as("t"))
     val k = quotas.crossJoin(broadcast(t))
-      .select(col("source"), (col("w") * col("t")).as("k_s"))
-    val wRank = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
-    docs.withColumn("rnk", row_number().over(wRank).cast("bigint"))
-      .join(broadcast(k), Seq("source"))
-      .filter(col("rnk") <= col("k_s"))
-      .select("source", "doc_id", "w", "rnk", "k_s")
+      .select(col("source"), col("w"), (col("w") * col("t")).as("k_s"))
+    val kRows = if (heapMaxK > 0) k.collect() else Array.empty[org.apache.spark.sql.Row]
+    val maxK = if (kRows.isEmpty) Long.MaxValue else kRows.map(_.getLong(2)).max
+    if (maxK <= heapMaxK && isIntegralColumn(base, "doc_id")) {
+      val idType = base.schema("doc_id").dataType
+      // quotas were just collected — rebuild the tiny (source, w, k_s)
+      // frame locally rather than recomputing the count agg for the join
+      val kLocal = spark.createDataFrame(
+        java.util.Arrays.asList(kRows: _*), k.schema)
+      docs.groupBy("source")
+        .agg(graft.functions.MinKAgg.udf(maxK.toInt max 1)(
+          col("pri"), col("doc_id").cast("bigint")).as("mins"))
+        .select(col("source"), posexplode(col("mins")).as(Seq("i", "pv")))
+        .join(broadcast(kLocal), Seq("source"))
+        .filter(col("i") < col("k_s"))
+        .select(col("source"), col("pv._2").cast(idType).as("doc_id"),
+          col("w"), (col("i") + 1).cast("bigint").as("rnk"), col("k_s"))
+    } else {
+      val wRank = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      docs.withColumn("rnk", row_number().over(wRank).cast("bigint"))
+        .join(broadcast(k.select("source", "k_s")), Seq("source"))
+        .filter(col("rnk") <= col("k_s"))
+        .select("source", "doc_id", "w", "rnk", "k_s")
+    }
   }
 
   /** Output shard count for [[globalShuffle]]. */
@@ -1162,6 +1252,12 @@ object LlmOps {
     */
   def dedupSpans(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", window: Int = SpanWindow): DataFrame = {
+    // persisted: the window table feeds BOTH the duplicate-count agg and
+    // the join back — without the cache the corpus is re-tokenized and
+    // every window re-hashed twice (the dominant per-row cost here; the
+    // cached frame is (doc_id, pos, h) only, text never cached). At 100 TB
+    // this is the materialized fingerprint table a span-dedup pipeline
+    // keeps anyway — the same discipline as minHashCandidates' hashed frame.
     val wins = textCorpus(corpus, idCol, textCol)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
@@ -1169,6 +1265,7 @@ object LlmOps {
           s"i -> ${h56(s"concat_ws(' ', slice(toks, i, $window))")})"))
         .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     wins.join(dup, Seq("h")).select("doc_id", "pos", "h", "n_occ")
@@ -1545,17 +1642,22 @@ object LlmOps {
   /** Recall@k of an ANN index against the exact answer — the evaluation
     * every index deployment monitors: per query, the fraction of the true
     * (brute-force cosine) top-k the approximate index actually returned.
-    * Default pairing: [[annLsh]] vs [[annTopK]] at the same k. Both sides
-    * are the existing operators; the measurement is one left join +
-    * per-query count — at scale the cost is the two index runs, the
-    * comparison is free.
+    * Default pairing: [[annLsh]] vs [[annTopK]] at the same k;
+    * `multiprobe = true` gauges [[annMultiprobe]] instead — run both and
+    * the recall delta IS the Hamming-1 lift, priced by the probe-count
+    * ratio (bits+1 buckets vs 1). Both sides are the existing operators;
+    * the measurement is one left join + per-query count — at scale the
+    * cost is the two index runs, the comparison is free.
     */
   def annRecall(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
-      bucketBits: Int = 8): DataFrame = {
+      bucketBits: Int = 8, multiprobe: Boolean = false): DataFrame = {
     val exact = annTopK(emb, k, idCol, vecCol, nQueries)
       .select(col("qid"), col("vec_id"))
-    val approx = annLsh(emb, k, idCol, vecCol, nQueries, bucketBits)
+    val approxFrame =
+      if (multiprobe) annMultiprobe(emb, k, idCol, vecCol, nQueries, bucketBits)
+      else annLsh(emb, k, idCol, vecCol, nQueries, bucketBits)
+    val approx = approxFrame
       .select(col("qid").as("aqid"), col("vec_id").as("avid"))
     exact.join(approx,
         col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")

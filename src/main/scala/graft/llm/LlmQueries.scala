@@ -52,6 +52,10 @@ object LlmQueries {
     "llm_ann_pq_refine" -> ((s, d) => LlmOps.annPqRefine(Tables.embeddings(s, d))),
     "llm_ann_ivfpq"     -> ((s, d) => LlmOps.annIvfPq(Tables.embeddings(s, d))),
     "llm_ann_recall"    -> ((s, d) => LlmOps.annRecall(Tables.embeddings(s, d))),
+    // the same gauge over the Hamming-1 probe set: recall_mp − recall IS
+    // the multi-probe lift, measured where an index deployment reads it
+    "llm_ann_recall_mp" -> ((s, d) => LlmOps.annRecall(Tables.embeddings(s, d),
+      multiprobe = true)),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -84,6 +88,19 @@ object LlmQueries {
     // static SQL → rows-only; the algorithm is spec-verified against a
     // single-node reference (LlmSpec "bpe train")
     "llm_bpe_train"     -> ((s, d) => LlmOps.bpeTrain(Tables.documents(s, d))),
+    // the encode step a tokenizer consumer actually calls: merges trained
+    // on the 5% doc_id slice (a tokenizer is trained on a sample, then
+    // encodes the whole corpus), applied per-doc. The per-word iterative
+    // merge loop is outside static SQL → rows-only (the mm_decode_stub
+    // precedent); token totals cross-checked against the trained merge
+    // table by spec (LlmSpec "bpe apply")
+    "llm_bpe_apply"     -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = LlmOps.bpeTrain(docs.filter(col("doc_id") % 20 === 0))
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      LlmOps.bpeApply(docs, merges)
+    }),
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     "llm_pack_apply"    -> ((s, d) => LlmOps.packApply(Tables.documents(s, d))),
@@ -155,6 +172,8 @@ object LlmQueries {
     "llm_ann_pq_refine" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfpq"     -> Seq(col("qid"), col("rnk")),
     "llm_ann_recall"    -> Seq(col("qid")),
+    "llm_ann_recall_mp" -> Seq(col("qid")),
+    "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),
@@ -618,6 +637,36 @@ object LlmQueries {
          |aps AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
          |  FROM based b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+         |),
+         |apk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM aps)
+         |  WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // recall@5 of the multi-probe index vs brute force: llm_ann_recall's
+    // chain with the approximate side widened to the Hamming-1 probe set
+    // (same unnest'd flip expressions as llm_ann_multiprobe)
+    "llm_ann_recall_mp" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |based AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |q AS (SELECT vec_id AS qid, e AS qe, bucket AS qbucket, nrm AS qnrm FROM based WHERE vec_id < 8),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM based b CROSS JOIN q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |probes AS (
+         |  SELECT qid, qe, qnrm, unnest([qbucket, ${(1 to 8).map(i => LlmOps.flipBitSql("qbucket", i, 8)).mkString(", ")}]) AS probe
+         |  FROM q
+         |),
+         |aps AS (
+         |  SELECT p.qid, b.vec_id, ${dotDuck("p.qe", "b.e")} / (p.qnrm * b.nrm) AS cosine
+         |  FROM based b JOIN probes p ON b.bucket = p.probe AND b.vec_id <> p.qid
          |),
          |apk AS (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM aps)

@@ -669,6 +669,68 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === 4L, "no applicable merge leaves raw characters")
   }
 
+  test("bpe train: checkpoint truncation never changes the merge table") {
+    // Two gates. (1) A truncated run (boundary every 2 rounds) equals the
+    // single-node reference — ties the checkpoint path to ground truth.
+    // (2) On a 20-round vocab, two different truncation cadences agree row
+    // for row — the boundaries fall on different rounds, so any
+    // order/content effect of checkpointing would diverge the tables.
+    // (No deep UNtruncated run on purpose: each InMemoryRelation's tree
+    // string renders its child twice, so an unbroken 20-round chain makes
+    // the per-job SQL-event plan description blow up exponentially — the
+    // very hazard the truncation exists to cap.)
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text1 = words.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val got = LlmOps.bpeTrain(docs(1L -> text1), nMerges = 6, truncateEvery = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === refBpe(words, 6))
+
+    val text2 = (1 to 40).map(i => s"prefix${i}suffix").mkString(" ")
+    val d = docs(1L -> text2)
+    def table(every: Int) = LlmOps.bpeTrain(d, nMerges = 20, truncateEvery = every)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(table(2) === table(5))
+  }
+
+  test("bpe apply: corpus encode agrees with an independent single-node encoder") {
+    // cross-check the distributed encode against a from-scratch reference
+    // (recursive lowest-rank-first merge over strings, written differently
+    // from bpeApply's vector loop) using merges trained by bpeTrain
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = words.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val d = docs(1L -> text)
+    val merges = LlmOps.bpeTrain(d, nMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rank = merges.zipWithIndex.toMap
+    def encode(w: String): Int = {
+      @annotation.tailrec
+      def loop(syms: List[String]): Int = {
+        val best = syms.zip(syms.drop(1)).flatMap(p => rank.get(p))
+          .sorted.headOption
+        best match {
+          case None => syms.length
+          case Some(rk) =>
+            val (a, b) = merges(rk)
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case x :: y :: tl if x == a && y == b => out += (a + b); rest = tl
+              case x :: tl => out += x; rest = tl
+              case Nil => ()
+            }
+            loop(out.toList)
+        }
+      }
+      loop(w.map(_.toString).toList)
+    }
+    val wantTokens = text.split(" ").filter(_.nonEmpty).map(encode).sum.toLong
+    val got = LlmOps.bpeApply(d, merges).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === wantTokens)
+  }
+
   test("incremental dedup: exact copies dropped, fresh content survives; bloom path agrees") {
     val base = docs(10L -> "alpha beta gamma", 14L -> "delta epsilon zeta",
       3L -> "eta theta iota")
@@ -718,6 +780,46 @@ class LlmSpec extends SparkSpec {
       weights = Map("web" -> 3L, "news" -> 1L)).collect()
     val perSrc = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
     assert(perSrc === Map("web" -> 12, "news" -> 4))
+  }
+
+  test("stratified sample: bounded-heap path ≡ rank-window path on a skewed corpus") {
+    // 3 strata with few-huge-domains skew (200/10/3 docs) — the shape that
+    // degrades the window path to one hot partition at scale. The MinKAgg
+    // path (default) must reproduce the window path (heapMaxK = 0) row for
+    // row: same docs, same pri, same ranks.
+    val rows = (1L to 200L).map(i => (i, s"t$i", "big")) ++
+      (301L to 310L).map(i => (i, s"t$i", "mid")) ++
+      (401L to 403L).map(i => (i, s"t$i", "tiny"))
+    val d = rows.toDF("doc_id", "text", "source")
+    def dump(heapMaxK: Int) =
+      LlmOps.sampleStratified(d, perStratum = 5, heapMaxK = heapMaxK)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(x => (x._1, x._4))
+    val heap = dump(LlmOps.SamplerHeapMaxK)
+    val window = dump(0)
+    assert(heap === window)
+    // skew shape sanity: the tiny stratum keeps all 3, the others exactly 5
+    assert(heap.count(_._1 == "tiny") === 3)
+    assert(heap.count(_._1 == "big") === 5)
+  }
+
+  test("domain mix: bounded-heap path ≡ rank-window path on a skewed corpus") {
+    // src1 weight 2 over 120 docs, src2 weight 3 over 9, src3 weight 1
+    // over 5 → caps 60/3/5 → t = 3 → quotas 6/9/3, with src1 the huge
+    // domain whose window would hot-spot. Equivalence must hold on every
+    // output column (doc_id, w, rnk, k_s).
+    val rows = (1L to 120L).map(i => (i, "src1")) ++
+      (201L to 209L).map(i => (i, "src2")) ++ (301L to 305L).map(i => (i, "src3"))
+    val d = rows.toDF("doc_id", "source")
+    def dump(heapMaxK: Int) =
+      LlmOps.domainMix(d, heapMaxK = heapMaxK).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(x => (x._1, x._4))
+    val heap = dump(LlmOps.SamplerHeapMaxK)
+    val window = dump(0)
+    assert(heap === window)
+    assert(heap.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map("src1" -> 6, "src2" -> 9, "src3" -> 3))
   }
 
   test("global shuffle: idx is a permutation, shards balanced ±1, order follows the hash") {

@@ -59,7 +59,7 @@ class PlanQualitySpec extends SparkSpec {
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
-      "llm_ann_recall")
+      "llm_ann_recall", "llm_ann_recall_mp")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
