@@ -114,6 +114,27 @@ object ScaleBench {
         else ""
       (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}$iters}""")
     }
+    // adversarial sampler-skew probe: the replicated corpus collapsed onto
+    // THREE domains (the few-huge-domains shape that hot-spots a rank
+    // window), sampled via domainMix's bounded-heap path at base and
+    // scaled size. A flat-ish ratio is the published evidence that the
+    // MinKAgg swap removed the single-partition funnel: with the window
+    // path, 10× the corpus lands 10× the rows on 3 partitions.
+    def skew3(dir: String): Double = {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(lit("src"), (col("doc_id") % 3 + 1).cast("string")).as("source"))
+      val t0 = System.nanoTime()
+      graft.llm.LlmOps.domainMix(d)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sqlContext.clearCache()
+      dt
+    }
+    skew3(sfDir); skew3(out) // warm
+    val skewBase = (1 to 3).map(_ => skew3(sfDir)).sorted.apply(1)
+    val skewScaled = (1 to 3).map(_ => skew3(out)).sorted.apply(1)
+
     // adversarial CC probe: a 1000-node path component (diameter 999) —
     // the worst case for min-label propagation. With the pointer-jump
     // engaged the loop must close in O(log d) rounds; publish the measured
@@ -127,7 +148,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     spark.stop()
   }
 }
