@@ -141,8 +141,12 @@ object ScaleBench {
     // count so a regression to O(d) is visible in the artifact.
     import spark.implicits._
     val chainT0 = System.nanoTime()
+    // smallGraphMaxEdges = 0 forces the distributed loop: this probe
+    // exists to measure ITS convergence (the production default would
+    // resolve 999 edges driver-side and measure nothing)
     graft.llm.LlmOps.dedupClusters(
-        (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+        (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b"),
+        smallGraphMaxEdges = 0)
       .write.format("noop").mode("overwrite").save()
     val chainSec = (System.nanoTime() - chainT0) / 1e9
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()

@@ -512,8 +512,23 @@ object LlmOps {
     */
   val lastClusterIterations = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Edge-count ceiling for [[dedupClusters]]' driver-side fast path: at
+    * or below it the component resolution is a local union-find over the
+    * collected edge list instead of the iterative join loop — the same
+    * adaptive principle as AQE broadcasting a byte-small join side. A
+    * tiny graph costs the loop a dozen Spark jobs (join + agg + count per
+    * round) of pure fixed overhead; 100k edges collect in a few MB and
+    * resolve in milliseconds. Output is identical by construction (the
+    * component-min label does not depend on resolution order — spec'd
+    * both ways); `0` forces the distributed loop (ScaleBench's
+    * convergence probes do, so the published iteration counts keep
+    * measuring the loop).
+    */
+  val SmallGraphMaxEdges = 100000
+
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b"): DataFrame = {
+      idB: String = "id_b",
+      smallGraphMaxEdges: Int = SmallGraphMaxEdges): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
     // Checkpoint mode: localCheckpoint is the right call in local mode and
@@ -529,6 +544,39 @@ object LlmOps {
     // and without the cache the upstream pair-generation (LSH join +
     // verify) would run twice
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist(lvl)
+    if (smallGraphMaxEdges > 0 &&
+        p.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      // the count materializes the persist the loop would have populated
+      // anyway; the adaptive switch reads a driver scalar, like the loop's
+      // convergence check
+      val nEdges = p.count()
+      if (nEdges <= smallGraphMaxEdges) {
+        val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        p.unpersist(false)
+        lastClusterIterations.set(0)
+        // path-halving union-find, then component-min relabel: the final
+        // label is min(component) regardless of union order, exactly the
+        // loop's fixpoint
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElseUpdate(x, x)
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val labels = parent.keys.toSeq.map(n => (n, find(n)))
+        val byRoot = labels.groupBy(_._2).flatMap { case (_, members) =>
+          val lbl = members.iterator.map(_._1).min
+          members.map { case (n, _) => (n, lbl) }
+        }
+        import spark.implicits._
+        return byRoot.toSeq.toDF("doc_id", "cluster_id")
+          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      }
+    }
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
     // initialization fuses the first propagation round: lbl = min(self,
@@ -1102,6 +1150,82 @@ object LlmOps {
       .select("doc_id", "content_hash")
     definitelyNew.select("doc_id", "content_hash")
       .unionByName(needExact)
+  }
+
+  /** Harness fixture for [[incrementalDedupMinHash]]: a crawl snapshot with
+    * three deterministic slices — exact copies of every 10th doc (near-dup
+    * of the corpus by construction → must drop), every 7th doc with a small
+    * appended tail (survives EXACT incremental dedup but is a near-dup here
+    * → must drop), and every 13th doc with its word order reversed (3-gram
+    * shingles all destroyed → genuinely new content → must survive). Ids
+    * offset so the three slices are disjoint from base and from
+    * [[incrementalBatch]].
+    */
+  def incrementalNearBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental fresh tail")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 60000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+
+  val IncrementalNearBatchSql: String =
+    """SELECT doc_id + 40000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 50000000, text || ' incremental fresh tail' FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL SELECT doc_id + 60000000, array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** Incremental (batch-vs-corpus) NEAR-dup dedup — [[incrementalDedup]]'s
+    * MinHash sibling, the steady-state ingest shape of the LSH pipeline: a
+    * new batch arrives and only the docs that are not near-copies
+    * (word-3-shingle Jaccard ≥ threshold) of the BASE corpus survive.
+    * Same banded blocking as [[dedupMinHash]], but there is NO self-join
+    * anywhere: batch bands probe the base band table one-sidedly, so the
+    * cost is ∝ batch × bucket overlap, never corpus².
+    *
+    * 100 TB shape: the base (doc_id, gs) signature table and its band
+    * table are exactly the materialized index a production pipeline keeps
+    * between ingests (here both sides are persisted within the query —
+    * signatures referenced by candidate generation AND the verify join);
+    * the batch side is typically tiny ⇒ AQE broadcasts its bands, and the
+    * base corpus text is never read at all — the whole decision runs on
+    * hashes. Recall follows the band construction (a near-dup straddling
+    * every band is missed, like any LSH); the oracle mirrors the same
+    * bands bit-for-bit so the check stays hash-exact.
+    */
+  def incrementalDedupMinHash(base: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.6): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def hashedOf(df: DataFrame): DataFrame =
+      withShingles(textCorpus(df, idCol, textCol))
+        .withColumn("gs", expr(
+          s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+        .select("doc_id", "gs")
+        .persist(lvl)
+    def bandsOf(hashed: DataFrame): DataFrame =
+      withMinHashBands(hashed)
+        .select(col("doc_id"),
+          posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+            .as(Seq("band_idx", "band_key")))
+    val baseHashed = hashedOf(base)
+    val batchHashed = hashedOf(batch)
+    val cand = bandsOf(batchHashed).as("nb")
+      .join(bandsOf(baseHashed).as("ob"),
+        col("nb.band_idx") === col("ob.band_idx") &&
+          col("nb.band_key") === col("ob.band_key"))
+      .select(col("nb.doc_id").as("batch_id"), col("ob.doc_id").as("base_id"))
+      .distinct()
+    val dup = cand
+      .join(batchHashed.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(baseHashed.as("sb"), col("base_id") === col("sb.doc_id"))
+      .filter((size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
+        size(array_union(col("sa.gs"), col("sb.gs")))) >= threshold)
+      .select(col("batch_id")).distinct()
+    textCorpus(batch, idCol, textCol)
+      .join(dup, col("doc_id") === col("batch_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** Integer domain weight for a `srcN` source name: N % 3 + 1 (∈ {1,2,3}).

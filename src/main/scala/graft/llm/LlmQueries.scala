@@ -73,6 +73,13 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
     }),
+    // the near-dup ingest gate: tailed copies survive the EXACT
+    // incremental check above but are dropped here; reversed-word docs
+    // (shingle-disjoint) survive both
+    "llm_dedup_inc_minhash" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.incrementalDedupMinHash(base, LlmOps.incrementalNearBatch(base))
+    }),
     "llm_bpe_pairs"     -> ((s, d) => LlmOps.bpePairs(Tables.documents(s, d))),
     // run over the injected-dup corpus so dup_frac is non-trivial; source/
     // lang joined back from the base table (injected copies inherit them)
@@ -148,6 +155,7 @@ object LlmQueries {
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
+    "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
     "llm_corpus_stats"  -> Seq(col("n_docs")),
     "llm_bpe_train"     -> Seq(col("rank")),
@@ -199,10 +207,13 @@ object LlmQueries {
     s"list_min(list_transform(gs, g -> (${LlmOps.affineA(j)} * g + ${LlmOps.affineB(j)}) % ${LlmOps.MersenneP})) AS mh$j")
     .mkString(",\n    ")
 
-  private val bandUnion = (0 until Bands).map { b =>
+  /** Band-key union over a named signature CTE (mirrors withMinHashBands). */
+  private def bandUnionOf(tbl: String): String = (0 until Bands).map { b =>
     val key = (1 to 3).map(r => s"CAST(mh${3 * b + r} AS VARCHAR)").mkString(" || ',' || ")
-    s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM mh"
+    s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM $tbl"
   }.mkString("\n  UNION ALL ")
+
+  private val bandUnion = bandUnionOf("mh")
 
   private def jaccardDuck(a: String, b: String): String =
     s"CAST(len(list_filter($a, v -> list_contains($b, v))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
@@ -867,6 +878,49 @@ object LlmQueries {
       s"""WITH batch AS (${LlmOps.IncrementalBatchSql})
          |SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
          |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+         |ORDER BY doc_id""".stripMargin,
+
+    // the near-dup ingest gate: both sides' shingles → signatures → bands
+    // mirrored from the minhash chain, batch bands probing base bands
+    // one-sidedly, exact-Jaccard verify, survivors by anti-membership
+    "llm_dedup_inc_minhash" ->
+      s"""WITH batch AS (${LlmOps.IncrementalNearBatchSql}),
+         |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |bsh AS (SELECT doc_id, $shinglesDuck AS shingles FROM btok),
+         |bshg AS (SELECT doc_id,
+         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM bsh),
+         |bmh AS (SELECT doc_id,
+         |    $mhCols
+         |  FROM bshg),
+         |bbands AS (
+         |  ${bandUnionOf("bmh")}
+         |),
+         |otok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |osh AS (SELECT doc_id, $shinglesDuck AS shingles FROM otok),
+         |oshg AS (SELECT doc_id,
+         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM osh),
+         |omh AS (SELECT doc_id,
+         |    $mhCols
+         |  FROM oshg),
+         |obands AS (
+         |  ${bandUnionOf("omh")}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS batch_id, ob.doc_id AS base_id
+         |  FROM bbands nb JOIN obands ob
+         |    ON nb.band_idx = ob.band_idx AND nb.band_key = ob.band_key
+         |),
+         |dup AS (
+         |  SELECT DISTINCT c.batch_id
+         |  FROM cand c
+         |  JOIN bshg sa ON c.batch_id = sa.doc_id
+         |  JOIN oshg sb ON c.base_id = sb.doc_id
+         |  WHERE ${jaccardDuck("sa.gs", "sb.gs")} >= 0.6
+         |)
+         |SELECT b.doc_id FROM batch b
+         |WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
          |ORDER BY doc_id""".stripMargin,
 
     // largest exact-proportion subset: t = min(n_s div w_s), quota w_s*t,

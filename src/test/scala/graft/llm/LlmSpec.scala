@@ -156,6 +156,21 @@ class LlmSpec extends SparkSpec {
       10L -> ((10L, true)), 11L -> ((10L, false))))
   }
 
+  test("cluster resolution: driver-side fast path ≡ distributed loop") {
+    // mixed shapes — a chain, a clique-ish triangle, a 2-cycle duplicate
+    // edge, an isolated pair — resolved both ways must agree exactly
+    // (label = component min, keeper flags included)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L), (31L, 30L), (40L, 41L))).toDF("id_a", "id_b")
+    def dump(maxEdges: Int) =
+      LlmOps.dedupClusters(pairs, smallGraphMaxEdges = maxEdges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dump(LlmOps.SmallGraphMaxEdges) === dump(0))
+    assert(LlmOps.lastClusterIterations.get() > 0, "loop run must report iterations")
+    dump(LlmOps.SmallGraphMaxEdges)
+    assert(LlmOps.lastClusterIterations.get() === 0, "fast path must report 0 iterations")
+  }
+
   test("cluster resolution: deep chain converges in O(log d) rounds, not O(d)") {
     // Adversarial worst case for min-label propagation: one 512-node path
     // component (diameter 511). Plain propagation needs ~511 rounds; the
@@ -163,8 +178,10 @@ class LlmSpec extends SparkSpec {
     // round, so the loop must finish in ShortcutAfterIters + ~2·log2(512)
     // rounds. The bound asserted here is generous slack over the measured
     // count but two orders below the propagation-only cost.
+    // smallGraphMaxEdges = 0 forces the distributed loop — this test
+    // measures ITS convergence; the default would resolve driver-side
     val pairs = (1L until 512L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = LlmOps.dedupClusters(pairs).collect()
+    val out = LlmOps.dedupClusters(pairs, smallGraphMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size === 512)
     assert(out.values.forall(_ == 1L), "every chain node must resolve to the component min")
@@ -181,7 +198,7 @@ class LlmSpec extends SparkSpec {
     // final truncate. Assert value-identical clusters and that checkpoint
     // files actually land in the directory.
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    def run() = LlmOps.dedupClusters(pairs).collect()
+    def run() = LlmOps.dedupClusters(pairs, smallGraphMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val viaLocal = run()
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
@@ -752,6 +769,28 @@ class LlmSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
     assert(bf.mightContain(md5hex("alpha beta gamma")))
     assert(!bf.mightContain(md5hex("delta epsilon zeta incremental fresh tail")))
+  }
+
+  test("incremental minhash dedup: tailed copies drop, shingle-disjoint content survives") {
+    // base docs long enough that a 4-token tail keeps Jaccard ≥ 0.6 and
+    // word reversal destroys every 3-shingle. Doc ids chosen so the
+    // fixture slices hit: 70 → exact copy (+4e7) AND tailed copy (+5e7);
+    // 13 → reversed copy (+6e7); 3 → no copies.
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(70L -> mk("alpha"), 13L -> mk("beta"), 3L -> mk("gamma"))
+    val batch = LlmOps.incrementalNearBatch(base)
+    val survivors = LlmOps.incrementalDedupMinHash(base, batch).collect()
+      .map(_.getLong(0)).toSet
+    // exact copy 40000070 and tailed copy 50000070 are near-dups → dropped;
+    // reversed 60000013 shares no 3-shingle with base → survives
+    assert(survivors === Set(60000013L))
+    // contrast with EXACT incremental dedup semantics: the tailed copy is
+    // new content to a hash check — the near-dup gate is strictly stronger
+    val batchExactShape = batch.select(col("doc_id"), col("text"))
+    val exactSurvivors = LlmOps.incrementalDedup(base, batchExactShape)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactSurvivors.contains(50000070L))
+    assert(!survivors.contains(50000070L))
   }
 
   test("domain mix: exact target proportions, most-constrained domain caps the build") {
