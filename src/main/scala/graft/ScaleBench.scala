@@ -85,7 +85,8 @@ object ScaleBench {
       "llm_dedup_exact", "llm_dedup_minhash",
       "llm_dedup_clusters", "llm_dedup_apply",
       "llm_dedup_spans", "llm_pack_sequences",
-      "llm_dedup_incremental", "llm_global_shuffle", "llm_domain_mix",
+      "llm_dedup_incremental", "llm_dedup_inc_minhash",
+      "llm_global_shuffle", "llm_domain_mix",
       "llm_bpe_pairs", "llm_ann_pq")
     // queries that run the CC fixpoint — their iteration count (component
     // diameter) is the scale-safety figure: it must stay flat as the

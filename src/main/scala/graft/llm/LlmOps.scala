@@ -1210,11 +1210,16 @@ object LlmOps {
         s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
       .select("doc_id", "side", "gs")
       .persist(lvl)
+    // NOT persisted, unlike dedupMinHash's band table: that one feeds a
+    // self-join (both sides = the whole frame — uncached, the signature
+    // folds would run twice), while here the two join sides are DISJOINT
+    // side-slices whose filters push below the fold projections into the
+    // cached scan — total fold work is one pass either way, so a persist
+    // would only add a materialization job and cache churn.
     val bands = withMinHashBands(hashed)
       .select(col("doc_id"), col("side"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_key")))
-      .persist(lvl)
     // no pre-verify distinct: a pair agreeing on k bands gets verified k
     // times, but the Jaccard check is cheap next to the distinct's extra
     // shuffle — `dup` dedups batch ids at the end anyway. (dedupMinHash
