@@ -31,6 +31,26 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("MinKAgg: any reduce/merge split order equals sorted.take(k) exactly") {
+    // the aggregator's distributed contract: rows arrive in arbitrary
+    // partition splits, partial buffers merge in arbitrary tree order —
+    // the result must equal the global bottom-k by (pri, id) regardless.
+    // Priorities drawn beyond 2^53 to cover the Long-exactness rationale.
+    val rowGen = Gen.zip(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.chooseNum(0L, 1000L))
+    val caseGen = Gen.zip(Gen.chooseNum(1, 12), Gen.listOfN(60, rowGen),
+      Gen.chooseNum(2, 6))
+    samples(caseGen, 8).foreach { case (k, rows, nSplits) =>
+      val agg = graft.functions.MinKAgg(k)
+      val splits = rows.grouped(math.max(1, rows.size / nSplits)).toSeq
+      // aggregator input tuples are (pri, id), the order the samplers bind
+      val partials = splits.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(partials.reduce(agg.merge))
+      val want = rows.map { case (pri, id) => (pri, id) }.sorted.take(k)
+      assert(merged === want, s"k=$k splits=$nSplits")
+    }
+  }
+
   test("domainMix: exact w_s·t proportions, quota feasible, t maximal") {
     val gen = Gen.listOfN(4, Gen.chooseNum(1, 30))
     samples(gen, 5).zipWithIndex.foreach { case (counts, trial) =>

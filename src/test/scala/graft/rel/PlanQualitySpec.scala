@@ -38,6 +38,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), "fan-out must be the built-in generator")
   }
 
+  test("samplers take the bounded-heap aggregate path: no rank window in the plan") {
+    // the skew-proof swap: at default quotas both samplers must plan the
+    // MinKAgg ObjectHashAggregate (map-side combining heaps), and the
+    // corpus-sized rank window — the low-cardinality skew hazard — must
+    // be gone entirely
+    for (q <- Seq("llm_sample_stratified", "llm_domain_mix")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q fell back to the rank-window path:\n${p.take(1200)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q must plan the typed bounded-heap aggregator:\n${p.take(1200)}")
+    }
+  }
+
   test("range join is a bucketed equi-join: no cartesian, no nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct"), p.take(1200))
