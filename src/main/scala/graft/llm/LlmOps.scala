@@ -132,31 +132,52 @@ object LlmOps {
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
 
-  val NumHashes = 12 // 4 bands × rows of 3
-  val Bands     = 4
-  val MersenneP = 2147483647L // 2^31-1
+  // single-sourced from the fused native expression so the Spark-side
+  // loop and the oracle templates can never drift apart
+  val NumHashes: Int  = graft.functions.MinHashSigs.NumHashes // 4 bands × rows of 3
+  val Bands: Int      = graft.functions.MinHashSigs.Bands
+  val MersenneP: Long = graft.functions.MinHashSigs.MersenneP // 2^31-1
 
   /** Affine rehash constants: mh_j = min((a_j·g + b_j) mod 2^31-1) over the
     * per-shingle base hash g. One md5 per shingle total (not per hash
     * function) — the classic universal-hashing MinHash construction; at
     * 100 TB the md5 count is the dominant cost and this cuts it 12×.
     */
-  def affineA(j: Int): Long = 2L * j + 1
-  def affineB(j: Int): Long = 104729L * j
+  def affineA(j: Int): Long = graft.functions.MinHashSigs.affineA(j)
+  def affineB(j: Int): Long = graft.functions.MinHashSigs.affineB(j)
+
+  /** Make `minhash_sigs` resolvable on any session — the [[ensureH56]]
+    * pattern: no-op when GraftExtensions registered the native expression;
+    * otherwise a value-identical UDF fallback (boxed elements so null
+    * minima survive the encoder).
+    */
+  def ensureMinHashSigs(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.functionExists("minhash_sigs"))
+      s.udf.register("minhash_sigs", (gs: Seq[java.lang.Long]) =>
+        if (gs == null) null
+        else {
+          val nonNull = gs.filter(_ != null)
+          if (nonNull.isEmpty) Seq.fill[java.lang.Long](NumHashes)(null)
+          else (1 to NumHashes).map { j =>
+            java.lang.Long.valueOf(
+              nonNull.iterator.map(g => (affineA(j) * g + affineB(j)) % MersenneP).min)
+          }
+        })
+    df
+  }
 
   /** MinHash signature over a `gs` column (the per-doc distinct shingle
-    * hashes), banded into 4 keys. Per-j `array_min(transform(...))` passes
-    * measured faster than a single array-accumulator fold (the per-element
-    * accumulator array allocation dominates); values are identical either
-    * way.
+    * hashes), banded into 4 keys. The 12 minima come from the fused
+    * native [[graft.functions.MinHashSigs]] expression — ONE pass over the
+    * hash array instead of 12 `array_min(transform(...))` walks, each of
+    * which allocated an intermediate array per row; values identical
+    * (spec'd against the unfused SQL form element-for-element).
     */
   def withMinHashBands(df: DataFrame): DataFrame = {
-    val withMh = (1 to NumHashes).foldLeft(df) { (d, j) =>
-      d.withColumn(s"mh$j",
-        expr(s"array_min(transform(gs, g -> (${affineA(j)} * g + ${affineB(j)}) % $MersenneP))"))
-    }
+    val withMh = ensureMinHashSigs(df).withColumn("mhs", expr("minhash_sigs(gs)"))
     (0 until Bands).foldLeft(withMh) { (d, b) =>
-      val parts = (1 to 3).map(r => s"cast(mh${3 * b + r} as string)").mkString(", ',', ")
+      val parts = (1 to 3).map(r => s"cast(element_at(mhs, ${3 * b + r}) as string)").mkString(", ',', ")
       d.withColumn(s"band$b", expr(s"md5(concat($parts))"))
     }
   }

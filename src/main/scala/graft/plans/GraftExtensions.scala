@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("h56"),
       new ExpressionInfo(classOf[graft.functions.Md5Prefix56].getName, "h56"),
       (children: Seq[Expression]) => graft.functions.Md5Prefix56(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => graft.functions.MinHashSigs(children.head)))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

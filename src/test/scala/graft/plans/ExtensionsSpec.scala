@@ -105,4 +105,34 @@ class ExtensionsSpec extends SparkSpec {
       .selectExpr("normalize_epoch_millis(v) as n").collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("minhash_sigs fused pass equals the 12 array_min(transform) walks, nulls included") {
+    import graft.llm.LlmOps
+    // arbitrary hash arrays incl. empty, singleton, null elements, and a
+    // 500-element spread over the full [0, P) domain
+    val cases: Seq[Seq[java.lang.Long]] = Seq(
+      Seq.empty,
+      Seq(java.lang.Long.valueOf(0L)),
+      Seq(java.lang.Long.valueOf(LlmOps.MersenneP - 1)),
+      Seq(null),
+      Seq(java.lang.Long.valueOf(7L), null, java.lang.Long.valueOf(123456789L)),
+      (0 until 500).map(i => java.lang.Long.valueOf((i * 2654435761L) % LlmOps.MersenneP)))
+    val unfused = (1 to LlmOps.NumHashes).map(j =>
+      s"array_min(transform(gs, g -> (${LlmOps.affineA(j)} * g + ${LlmOps.affineB(j)}) % ${LlmOps.MersenneP})) AS u$j")
+    val rows = cases.toDF("gs")
+      .selectExpr(Seq("minhash_sigs(gs) AS fused") ++ unfused: _*)
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[java.lang.Long](0)
+      assert(fused.size === LlmOps.NumHashes)
+      (1 to LlmOps.NumHashes).foreach { j =>
+        val u = if (r.isNullAt(j)) null else java.lang.Long.valueOf(r.getLong(j))
+        assert(fused(j - 1) === u, s"hash $j diverged")
+      }
+    }
+    // null input array → null result (UnaryExpression null contract)
+    val nr = Seq[Seq[java.lang.Long]](null).toDF("gs")
+      .selectExpr("minhash_sigs(gs) AS fused").collect()(0)
+    assert(nr.isNullAt(0))
+  }
 }
