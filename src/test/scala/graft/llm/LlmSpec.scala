@@ -703,12 +703,20 @@ class LlmSpec extends SparkSpec {
       .toSeq.sortBy(_._1)
     assert(got === refBpe(words, 6))
 
+    // a real-vocab-scale run: 64 rounds cross the default cadence's
+    // boundary 8 times and the tight cadence's 16 times — and the loop
+    // completes in bounded per-round time precisely BECAUSE it truncates
+    // (the reason no untruncated 64-round control can exist, see above)
     val text2 = (1 to 40).map(i => s"prefix${i}suffix").mkString(" ")
     val d = docs(1L -> text2)
-    def table(every: Int) = LlmOps.bpeTrain(d, nMerges = 20, truncateEvery = every)
+    def table(every: Int) = LlmOps.bpeTrain(d, nMerges = 64, truncateEvery = every)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq.sortBy(_._1)
-    assert(table(2) === table(5))
+    val t4 = table(4)
+    assert(t4 === table(LlmOps.BpeTruncateEveryRounds))
+    // the fixture runs out of productive merges at 62 — still deep enough
+    // that both cadences crossed their boundaries many times (15 and 7)
+    assert(t4.size >= 56, s"fixture too shallow to exercise truncation, got ${t4.size}")
   }
 
   test("bpe apply: corpus encode agrees with an independent single-node encoder") {
