@@ -88,10 +88,6 @@ object ScaleBench {
       "llm_dedup_incremental", "llm_dedup_inc_minhash",
       "llm_global_shuffle", "llm_domain_mix",
       "llm_bpe_pairs", "llm_ann_pq")
-    // queries that run the CC fixpoint — their iteration count (component
-    // diameter) is the scale-safety figure: it must stay flat as the
-    // corpus grows, or the lineage-truncation cadence needs revisiting
-    val ccQueries = Set("llm_dedup_clusters", "llm_dedup_apply")
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -108,13 +104,90 @@ object ScaleBench {
 
     val rows = headline.map { q =>
       val base = median3(sfDir, q)
-      val baseIters = graft.llm.LlmOps.lastClusterIterations.get()
       val scaled = median3(out, q)
-      val scaledIters = graft.llm.LlmOps.lastClusterIterations.get()
-      val iters = if (ccQueries(q)) s""","base_iters":$baseIters,"scaled_iters":$scaledIters"""
-        else ""
-      (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}$iters}""")
+      (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}}""")
     }
+
+    // CC convergence probe over the REAL minhash pair frames: the
+    // bench-scale cluster queries resolve driver-side (union-find fast
+    // path), so their loop iteration count is vacuous by design — this
+    // probe pins smallGraphMaxEdges = 0 to force the distributed fixpoint
+    // over the same pair frame and publishes ITS iteration counts, the
+    // figure that must stay flat as the corpus grows
+    def ccIters(dir: String): Int = {
+      val pairs = graft.llm.LlmOps.dedupMinHash(
+        graft.llm.LlmOps.nearDupCorpus(Tables.documents(spark, dir)))
+      graft.llm.LlmOps.dedupClusters(pairs, smallGraphMaxEdges = 0)
+        .write.format("noop").mode("overwrite").save()
+      spark.sqlContext.clearCache()
+      graft.llm.LlmOps.lastClusterIterations.get()
+    }
+    val ccBaseIters = ccIters(sfDir)
+    val ccScaledIters = ccIters(out)
+
+    // materialized-index probe: the LSH index is built ONCE per corpus
+    // size (untimed — the amortized build), the timed step is ONLY the
+    // batch probe, with the batch held at base-SF size on both sides —
+    // the steady-state ingest economics. A flat-ish ratio is the evidence
+    // the stored index deletes the in-query variant's re-hash cost (whose
+    // row above grows with the corpus).
+    val ixBatch = graft.llm.LlmOps.incrementalNearBatch(
+      Tables.documents(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ixBatch.count()
+    def incIdx(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-mhix").toString
+      graft.llm.LlmOps.buildMinHashIndex(Tables.documents(spark, dir), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.incrementalDedupMinHashIndexed(ixBatch, ixDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      (1 to 3).map(_ => probe()).sorted.apply(1)
+    }
+    val ixBase = incIdx(sfDir)
+    val ixScaled = incIdx(out)
+
+    // hot-token probe for tokenFreqScore: every doc prefixed with 30
+    // repeats of one stop word — the shape where a per-occurrence freq
+    // join funnels the whole corpus through one shuffle bucket; the
+    // (doc_id, tok, tf)-granularity join must stay near-linear instead
+    def tokHot(dir: String): Double = {
+      val d = Tables.documents(spark, dir).select(col("doc_id"),
+        concat_ws(" ", flatten(array(array_repeat(lit("the"), 30),
+          split(col("text"), " ")))).as("text"))
+      val t0 = System.nanoTime()
+      graft.llm.LlmOps.tokenFreqScore(d)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sqlContext.clearCache()
+      dt
+    }
+    tokHot(sfDir); tokHot(out) // warm
+    val tokBase = (1 to 3).map(_ => tokHot(sfDir)).sorted.apply(1)
+    val tokScaled = (1 to 3).map(_ => tokHot(out)).sorted.apply(1)
+
+    // BPE flatness probe at a real vocab size: 128 merges on the base
+    // corpus, publishing first-16 vs last-16 mean round time. Flat tail
+    // (ratio ≈ 1) is the published evidence the checkpoint cadence keeps
+    // per-round cost constant as the merge count grows — the axis real
+    // tokenizer training stresses.
+    val bpeT0 = System.nanoTime()
+    graft.llm.LlmOps.bpeTrain(Tables.documents(spark, sfDir), nMerges = 128)
+    val bpeSec = (System.nanoTime() - bpeT0) / 1e9
+    val bpeRounds = graft.llm.LlmOps.lastBpeRoundSecs.get()
+    val bpeHead = bpeRounds.take(16)
+    val bpeTail = bpeRounds.takeRight(16)
+    val bpeFlat =
+      if (bpeHead.nonEmpty && bpeTail.nonEmpty)
+        (bpeTail.sum / bpeTail.size) / (bpeHead.sum / bpeHead.size)
+      else Double.NaN
+    spark.sqlContext.clearCache()
     // adversarial sampler-skew probe: the replicated corpus collapsed onto
     // THREE domains (the few-huge-domains shape that hot-spots a rank
     // window), sampled via domainMix's bounded-heap path at base and
@@ -153,7 +226,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * stratum to one partition — with few huge domains (3 domains × 100 TB)
   * that is the classic low-cardinality window skew. This aggregator keeps
   * a bounded buffer per group (amortized trim at 4k entries), combines
-  * map-side, and ships at most k entries per group and partition through
-  * the shuffle, so the biggest domain costs the same as the smallest.
+  * map-side, and ships at most 4k−1 entries per group and partition
+  * through the shuffle (`reduce` trims only when the buffer hits 4k —
+  * the amortization trade; `merge`/`finish` trim to exactly k), so the
+  * biggest domain costs the same as the smallest.
   * Priorities stay `Long` end-to-end (the 56-bit hash priorities exceed a
   * double's 53-bit mantissa — [[TopKAgg]]'s double values would collide).
   */

@@ -281,6 +281,14 @@ object LlmOps {
       // Output-identical by construction (the oracle needs no mirror).
       .filter(abs(length(col("ta.text")) - length(col("tb.text"))) <=
         lit(threshold) * greatest(length(col("ta.text")), length(col("tb.text"))))
+      // degenerate-pair guard: two empty/blank docs always band-match
+      // (identical empty-shingle hash sets) but have no defined relative
+      // edit distance — max length 0 makes rel_edit 0/0, which Spark
+      // evaluates to NULL (row kept by `edit_dist >= 0` alone) while the
+      // oracle's `rel_edit <= t` drops it. Dropping zero-length pairs here
+      // keeps the two engines identical on any corpus containing ≥2 empty
+      // documents (the spec pins this with an injected empty-doc fixture).
+      .filter(greatest(length(col("ta.text")), length(col("tb.text"))) > 0)
       // bounded levenshtein: the per-pair bound ⌊threshold·max⌋ is exactly
       // the survival cutoff (distances are integers), so every survivor
       // gets its exact distance and everything else returns -1 — same
@@ -769,20 +777,38 @@ object LlmOps {
     * join-back, like [[boilerplate]]; the per-doc mean is an ORDERED fold
     * over the sorted per-token frequencies (sum order pinned ⇒
     * deterministic FP), never a plain double sum across a shuffle.
+    *
+    * Skew shape: the frequency join runs at (doc_id, tok, tf) granularity
+    * — per-doc counts aggregated FIRST (map-side combinable, like
+    * [[keywords]]'s tf table), then joined to the corpus frequency table.
+    * Joining freq onto the raw exploded rows instead would route every
+    * occurrence of every stop word through its token's single shuffle
+    * bucket — at 100 TB the "the" bucket is pathological skew; at tf
+    * granularity a hot token costs one row per document that contains it,
+    * never one per occurrence. The original per-occurrence fold order is
+    * reconstructed exactly (each f expanded tf× after the sort — the
+    * sorted-with-multiplicity list is unchanged), so the output is
+    * bit-identical to the per-occurrence formulation and the oracle keeps
+    * stating the semantics directly.
     */
   def tokenFreqScore(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = textCorpus(corpus, idCol, textCol)
+    // persisted state is the (doc_id, tok, tf) aggregate — already reduced
+    // from occurrences to per-doc distinct tokens; freq derives from it by
+    // summing tf (no second pass over the exploded rows)
+    val tf = textCorpus(corpus, idCol, textCol)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
-    toks.join(freq, "tok")
+    tf.join(freq, "tok")
       .crossJoin(broadcast(total))
       .withColumn("f", col("cnt").cast("double") / col("total").cast("double"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("aggregate(array_sort(collect_list(f)), cast(0.0 as double), (a, v) -> a + v)")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("aggregate(flatten(transform(array_sort(collect_list(struct(f, tf))), " +
+          "x -> array_repeat(x.f, cast(x.tf as int)))), cast(0.0 as double), (a, v) -> a + v)")
           .as("f_sum"))
       .select(col("doc_id"), col("n_tokens"),
         (col("f_sum") / col("n_tokens")).as("mean_tok_freq"))
@@ -852,12 +878,19 @@ object LlmOps {
     * to the window path row-for-row (same (pri, id) ascending order, same
     * ranks — proven by the equivalence spec); `heapMaxK = 0` forces the
     * window path.
+    *
+    * Contract: rows with a NULL id are dropped up-front, on BOTH paths —
+    * the heap path binds (pri, id) into a primitive (Long, Long)
+    * aggregator that cannot carry nulls, and a null sampling priority is
+    * meaningless anyway; filtering consistently keeps the two paths
+    * output-identical on nullable id columns instead of crash-vs-include.
     */
   def sampleStratified(corpus: DataFrame, perStratum: Int,
       stratumCol: String = "source", idCol: String = "doc_id",
       heapMaxK: Int = SamplerHeapMaxK): DataFrame = {
-    val docs = ensureH56(corpus).withColumn("pri",
-      expr(h56(s"concat('sample|', cast($idCol as string))")))
+    val docs = ensureH56(corpus).filter(col(idCol).isNotNull)
+      .withColumn("pri",
+        expr(h56(s"concat('sample|', cast($idCol as string))")))
     if (perStratum <= heapMaxK && isIntegralColumn(docs, idCol)) {
       val idType = docs.schema(idCol).dataType
       docs.groupBy(col(stratumCol))
@@ -1001,6 +1034,16 @@ object LlmOps {
     */
   val BpeTruncateEveryRounds = 8
 
+  /** Wall seconds of each merge round of the latest [[bpeTrain]] run —
+    * the probe gauge for the lineage-truncation claim: flat per-round
+    * time across a ≥128-merge vocab is the published evidence that the
+    * checkpoint cadence holds as the merge count (the axis real tokenizer
+    * training stresses) grows. Diagnostic only, like
+    * [[lastClusterIterations]].
+    */
+  val lastBpeRoundSecs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Double]](Seq.empty)
+
   def bpeTrain(corpus: DataFrame, nMerges: Int = 8, idCol: String = "doc_id",
       textCol: String = "text",
       truncateEvery: Int = BpeTruncateEveryRounds): DataFrame = {
@@ -1021,7 +1064,9 @@ object LlmOps {
     var prev: Option[DataFrame] = None
     var r = 1
     var exhausted = false
+    val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (r <= nMerges && !exhausted) {
+      val roundT0 = System.nanoTime()
       // zip_with over offset slices, not sequence(1, n-1): Spark's
       // sequence counts DOWN when start > stop, so a 1-symbol word would
       // fabricate indices [1, 0] instead of no pairs
@@ -1046,7 +1091,9 @@ object LlmOps {
           else gen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         r += 1
       }
+      roundSecs += (System.nanoTime() - roundT0) / 1e9
     }
+    lastBpeRoundSecs.set(roundSecs.toSeq)
     prev.foreach(_.unpersist())
     state.unpersist()
     import spark.implicits._
@@ -1265,6 +1312,117 @@ object LlmOps {
       .select("doc_id")
   }
 
+  /** Materialize the MinHash LSH index for `corpus` under `dir` — the
+    * cross-run artifact [[incrementalDedupMinHash]]'s scaladoc describes:
+    * `signatures/` holds the (doc_id, gs) shingle-hash table, `bands/` the
+    * exploded (doc_id, band_idx, band_key) block keys, both parquet. The
+    * band table is written hash-clustered by band_key (an explicit
+    * repartition — the bucketed-by-band-key layout, without needing a
+    * metastore table), so files group probe-relevant keys together.
+    * Built once per corpus generation; every subsequent ingest batch
+    * probes it via [[incrementalDedupMinHashIndexed]] without touching
+    * the base text — at 100 TB the index is ~n_docs rows of hashes
+    * (signatures) + 4·n_docs narrow rows (bands), orders of magnitude
+    * smaller than the corpus it summarizes.
+    */
+  def buildMinHashIndex(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val sig = withShingles(textCorpus(corpus, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("overwrite").parquet(s"$dir/signatures")
+    withMinHashBands(sig)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .repartition(col("band_key"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    sig.unpersist()
+  }
+
+  /** The steady-state near-dup ingest gate over a STORED index: byte-safe
+    * with [[incrementalDedupMinHash]] (same bands, same verify, identical
+    * output — equivalence spec), but the base corpus is never re-shingled
+    * or re-hashed — the batch's bands probe `dir`'s band table one-sidedly
+    * and the verify joins `dir`'s signature table. Per-batch cost is the
+    * batch's own signature derivation (fixed) plus a columnar scan of the
+    * narrow band/signature tables — flat-ish in corpus size, vs the
+    * in-query variant's full re-hash (measured 2.28× for a 10× corpus;
+    * the ScaleBench `incmh_indexed` probe publishes this variant's ratio).
+    * The batch side is tiny in the steady state, so AQE broadcasts its
+    * bands and the index scan streams in place — no index-side shuffle.
+    */
+  def incrementalDedupMinHashIndexed(batch: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.6): DataFrame = {
+    val spark = batch.sparkSession
+    val baseSig = spark.read.parquet(s"$indexDir/signatures")
+    val baseBands = spark.read.parquet(s"$indexDir/bands")
+    // batch signatures persisted — candidate generation AND the verify
+    // join read them (the same discipline as the in-query variant)
+    val bSig = withShingles(textCorpus(batch, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = withMinHashBands(bSig)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val cand = bBands.as("nb").join(baseBands.as("ob"),
+        col("nb.band_idx") === col("ob.band_idx") &&
+          col("nb.band_key") === col("ob.band_key"))
+      .select(col("nb.doc_id").as("batch_id"), col("ob.doc_id").as("base_id"))
+    val dup = cand
+      .join(bSig.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(baseSig.as("sb"), col("base_id") === col("sb.doc_id"))
+      .filter((size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
+        size(array_union(col("sa.gs"), col("sb.gs")))) >= threshold)
+      .select(col("batch_id")).distinct()
+    bSig.select("doc_id")
+      .join(dup, col("doc_id") === col("batch_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** Blocking-recall gauge for the banded-LSH dedup family — the
+    * [[annRecall]] pattern applied to near-dup detection: on a
+    * deterministic id-subsample (`doc_id % sampleMod = 0`, small enough
+    * that all-pairs truth is computable), compare the TRUE near-dup pairs
+    * (exact shingle-hash Jaccard ≥ threshold over every pair — a bounded
+    * broadcast cross join) against the pairs the band blocking surfaces.
+    * Output is one row (n_true, n_hit, recall): recall < 1 quantifies the
+    * pairs that straddle every band — the known LSH miss mode — measured
+    * where a pipeline operator reads it, instead of inferred from
+    * survivor counts. At scale the gauge runs on the subsample only; the
+    * subsample size is `corpus/sampleMod`, dialed so the quadratic truth
+    * side stays bounded while the banding under test is the production
+    * construction bit-for-bit.
+    */
+  def dedupRecall(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.6,
+      sampleMod: Long = 20L): DataFrame = {
+    val sub = textCorpus(corpus, idCol, textCol)
+      .filter(col("doc_id") % sampleMod === 0)
+    val (hashed, bandPairs) = minHashCandidates(sub, "doc_id", "text")
+    val truth = hashed.as("a")
+      .crossJoin(broadcast(hashed.as("b")))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+          size(array_union(col("a.gs"), col("b.gs")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hit = truth.join(
+      bandPairs.select(col("id_a").as("ca"), col("id_b").as("cb")),
+      col("id_a") === col("ca") && col("id_b") === col("cb"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** Integer domain weight for a `srcN` source name: N % 3 + 1 (∈ {1,2,3}).
     * A deterministic stand-in for the per-domain mixture weights a real
     * training build reads from config — integer so the quota arithmetic is
@@ -1295,13 +1453,22 @@ object LlmOps {
     * corpus resample can exceed any heap) it falls back to the rank
     * window; outputs are identical row-for-row either way (equivalence
     * spec), `heapMaxK = 0` forces the window path.
+    *
+    * Contract notes: (1) rows with a NULL id are dropped up-front on both
+    * paths — see [[sampleStratified]]'s identical rule and rationale.
+    * (2) When `heapMaxK > 0` this builder is NOT fully lazy: picking the
+    * heap-vs-window path needs max(k_s), so the per-domain quota frame
+    * (one tiny row per domain — the CC loop's driver-scalar discipline)
+    * is counted and collected AT CONSTRUCTION TIME, before the caller
+    * acts on the result; the path decision therefore snapshots the input
+    * as of this call. `heapMaxK = 0` restores a fully-lazy plan.
     */
   def domainMix(corpus: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id",
       weights: Map[String, Long] = Map.empty,
       heapMaxK: Int = SamplerHeapMaxK): DataFrame = {
     val spark = corpus.sparkSession
-    val base = ensureH56(corpus).select(
+    val base = ensureH56(corpus).filter(col(idCol).isNotNull).select(
       col(idCol).as("doc_id"), col(sourceCol).as("source"))
     // explicit weight map (the library path — a real build reads these
     // from config; unlisted domains drop out via the inner join) or the
@@ -1699,25 +1866,41 @@ object LlmOps {
     * billion-vector search fit RAM.
     *
     * K-means needs no RNG here: the codebook is the subvectors of the K
-    * lowest salted-hash-priority rows — deterministic on every engine
-    * (same discipline as [[sampleByHash]]), which keeps the whole
-    * operator oracle-expressible. Scale: codebooks are K rows broadcast
-    * twice (assignment, reconstruction); assignment is a linear
-    * n·m·K-row frame (n·64 here) reduced by a per-(vector, subspace)
-    * window; reconstruction re-assembles each candidate's approx vector
-    * with an order-fixing array_sort (collect_list order is not
-    * deterministic); search is the [[annTopK]] broadcast-queries shape
-    * over codes, never raw vectors.
+    * lowest salted-hash-priority rows of a deterministic 5% id-slice —
+    * train-on-a-sample, the way a production PQ trainer runs (and the
+    * [[bpeApply]] 5%-slice precedent): codebook quality needs a
+    * representative sample, not the corpus, so the training scan stays
+    * flat as the corpus grows while ENCODING (the irreducible per-vector
+    * work) remains the only linear stage. Deterministic slice + hash rank
+    * keep the whole operator oracle-expressible. Scale: codebooks are K
+    * rows broadcast twice (assignment, reconstruction); assignment is a
+    * linear n·m·K-row frame (n·64 here) reduced by a map-side-combinable
+    * per-(vector, subspace) `min(struct(distance, cid))` argmin — an
+    * aggregation, NOT a rank window, so the n·m·K distance rows partial-
+    * aggregate in place and only n·m argmin rows cross the shuffle;
+    * reconstruction re-assembles each candidate's approx vector with an
+    * order-fixing array_sort (collect_list order is not deterministic);
+    * search is the [[annTopK]] broadcast-queries shape over codes, never
+    * raw vectors.
     */
+  /** Modulus of the deterministic codebook-training slice (5% of ids).
+    * `trainMod = 1` trains on the full corpus — the knob exists so tiny
+    * spec fixtures (where a 5% slice can't seat kc centroids) can disable
+    * slicing, the `heapMaxK = 0` precedent.
+    */
+  val PqTrainSliceMod = 20L
+
   /** (vec_id, approx) — every vector replaced by its PQ reconstruction:
-    * hash-rank codebook, per-(vector, subspace) nearest-centroid window,
-    * order-fixed reassembly. The index core shared by [[annPq]] and
-    * [[annIvfPq]].
+    * hash-rank codebook over the training slice, per-(vector, subspace)
+    * nearest-centroid argmin, order-fixed reassembly. The index core
+    * shared by [[annPq]] and [[annIvfPq]].
     */
   private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
-      sub: Int): DataFrame = {
-    val pri = base.withColumn("pri",
-      expr(h56("concat('pq|', cast(vec_id as string))")))
+      sub: Int, trainMod: Long): DataFrame = {
+    // codebook training reads ONLY the slice: pri is computed post-filter,
+    // so the full corpus is never hashed or globally ranked for training
+    val pri = base.filter(col("vec_id") % trainMod === 0)
+      .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
     // K rows: the unpartitioned window is over the already-limited frame
     val pivots = pri.orderBy(col("pri"), col("vec_id")).limit(kc)
       .withColumn("cid",
@@ -1728,9 +1911,12 @@ object LlmOps {
       .crossJoin(broadcast(pivots))
       .withColumn("d", expr(ssdSql(
         s"slice(e, s*$sub+1, $sub)", s"slice(ce, s*$sub+1, $sub)")))
-    val wA = Window.partitionBy("vec_id", "s").orderBy(col("d"), col("cid"))
-    val codes = assign.withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1).select("vec_id", "s", "cid")
+    // argmin as an aggregation: min over struct(d, cid) is exactly the
+    // (d, cid)-ascending rank-1 row, but partial-aggregates map-side —
+    // the rank window would shuffle all n·m·K distance rows instead
+    val codes = assign.groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("mc"))
+      .select(col("vec_id"), col("s"), col("mc.cid").as("cid"))
     codes.join(broadcast(pivots), Seq("cid"))
       .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
       .groupBy("vec_id")
@@ -1740,9 +1926,9 @@ object LlmOps {
   def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim): DataFrame = {
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
     val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
-    val approx = pqApproxFrame(base, m, kc, sub)
+    val approx = pqApproxFrame(base, m, kc, sub, trainMod)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = approx.crossJoin(broadcast(q))
@@ -1764,12 +1950,12 @@ object LlmOps {
   def annIvfPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim): DataFrame = {
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
     // canonical widening via embBase (it keeps a `label` column when one
     // exists — normalize the caller's labelCol to that name first)
     val base = embBase(ensureH56(emb).withColumn("label", col(labelCol)),
       idCol, vecCol)
-    val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub)
+    val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub, trainMod)
       .join(base.select("vec_id", "label"), Seq("vec_id"))
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -1795,9 +1981,9 @@ object LlmOps {
   def annPqRefine(emb: DataFrame, k: Int = 5, shortlist: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim): DataFrame = {
-    val short = annPq(emb, shortlist, idCol, vecCol, nQueries, m, kc, sub)
-      .select("qid", "vec_id")
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
+    val short = annPq(emb, shortlist, idCol, vecCol, nQueries, m, kc, sub,
+      trainMod).select("qid", "vec_id")
     val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
     val q = base.filter(col("vec_id") < nQueries)

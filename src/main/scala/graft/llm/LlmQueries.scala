@@ -80,6 +80,20 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedupMinHash(base, LlmOps.incrementalNearBatch(base))
     }),
+    // the same gate through the MATERIALIZED index: build (eager, at
+    // query-construction time — the index write is the point of the
+    // operator) then probe the stored band/signature tables; output is
+    // identical to llm_dedup_inc_minhash, so both share one oracle
+    "llm_dedup_inc_mh_idx" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-mh-index").toString
+      LlmOps.buildMinHashIndex(base, dir)
+      LlmOps.incrementalDedupMinHashIndexed(LlmOps.incrementalNearBatch(base), dir)
+    }),
+    // blocking-quality gauge: banded-LSH pair recall vs all-pairs exact
+    // Jaccard truth on the doc_id % 20 subsample of the near-dup corpus
+    "llm_dedup_recall" -> ((s, d) => LlmOps.dedupRecall(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_bpe_pairs"     -> ((s, d) => LlmOps.bpePairs(Tables.documents(s, d))),
     // run over the injected-dup corpus so dup_frac is non-trivial; source/
     // lang joined back from the base table (injected copies inherit them)
@@ -140,7 +154,11 @@ object LlmQueries {
 
     "mm_media_meta"     -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample"   -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
-    "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d)))
+    "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d))),
+    // media dedup — exact byte-hash groups and simhash-over-byte-grams
+    // near pairs, over the injected exact+near payload-copy corpus
+    "mm_payload_dedup"  -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
+    "mm_payload_near"   -> ((s, d) => Multimodal.payloadNearDedup(Tables.documents(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -156,6 +174,8 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
+    "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
+    "llm_dedup_recall"  -> Seq(col("n_true")),
     "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
     "llm_corpus_stats"  -> Seq(col("n_docs")),
     "llm_bpe_train"     -> Seq(col("rank")),
@@ -194,7 +214,9 @@ object LlmQueries {
     "mm_embed_join"     -> Seq(col("label")),
     "mm_media_meta"     -> Seq(col("doc_id")),
     "mm_frame_sample"   -> Seq(col("doc_id"), col("frame_idx")),
-    "mm_decode_stub"    -> Seq(col("doc_id"))
+    "mm_decode_stub"    -> Seq(col("doc_id")),
+    "mm_payload_dedup"  -> Seq(col("keeper_id")),
+    "mm_payload_near"   -> Seq(col("id_a"), col("id_b"))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -219,11 +241,13 @@ object LlmQueries {
     s"CAST(len(list_filter($a, v -> list_contains($b, v))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
 
   /** The full minhash pipeline (corpus → shingle hashes → signatures →
-    * bands → verified pairs) as a CTE chain, shared by the pair query and
-    * the cluster-resolution query.
+    * bands → verified pairs) as a CTE chain over a caller-supplied corpus
+    * SQL, shared by the pair/cluster/edit/containment oracles (over the
+    * near-dup corpus) and the blocking-recall oracle (over its id
+    * subsample).
     */
-  private lazy val minhashVerifiedCte: String =
-    s"""corpus AS ($NearCorpusSql),
+  private def minhashCteFor(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
        |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM tok),
        |shg AS (SELECT doc_id,
@@ -247,6 +271,8 @@ object LlmQueries {
        |  JOIN shg sb ON p.id_b = sb.doc_id
        |)""".stripMargin
 
+  private lazy val minhashVerifiedCte: String = minhashCteFor(NearCorpusSql)
+
   private val simBitSums = (0 until SimHashBits).map(j =>
     s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
   private val simAssemble = (0 until SimHashBits).map(j =>
@@ -265,7 +291,8 @@ object LlmQueries {
   private lazy val pqChainDuck: String = {
     val sd = LlmOps.PqSubDim
     s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base),
+       |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base
+       |        WHERE vec_id % ${LlmOps.PqTrainSliceMod} = 0),
        |pv0 AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
        |pv AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0),
        |sub AS (SELECT unnest(range(0, ${LlmOps.PqSubspaces})) AS s),
@@ -323,7 +350,10 @@ object LlmQueries {
 
   private val enStops = inListDuck(TextAnalysis.Profiles(1)._2)
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = oracleBase +
+    ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "llm_dedup_exact" ->
       s"""WITH corpus AS ($ExactCorpusSql)
          |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies, md5(text) AS content_hash
@@ -882,7 +912,11 @@ object LlmQueries {
 
     // the near-dup ingest gate: both sides' shingles → signatures → bands
     // mirrored from the minhash chain, batch bands probing base bands
-    // one-sidedly, exact-Jaccard verify, survivors by anti-membership
+    // one-sidedly, exact-Jaccard verify, survivors by anti-membership.
+    // llm_dedup_inc_mh_idx shares this oracle verbatim: the indexed probe
+    // is output-identical by construction (same bands, same verify — only
+    // where the base tables come FROM differs, and SQL has no notion of
+    // "stored index vs in-query derivation")
     "llm_dedup_inc_minhash" ->
       s"""WITH batch AS (${LlmOps.IncrementalNearBatchSql}),
          |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
@@ -1039,6 +1073,75 @@ object LlmQueries {
         |f AS (SELECT doc_id, text, step, CAST(u.k AS BIGINT) AS frame_idx FROM m, UNNEST(range(0, n_frames)) AS u(k))
         |SELECT doc_id, frame_idx, frame_idx * step AS frame_off,
         |  substr(text, CAST(frame_idx * step + 1 AS INT), 12) AS frame_sig
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // blocking recall on the % 20 subsample: truth = all-pairs exact
+    // Jaccard (the subsample is small enough that the quadratic side is
+    // bounded), hit = truth pairs the band blocking surfaces; one row
+    "llm_dedup_recall" ->
+      s"""WITH ${minhashCteFor(
+             s"SELECT doc_id, text FROM ($NearCorpusSql) WHERE doc_id % 20 = 0")},
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         |  WHERE ${jaccardDuck("a.gs", "b.gs")} >= 0.6
+         |),
+         |hit AS (SELECT t.id_a, t.id_b FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.id_a = t.id_a AND p.id_b = t.id_b))
+         |SELECT (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth) AS recall""".stripMargin,
+
+    // exact media dedup over the payload-copy corpus; payload = UTF-8
+    // bytes of text, and DuckDB's md5(VARCHAR) hashes those same bytes,
+    // so hashing the text IS hashing the payload
+    "mm_payload_dedup" ->
+      s"""WITH corpus AS ($PayloadCorpusSql)
+         |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies, md5(text) AS payload_hash
+         |FROM corpus GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // byte-4-gram simhash near-dup: hex windows → h56 → ±1 bit votes →
+    // 32-bit simhash → 8-bit chunk blocking → bit_count(xor) verify,
+    // mirrored construct-for-construct (hex() is uppercase on both)
+    "mm_payload_near" ->
+      s"""WITH corpus AS ($PayloadCorpusSql),
+         |hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(hx)//2 - 3, 1)+1), i -> substr(hx, 2*i-1, 8)))) AS g
+         |  FROM hx),
+         |th AS (SELECT doc_id, ${h56Duck("g")} AS h FROM g),
+         |bitsums AS (SELECT doc_id,
+         |    $paySimBitSums
+         |  FROM th GROUP BY doc_id),
+         |sims AS (SELECT doc_id, CAST($paySimAssemble AS BIGINT) AS simhash FROM bitsums),
+         |ch AS (
+         |  $payChunkUnion
+         |),
+         |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sh_a, y.simhash AS sh_b
+         |      FROM ch x JOIN ch y
+         |        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
+         |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM p)
+         |SELECT id_a, id_b, hamming FROM h
+         |WHERE hamming <= ${Multimodal.PayloadMaxHamming} ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** The payload-copy corpus in DuckDB SQL (mirrors
+    * [[Multimodal.payloadDupCorpus]] — text stands in for the payload
+    * bytes, see the mm_payload_dedup oracle note).
+    */
+  private val PayloadCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 70000000, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 80000000, substr(text,1,10) || 'x' || substr(text,12) FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  private val paySimBitSums = (0 until Multimodal.PayloadSimBits).map(j =>
+    s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+  private val paySimAssemble = (0 until Multimodal.PayloadSimBits).map(j =>
+    s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private val payChunkUnion = {
+    val chunkBits = Multimodal.PayloadSimBits / Multimodal.PayloadSimChunks
+    (0 until Multimodal.PayloadSimChunks).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash // ${1L << (c * chunkBits)}) % ${1L << chunkBits} AS chunk_val FROM sims")
+      .mkString("\n  UNION ALL ")
+  }
 }

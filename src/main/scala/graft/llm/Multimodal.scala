@@ -52,6 +52,97 @@ object Multimodal {
         (col("frame_idx").cast("bigint") * col("step")).as("frame_off"),
         expr("substr(text, frame_idx * step + 1, 12)").as("frame_sig"))
 
+  // ------------------------------------------------- media payload dedup
+
+  /** Harness fixture for the payload-dedup pair: the media corpus ∪ exact
+    * byte copies of every 10th payload (id +70000000) ∪ near copies of
+    * every 13th (ONE byte overwritten at offset 10 — byte-level, since
+    * payload = UTF-8(text) the oracle mirrors it as a char substitution).
+    * Id offsets disjoint from every other injection fixture.
+    */
+  def payloadDupCorpus(docs: DataFrame): DataFrame =
+    media(docs).select("doc_id", "payload")
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 80000000L).as("doc_id"),
+          encode(concat(substring(col("text"), 1, 10), lit("x"),
+            expr("substr(text, 12)")), "UTF-8").as("payload")))
+
+  /** Exact media dedup — the FIRST multimodal operation of a training-data
+    * pipeline: group by the payload's content hash, keep the lowest id.
+    * [[graft.llm.LlmOps.dedupExact]] over bytes instead of text: one
+    * map-side-combinable groupBy on a 32-hex key, the payload itself never
+    * crosses the shuffle — the only shape that stands at 100 TB of media.
+    */
+  def payloadDedup(docs: DataFrame): DataFrame =
+    payloadDupCorpus(docs)
+      .groupBy(md5(col("payload")).as("payload_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies", "payload_hash")
+
+  /** SimHash width for [[payloadNearDedup]] — wider than the 16-bit text
+    * simhash: byte-gram sets of same-domain media correlate heavily, and
+    * at 16 bits random pairs pile up at low Hamming distance (measured:
+    * hundreds of distance-0 collisions on the sf0.01 fixture); at 32 the
+    * distance distribution separates cleanly.
+    */
+  val PayloadSimBits   = 32
+  /** Blocking chunks: 4 × 8 bits, so any pair within Hamming distance
+    * [[PayloadMaxHamming]] (= 3) agrees on ≥1 whole chunk — pigeonhole —
+    * and blocking recall is 1.0 by construction.
+    */
+  val PayloadSimChunks = 4
+  val PayloadMaxHamming = 3
+
+  /** Near-dup detection over binary payloads — simhash over byte 4-grams:
+    * hex-encode the payload, slide a 4-byte (8-hex-char, stride one byte)
+    * window, hash each distinct gram, per-bit ±1 votes → 32-bit simhash;
+    * candidate pairs agree on ≥1 of 4 8-bit simhash chunks (the banded-LSH
+    * idea of [[graft.llm.LlmOps.dedupMinHash]] applied to Hamming space),
+    * verified by `bit_count(xor) ≤ 3`. Catches re-encodes/retouches that
+    * change a few bytes — exactly what [[payloadDedup]]'s exact hash
+    * misses. Every stage is a narrow projection or a combinable groupBy;
+    * the self-join runs on chunk buckets only (256 values per chunk — at
+    * 100 TB the bucket key space is corpus/256 per chunk and candidate
+    * mass is bounded by near-dup density plus the chunk collision rate,
+    * never all-pairs).
+    */
+  def payloadNearDedup(docs: DataFrame,
+      maxHamming: Int = PayloadMaxHamming): DataFrame = {
+    val chunkBits = PayloadSimBits / PayloadSimChunks
+    val grams = graft.llm.LlmOps.ensureH56(payloadDupCorpus(docs))
+      .withColumn("hx", hex(col("payload")))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(hx) div 2 - 3, 1)), i -> substr(hx, 2*i - 1, 8)))")).as("g"))
+      .withColumn("h", expr(graft.llm.LlmOps.h56("g")))
+    val bitAggs = (0 until PayloadSimBits).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sums = grams.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until PayloadSimBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // persisted: both sides of the chunk self-join read it (the
+    // minHashCandidates band-table discipline)
+    val sims = sums.select(col("doc_id"), sh.as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until PayloadSimChunks).map(c =>
+        expr(s"(simhash div ${1L << (c * chunkBits)}) % ${1L << chunkBits}")): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
     * is STUBBED with a deterministic fake (byte-sum "luma" over the first

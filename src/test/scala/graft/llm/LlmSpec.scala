@@ -491,7 +491,7 @@ class LlmSpec extends SparkSpec {
     // a 20-deep shortlist holds every same-cluster candidate (9), so the
     // exact re-rank must reproduce brute force exactly, cosines included
     val refined = LlmOps.annPqRefine(emb, k = 3, shortlist = 20,
-        nQueries = 2, m = 2, kc = 8, sub = 4).collect()
+        nQueries = 2, m = 2, kc = 8, sub = 4, trainMod = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
     val brute = LlmOps.annTopK(emb, k = 3, nQueries = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
@@ -587,7 +587,9 @@ class LlmSpec extends SparkSpec {
       (id, v.toSeq, c)
     }
     val emb = rows.toDF("vec_id", "embedding", "label")
-    val out = LlmOps.annIvfPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4)
+    // trainMod = 1: a 40-row fixture can't seat 8 centroids from a 5% slice
+    val out = LlmOps.annIvfPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4,
+        trainMod = 1)
       .collect()
     assert(out.length === 6, "2 queries x top-3")
     out.foreach { r =>
@@ -608,7 +610,8 @@ class LlmSpec extends SparkSpec {
       (id, v.toSeq)
     }
     val emb = rows.toDF("vec_id", "embedding")
-    val out = LlmOps.annPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4)
+    val out = LlmOps.annPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4,
+        trainMod = 1)
       .collect()
     assert(out.length === 6, "2 queries x top-3")
     out.foreach { r =>
@@ -987,5 +990,85 @@ class LlmSpec extends SparkSpec {
     val out = Multimodal.decodeStub(spark, d)
     assert(out.columns.toSeq === Seq("doc_id", "fake_luma", "width", "height", "n_bytes"))
     assert(out.count() === 2L)
+  }
+
+  test("edit dedup: empty documents never pair (0/0 rel_edit stays out on both engines)") {
+    // two empty docs band-match trivially (identical empty-shingle sets)
+    // but max length 0 makes rel_edit 0/0 — the oracle's `rel_edit <= t`
+    // drops NULL, so Spark must drop the pair too; a real near-dup in the
+    // same corpus still surfaces
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(3L -> "", 9L -> "", 0L -> text, 7L -> text)
+    val out = LlmOps.dedupEdit(LlmOps.nearDupCorpus(d)).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((3L, 9L)), "empty-doc pair must be filtered, not NULL-kept")
+    assert(pairs.contains((0L, 7L)), "real near-dups still pair")
+    assert(out.forall(r => !r.isNullAt(3)), "no NULL rel_edit may survive")
+  }
+
+  test("indexed incremental minhash dedup ≡ the in-query gate, off a stored index") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(70L -> mk("alpha"), 13L -> mk("beta"), 3L -> mk("gamma"))
+    val batch = LlmOps.incrementalNearBatch(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-spec").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    // the index persists across "runs": a fresh read probes parquet only
+    val indexed = LlmOps.incrementalDedupMinHashIndexed(batch, dir)
+      .collect().map(_.getLong(0)).toSet
+    val inQuery = LlmOps.incrementalDedupMinHash(base, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === inQuery, "stored-index probe must be output-identical")
+    assert(indexed === Set(60000013L))
+    // the stored artifacts are the two documented tables
+    val sig = spark.read.parquet(s"$dir/signatures")
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(sig.columns.toSeq === Seq("doc_id", "gs"))
+    assert(bands.columns.toSeq === Seq("doc_id", "band_idx", "band_key"))
+    assert(bands.count() === sig.count() * LlmOps.Bands)
+  }
+
+  test("dedup recall gauge: n_hit counts band-blocked truth pairs, bounded by n_true") {
+    // ids multiples of 20 so the %-20 subsample keeps them; 0 and 140 are
+    // also %7==0, so nearDupCorpus injects their +1e7 tailed near-copies
+    // (10000000 ≡ 0 mod 20 keeps the copies in the subsample too)
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs(0L -> text, 140L -> other,
+      20L -> "completely different words entirely unrelated content here")
+    val row = LlmOps.dedupRecall(LlmOps.nearDupCorpus(d)).collect()(0)
+    val (nTrue, nHit, recall) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // truth: the two injected tailed copies are the only Jaccard ≥ .6 pairs
+    assert(nTrue === 2L)
+    assert(nHit >= 0L && nHit <= nTrue)
+    assert(recall === nHit.toDouble / nTrue)
+    // tail-append near-copies share 38/42 shingles — the bands find them
+    assert(recall === 1.0, s"expected full recall on tailed copies, got $recall")
+  }
+
+  test("payload dedup: exact byte copies group by content hash, keeper is min id") {
+    val d = docs(10L -> "alpha beta gamma", 3L -> "other text here")
+    // fixture injects an exact byte copy of doc 10 at +70000000
+    val out = Multimodal.payloadDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 2L, 3L -> 1L))
+  }
+
+  test("payload near-dedup: single-byte edits pair, disjoint payloads stay apart") {
+    // 26 and 52 are %13==0 → the fixture injects +80000000 copies with one
+    // byte overwritten at offset 10 — byte-level near-duplicates; the two
+    // originals are byte-disjoint random-ish strings. 300 tokens: per-bit
+    // vote margins grow with the gram count (~√n), so a ~7-gram edit
+    // reliably stays within the Hamming-3 verify at this length — the
+    // same length class as the real documents table (~300 chars).
+    val mk = (seed: Int) => (1 to 300).map(i => s"${('a' + (seed * i) % 26).toChar}${i % 10}").mkString(" ")
+    val d = docs(26L -> mk(3), 52L -> mk(7))
+    val out = Multimodal.payloadNearDedup(d).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((26L, 80000026L)), "one-byte edit must pair with its original")
+    assert(pairs.contains((52L, 80000052L)))
+    assert(!pairs.contains((26L, 52L)), "unrelated payloads must not pair")
+    // verify column really is the Hamming distance: exact-copy pairs (none
+    // here) would be 0; the one-byte edits flip only a few simhash bits
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= Multimodal.PayloadMaxHamming))
   }
 }
