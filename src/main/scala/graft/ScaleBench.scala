@@ -153,6 +153,48 @@ object ScaleBench {
     val ixBase = incIdx(sfDir)
     val ixScaled = incIdx(out)
 
+    // materialized-ANN probe: the partitioned cell table is built once per
+    // corpus size (untimed — amortized across the query stream), the
+    // timed step is the fixed-8-query probe off the stored cells. The
+    // published contrast is the same probe THROUGH THE INDEX vs the
+    // in-query annIvf on the identical scaled corpus: the index skips the
+    // per-row norm recompute and unprobed cells' files entirely
+    // (directory-level partition pruning), which is the serving-path
+    // saving a query stream collects on every call.
+    val annQ = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    annQ.count()
+    def annIdx(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-annix").toString
+      graft.llm.LlmOps.buildAnnIndex(Tables.embeddings(spark, dir), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.annIvfIndexed(annQ, ixDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      (1 to 3).map(_ => probe()).sorted.apply(1)
+    }
+    val annIxBase = annIdx(sfDir)
+    val annIxScaled = annIdx(out)
+    def annInQuery(dir: String): Double = {
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.annIvf(Tables.embeddings(spark, dir))
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      (1 to 3).map(_ => probe()).sorted.apply(1)
+    }
+    val annInqScaled = annInQuery(out)
+
     // hot-token probe for tokenFreqScore: every doc prefixed with 30
     // repeats of one stop word — the shape where a per-occurrence freq
     // join funnels the whole corpus through one shuffle bucket; the
@@ -226,7 +268,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     spark.stop()
   }
 }

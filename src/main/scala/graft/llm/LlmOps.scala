@@ -1386,6 +1386,35 @@ object LlmOps {
       .select("doc_id")
   }
 
+  /** Index maintenance for [[buildMinHashIndex]] — append `docs`'
+    * signature and band rows to the stored index under `dir`. With
+    * [[incrementalDedupMinHashIndexed]] this closes the production loop:
+    * gate a batch against the index, append the SURVIVORS, and the next
+    * batch's probe sees them — near-copies arriving in later batches are
+    * caught without ever re-touching earlier corpus text. Both writes are
+    * parquet `append` (new files only — no rewrite of the existing index;
+    * at 100 TB each ingest adds files ∝ batch size). The band append keeps
+    * the hash-clustered-by-band_key layout so probe locality holds across
+    * generations; periodic [[graft.cdc.Compaction]] folds the accumulated
+    * small files.
+    */
+  def appendMinHashIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val sig = withShingles(textCorpus(docs, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("append").parquet(s"$dir/signatures")
+    withMinHashBands(sig)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .repartition(col("band_key"))
+      .write.mode("append").parquet(s"$dir/bands")
+    sig.unpersist()
+  }
+
   /** Blocking-recall gauge for the banded-LSH dedup family — the
     * [[annRecall]] pattern applied to near-dup detection: on a
     * deterministic id-subsample (`doc_id % sampleMod = 0`, small enough
@@ -2037,6 +2066,49 @@ object LlmOps {
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("label").as("qlabel"), col("nrm").as("qnrm"))
     val scored = base.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "cosine")
+  }
+
+  /** Materialize the IVF cell layout for the embedding corpus under `dir` —
+    * the ANN counterpart of [[buildMinHashIndex]]: one `cells/` parquet
+    * table of (vec_id, e, nrm, label) *partitioned by the cell column*, so
+    * a probe that filters on cell ids becomes directory-level partition
+    * pruning — the scan touches only the probed cells' files, never the
+    * corpus. Norms are precomputed at build time (each probe saves a full
+    * per-row sqrt-dot pass, the classic index-time/query-time trade).
+    * Built once per corpus generation; [[annIvfIndexed]] probes it, and
+    * parquet `append` of newly-assigned vectors extends it between
+    * rebuilds.
+    */
+  def buildAnnIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): Unit =
+    emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+      .write.mode("overwrite").partitionBy("label").parquet(s"$dir/cells")
+
+  /** [[annIvf]] over a STORED index: the query set probes `dir`'s cell
+    * table instead of re-deriving cells and norms from the corpus —
+    * output-identical (equivalence spec + shared oracle). The broadcast
+    * query join keys on the partition column, so only the probed cells'
+    * parquet directories are read (cell count × cell size, flat in the
+    * number of unprobed cells); the per-probe cost left is the cosine over
+    * the probed cells — the steady-state serving shape, where index build
+    * cost is paid once and queries arrive forever after.
+    */
+  def annIvfIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val cells = queries.sparkSession.read.parquet(s"$indexDir/cells")
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qe"), col(labelCol).as("qlabel"))
+      .withColumn("qnrm", expr(s"sqrt(${dotSql("qe", "qe")})"))
+    val scored = cells.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))

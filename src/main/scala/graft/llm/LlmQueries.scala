@@ -46,6 +46,15 @@ object LlmQueries {
       .withColumn("q", expr("array_join(q, ',')"))),
     "llm_ann_quantized" -> ((s, d) => LlmOps.annQuantized(Tables.embeddings(s, d))),
     "llm_ann_ivf"       -> ((s, d) => LlmOps.annIvf(Tables.embeddings(s, d))),
+    // the same probe through the MATERIALIZED cell index: build (eager at
+    // query-construction time — the partitioned write is the point), then
+    // the query set probes the stored cells; shares llm_ann_ivf's oracle
+    "llm_ann_ivf_idx"   -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      LlmOps.buildAnnIndex(emb, dir)
+      LlmOps.annIvfIndexed(emb.filter(col("vec_id") < 8), dir)
+    }),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
@@ -194,6 +203,7 @@ object LlmQueries {
     "llm_quantize_int8" -> Seq(col("vec_id")),
     "llm_ann_quantized" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivf"       -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivf_idx"   -> Seq(col("qid"), col("rnk")),
     "llm_ann_lsh"       -> Seq(col("qid"), col("rnk")),
     "llm_ann_multiprobe" -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
@@ -351,7 +361,8 @@ object LlmQueries {
   private val enStops = inListDuck(TextAnalysis.Profiles(1)._2)
 
   def oracle: Map[String, String] = oracleBase +
-    ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash"))
+    ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash")) +
+    ("llm_ann_ivf_idx" -> oracleBase("llm_ann_ivf"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_dedup_exact" ->

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The near-dup ingest gate as a LIVE pipeline — the production
+  * steady-state the materialized LSH index exists for, wired end-to-end
+  * over Structured Streaming: document batches arrive as files, each
+  * micro-batch probes the stored band/signature index
+  * ([[LlmOps.incrementalDedupMinHashIndexed]] — base corpus text is never
+  * touched), survivors append to the output corpus AND to the index
+  * ([[LlmOps.appendMinHashIndex]]), so a near-copy arriving in a LATER
+  * batch is caught against a survivor admitted earlier. Delivery and
+  * index maintenance run inside `foreachBatch` behind the checkpoint — the
+  * same gated-commit discipline as [[graft.cdc.Streaming]] (an epoch that
+  * fails before both writes is replayed whole).
+  *
+  * At 100 TB this is the shape that holds: per-batch cost is the batch's
+  * own signature derivation plus a narrow columnar probe of the index —
+  * flat-ish in corpus size — and each epoch appends files ∝ batch size;
+  * nothing ever rewrites or re-reads the admitted corpus. Intra-batch
+  * near-dups are deliberately out of scope for the gate (batches are
+  * small; compose [[LlmOps.dedupMinHash]] inside the batch when they
+  * matter) — exactly the contract of the batch variant.
+  */
+object StreamingIngest {
+
+  /** Start the gate: `srcDir` is a parquet file-stream of document
+    * batches (schema inferred from the files already present),
+    * `indexDir` a [[LlmOps.buildMinHashIndex]] artifact, `outDir` the
+    * admitted corpus, `ckpDir` the checkpoint. One file per micro-batch
+    * (credit-based admission, as the CDC source); AvailableNow drains the
+    * backlog then terminates — production swaps the trigger, nothing
+    * else.
+    */
+  def start(spark: SparkSession, srcDir: String, indexDir: String,
+      outDir: String, ckpDir: String, threshold: Double = 0.6,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the gate returns canonical doc_id — rename back for the semi join
+        val survivors = LlmOps.incrementalDedupMinHashIndexed(
+          batch, indexDir, idCol, textCol, threshold)
+          .withColumnRenamed("doc_id", idCol)
+        val kept = batch.join(survivors, Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.write.mode("append").parquet(outDir)
+        LlmOps.appendMinHashIndex(kept, indexDir, idCol, textCol)
+        kept.unpersist()
+        ()
+      }
+      .start()
+  }
+}

@@ -1027,6 +1027,48 @@ class LlmSpec extends SparkSpec {
     assert(bands.count() === sig.count() * LlmOps.Bands)
   }
 
+  test("index append closes the loop: a later batch's near-copy of an admitted doc is caught") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(1L -> mk("alpha"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-app").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    // batch 1: a novel doc — survives the gate, appended to the index
+    val b1 = docs(100L -> mk("delta"))
+    val s1 = LlmOps.incrementalDedupMinHashIndexed(b1, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(100L))
+    LlmOps.appendMinHashIndex(b1, dir)
+    // batch 2: a tailed near-copy of batch-1's survivor + a novel doc —
+    // the copy is dropped purely off the APPENDED index rows
+    val b2 = docs(200L -> (mk("delta") + " tail27"), 300L -> mk("omega"))
+    val s2 = LlmOps.incrementalDedupMinHashIndexed(b2, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(300L), s"near-copy of an appended survivor must drop, got $s2")
+    // append is additive: base + batch-1 rows present, band multiple holds
+    val sig = spark.read.parquet(s"$dir/signatures")
+    assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 100L))
+    assert(spark.read.parquet(s"$dir/bands").count() === sig.count() * LlmOps.Bands)
+  }
+
+  test("indexed IVF probe ≡ annIvf, off the stored partitioned cell table") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    LlmOps.buildAnnIndex(emb, dir)
+    val indexed = LlmOps.annIvfIndexed(emb.filter(col("vec_id") < 8), dir)
+    val direct = LlmOps.annIvf(emb)
+    assert(indexed.columns.toSeq === direct.columns.toSeq)
+    assert(indexed.schema.map(f => (f.name, f.dataType)) ===
+        direct.schema.map(f => (f.name, f.dataType)),
+      "partition-column round-trip must preserve the label type")
+    val ix = indexed.collect().map(_.toSeq).toSet
+    val dx = direct.collect().map(_.toSeq).toSet
+    assert(ix === dx, "stored-cell probe must be output-identical")
+    // the layout IS the index: one directory per cell value
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("label=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty)
+  }
+
   test("dedup recall gauge: n_hit counts band-blocked truth pairs, bounded by n_true") {
     // ids multiples of 20 so the %-20 subsample keeps them; 0 and 140 are
     // also %7==0, so nearDupCorpus injects their +1e7 tailed near-copies
