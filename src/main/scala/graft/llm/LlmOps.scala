@@ -1415,6 +1415,25 @@ object LlmOps {
     sig.unpersist()
   }
 
+  /** Index-health gauge over a stored [[buildMinHashIndex]] artifact —
+    * the numbers an operator watches between ingests: per band, how many
+    * distinct block keys exist, how big the hottest bucket is, and the
+    * total band rows. `max_bucket` is the one that pages someone: probe
+    * cost is ∝ bucket overlap, so a bucket collapsing (everything hashing
+    * together — degenerate shingles, an upstream text bug) turns the
+    * one-sided probe quadratic. Two combinable groupBys over the narrow
+    * band table — never touches signatures or corpus text, cheap enough
+    * to run after every append.
+    */
+  def minHashIndexStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bucket"))
+      .groupBy(col("band_idx").cast("bigint").as("band_idx"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("bucket")).as("max_bucket"),
+        sum(col("bucket")).cast("bigint").as("n_rows"))
+
   /** Blocking-recall gauge for the banded-LSH dedup family — the
     * [[annRecall]] pattern applied to near-dup detection: on a
     * deterministic id-subsample (`doc_id % sampleMod = 0`, small enough

@@ -167,7 +167,17 @@ object LlmQueries {
     // media dedup — exact byte-hash groups and simhash-over-byte-grams
     // near pairs, over the injected exact+near payload-copy corpus
     "mm_payload_dedup"  -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
-    "mm_payload_near"   -> ((s, d) => Multimodal.payloadNearDedup(Tables.documents(s, d)))
+    "mm_payload_near"   -> ((s, d) => Multimodal.payloadNearDedup(Tables.documents(s, d))),
+    // terminal media dedup: near pairs (Hamming 0 subsumes exact copies)
+    // → connected components → keep cluster-min; (doc_id, n_bytes) out
+    "mm_payload_apply"  -> ((s, d) => Multimodal.payloadDedupApply(Tables.documents(s, d))),
+    // index-health gauge over a stored LSH index: per band, distinct block
+    // keys / hottest bucket / total rows — the probe-cost early warning
+    "llm_dedup_index_stats" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mh-stats").toString
+      LlmOps.buildMinHashIndex(Tables.documents(s, d), dir)
+      LlmOps.minHashIndexStats(s, dir)
+    })
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -226,7 +236,9 @@ object LlmQueries {
     "mm_frame_sample"   -> Seq(col("doc_id"), col("frame_idx")),
     "mm_decode_stub"    -> Seq(col("doc_id")),
     "mm_payload_dedup"  -> Seq(col("keeper_id")),
-    "mm_payload_near"   -> Seq(col("id_a"), col("id_b"))
+    "mm_payload_near"   -> Seq(col("id_a"), col("id_b")),
+    "mm_payload_apply"  -> Seq(col("doc_id")),
+    "llm_dedup_index_stats" -> Seq(col("band_idx"))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -1115,26 +1127,62 @@ object LlmQueries {
     // 32-bit simhash → 8-bit chunk blocking → bit_count(xor) verify,
     // mirrored construct-for-construct (hex() is uppercase on both)
     "mm_payload_near" ->
-      s"""WITH corpus AS ($PayloadCorpusSql),
-         |hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(length(hx)//2 - 3, 1)+1), i -> substr(hx, 2*i-1, 8)))) AS g
-         |  FROM hx),
-         |th AS (SELECT doc_id, ${h56Duck("g")} AS h FROM g),
-         |bitsums AS (SELECT doc_id,
-         |    $paySimBitSums
-         |  FROM th GROUP BY doc_id),
-         |sims AS (SELECT doc_id, CAST($paySimAssemble AS BIGINT) AS simhash FROM bitsums),
-         |ch AS (
-         |  $payChunkUnion
-         |),
-         |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sh_a, y.simhash AS sh_b
-         |      FROM ch x JOIN ch y
-         |        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
-         |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM p)
+      s"""WITH $payNearChainCte
          |SELECT id_a, id_b, hamming FROM h
-         |WHERE hamming <= ${Multimodal.PayloadMaxHamming} ORDER BY id_a, id_b""".stripMargin
+         |WHERE hamming <= ${Multimodal.PayloadMaxHamming} ORDER BY id_a, id_b""".stripMargin,
+
+    // terminal media dedup: the near chain's pairs (Hamming 0 covers exact
+    // byte copies) → the same recursive-CC + keep-cluster-min shape as
+    // llm_dedup_apply; n_bytes via encode() since payload = UTF-8(text)
+    "mm_payload_apply" ->
+      s"""WITH RECURSIVE $payNearChainCte,
+         |dup AS (SELECT id_a, id_b FROM h WHERE hamming <= ${Multimodal.PayloadMaxHamming}),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION ALL SELECT id_b, id_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+         |),
+         |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node)
+         |SELECT c.doc_id, CAST(octet_length(encode(c.text)) AS BIGINT) AS n_bytes
+         |FROM corpus c WHERE c.doc_id NOT IN (SELECT node FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
+
+    // per-band index health off the same band construction the minhash
+    // family blocks on: distinct keys, hottest bucket, total rows
+    "llm_dedup_index_stats" ->
+      s"""WITH ${minhashCteFor("SELECT doc_id, text FROM documents")},
+         |bk AS (SELECT band_idx, band_key, count(*) AS bucket
+         |       FROM bands GROUP BY band_idx, band_key)
+         |SELECT CAST(band_idx AS BIGINT) AS band_idx, count(*) AS n_keys,
+         |  max(bucket) AS max_bucket, CAST(sum(bucket) AS BIGINT) AS n_rows
+         |FROM bk GROUP BY band_idx ORDER BY band_idx""".stripMargin
   )
+
+  /** The payload simhash chain (corpus → byte-4-gram simhash → chunk
+    * blocking → Hamming-verified pairs `h`) shared by the near-dup pair
+    * query and the terminal apply.
+    */
+  private lazy val payNearChainCte: String =
+    s"""corpus AS ($PayloadCorpusSql),
+       |hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(length(hx)//2 - 3, 1)+1), i -> substr(hx, 2*i-1, 8)))) AS g
+       |  FROM hx),
+       |th AS (SELECT doc_id, ${h56Duck("g")} AS h FROM g),
+       |bitsums AS (SELECT doc_id,
+       |    $paySimBitSums
+       |  FROM th GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($paySimAssemble AS BIGINT) AS simhash FROM bitsums),
+       |ch AS (
+       |  $payChunkUnion
+       |),
+       |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sh_a, y.simhash AS sh_b
+       |      FROM ch x JOIN ch y
+       |        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
+       |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM p)""".stripMargin
 
   /** The payload-copy corpus in DuckDB SQL (mirrors
     * [[Multimodal.payloadDupCorpus]] — text stands in for the payload

@@ -143,6 +143,22 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Terminal media dedup — the [[graft.llm.LlmOps.dedupApply]] step over
+    * payload pairs: exact byte copies pair at Hamming 0 (identical bytes →
+    * identical simhash), so [[payloadNearDedup]]'s pair set subsumes
+    * [[payloadDedup]]'s groups; connected components collapse transitive
+    * copy chains and the cluster-min keeper survives. Output is (doc_id,
+    * n_bytes) — identity plus a size witness, the payload itself never
+    * enters the compare. Same scale shape as the text pipeline: chunk-
+    * bucketed pair generation, adaptive CC, one anti-join.
+    */
+  def payloadDedupApply(docs: DataFrame): DataFrame =
+    graft.llm.LlmOps.dedupApply(
+        payloadDupCorpus(docs),
+        payloadNearDedup(docs).select("id_a", "id_b"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"))
+
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
     * is STUBBED with a deterministic fake (byte-sum "luma" over the first

@@ -1113,4 +1113,33 @@ class LlmSpec extends SparkSpec {
     // here) would be 0; the one-byte edits flip only a few simhash bits
     assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= Multimodal.PayloadMaxHamming))
   }
+
+  test("payload dedup apply: exact and near copies collapse to the keeper, n_bytes survives") {
+    // 130 is %10==0 AND %13==0: the fixture injects BOTH an exact byte
+    // copy (+7e7) and a one-byte edit (+8e7) — a 3-node cluster that only
+    // the CC resolution collapses; 52 gets just the near copy
+    val mk = (seed: Int) => (1 to 300).map(i => s"${('a' + (seed * i) % 26).toChar}${i % 10}").mkString(" ")
+    val d = docs(130L -> mk(3), 52L -> mk(7))
+    val out = Multimodal.payloadDedupApply(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(130L, 52L), s"only cluster-min keepers survive, got ${out.keySet}")
+    // n_bytes is the payload byte length (UTF-8 of the text fixture)
+    assert(out(52L) === mk(7).getBytes("UTF-8").length.toLong)
+  }
+
+  test("index stats: per-band key counts, hot bucket, and row totals off the stored band table") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    // two identical docs → every band has one bucket of 2; one loner
+    val d = docs(1L -> mk("alpha"), 2L -> mk("alpha"), 9L -> mk("beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-stats").toString
+    LlmOps.buildMinHashIndex(d, dir)
+    val rows = LlmOps.minHashIndexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === (0L until LlmOps.Bands.toLong).toSet)
+    rows.values.foreach { case (nKeys, maxBucket, nRows) =>
+      assert(nRows === 3L, "every doc contributes one row per band")
+      assert(nKeys === 2L, "identical docs share a key, the loner has its own")
+      assert(maxBucket === 2L, "the identical pair is the hot bucket")
+    }
+  }
 }
