@@ -2109,6 +2109,11 @@ object LlmOps {
     emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+      // hash-cluster rows by cell before the partitioned write: one file
+      // per cell directory instead of one per (shuffle partition × cell) —
+      // at scale the probe's task count tracks probed cells, not the
+      // builder's parallelism
+      .repartition(col("label"))
       .write.mode("overwrite").partitionBy("label").parquet(s"$dir/cells")
 
   /** [[annIvf]] over a STORED index: the query set probes `dir`'s cell
