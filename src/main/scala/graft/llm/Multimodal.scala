@@ -96,36 +96,43 @@ object Multimodal {
   val PayloadSimChunks = 4
   val PayloadMaxHamming = 3
 
+  /** Make `payload_simhash` resolvable on any session: no-op when
+    * GraftExtensions already registered the native expression; otherwise a
+    * value-identical UDF fallback (no codegen, but correct).
+    */
+  def ensurePayloadSimHash(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.functionExists("payload_simhash"))
+      s.udf.register("payload_simhash", (payload: Array[Byte]) =>
+        if (payload == null) null
+        else java.lang.Long.valueOf(graft.functions.PayloadSimHash.simhash(payload)))
+    df
+  }
+
   /** Near-dup detection over binary payloads — simhash over byte 4-grams:
-    * hex-encode the payload, slide a 4-byte (8-hex-char, stride one byte)
-    * window, hash each distinct gram, per-bit ±1 votes → 32-bit simhash;
-    * candidate pairs agree on ≥1 of 4 8-bit simhash chunks (the banded-LSH
-    * idea of [[graft.llm.LlmOps.dedupMinHash]] applied to Hamming space),
-    * verified by `bit_count(xor) ≤ 3`. Catches re-encodes/retouches that
-    * change a few bytes — exactly what [[payloadDedup]]'s exact hash
-    * misses. Every stage is a narrow projection or a combinable groupBy;
-    * the self-join runs on chunk buckets only (256 values per chunk — at
-    * 100 TB the bucket key space is corpus/256 per chunk and candidate
-    * mass is bounded by near-dup density plus the chunk collision rate,
-    * never all-pairs).
+    * slide a 4-byte (stride one) window, hash each distinct gram (as its
+    * uppercase-hex string through the 56-bit md5 prefix), per-bit ±1
+    * votes → 32-bit simhash; candidate pairs agree on ≥1 of 4 8-bit
+    * simhash chunks (the banded-LSH idea of
+    * [[graft.llm.LlmOps.dedupMinHash]] applied to Hamming space), verified
+    * by `bit_count(xor) ≤ 3`. Catches re-encodes/retouches that change a
+    * few bytes — exactly what [[payloadDedup]]'s exact hash misses. The
+    * whole signature derives inside the scan's codegen stage via the fused
+    * [[graft.functions.PayloadSimHash]] expression (one pass per payload —
+    * the SQL form exploded ~one gram row per payload byte and funneled
+    * them through a 32-aggregate groupBy; at 100 TB that shuffle is the
+    * corpus, the fused form shuffles one long per document). The self-join
+    * runs on chunk buckets only (256 values per chunk — candidate mass is
+    * bounded by near-dup density plus the chunk collision rate, never
+    * all-pairs).
     */
   def payloadNearDedup(docs: DataFrame,
       maxHamming: Int = PayloadMaxHamming): DataFrame = {
     val chunkBits = PayloadSimBits / PayloadSimChunks
-    val grams = graft.llm.LlmOps.ensureH56(payloadDupCorpus(docs))
-      .withColumn("hx", hex(col("payload")))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(hx) div 2 - 3, 1)), i -> substr(hx, 2*i - 1, 8)))")).as("g"))
-      .withColumn("h", expr(graft.llm.LlmOps.h56("g")))
-    val bitAggs = (0 until PayloadSimBits).map(j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sums = grams.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sh = (0 until PayloadSimBits)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
     // persisted: both sides of the chunk self-join read it (the
     // minHashCandidates band-table discipline)
-    val sims = sums.select(col("doc_id"), sh.as("simhash"))
+    val sims = ensurePayloadSimHash(payloadDupCorpus(docs))
+      .select(col("doc_id"), expr("payload_simhash(payload)").as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until PayloadSimChunks).map(c =>

@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => graft.functions.MinHashSigs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("payload_simhash"),
+      new ExpressionInfo(classOf[graft.functions.PayloadSimHash].getName, "payload_simhash"),
+      (children: Seq[Expression]) => graft.functions.PayloadSimHash(children.head)))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

@@ -135,4 +135,34 @@ class ExtensionsSpec extends SparkSpec {
       .selectExpr("minhash_sigs(gs) AS fused").collect()(0)
     assert(nr.isNullAt(0))
   }
+
+  test("payload_simhash fused pass equals the hex/explode/vote SQL chain, edge lengths included") {
+    // empty, 1-3 byte (single short gram), exactly 4, duplicate-gram-heavy
+    // (aaaa... packs every window identical), and a 300-byte spread
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0x7f),
+      Array[Byte](0, 1, 2),
+      Array[Byte](1, 2, 3, 4),
+      Array.fill[Byte](64)('a'.toByte),
+      (0 until 300).map(i => ((i * 131) % 251).toByte).toArray)
+    val df = cases.toDF("payload")
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(length(hx) div 2 - 3, 1)), i -> substr(hx, 2*i - 1, 8)))"))
+    val unfusedSh = {
+      val votes = (0 until graft.functions.PayloadSimHash.Bits).map(j =>
+        s"(CASE WHEN aggregate(grams, 0, (a, g) -> a + (CASE WHEN (h56(g) div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)")
+      votes.mkString(" + ")
+    }
+    val rows = df.selectExpr("payload_simhash(payload) AS fused",
+        s"CAST($unfusedSh AS BIGINT) AS unfused").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "fused simhash diverged from the SQL chain")
+    }
+    // null payload → null result
+    val nr = Seq[Array[Byte]](null).toDF("payload")
+      .selectExpr("payload_simhash(payload) AS fused").collect()(0)
+    assert(nr.isNullAt(0))
+  }
 }
