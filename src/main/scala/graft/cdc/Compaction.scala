@@ -24,6 +24,18 @@ object Compaction {
     * split. Returns (files before, files after), counting data files.
     */
   def compactDeliveryLog(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 1L << 20): (Long, Long) =
+    compactDir(spark, dir, Seq("entity"), Seq("entity"), maxRecordsPerFile)
+
+  /** Generic append-log compaction: rewrite the parquet directory `dir`
+    * hash-clustered by `clusterCols` (restoring the locality layout an
+    * `append`-mode writer erodes — new files never co-group with old
+    * ones), `partitionBy(partitionCols)` when given, then swap. The same
+    * rename-based mechanics and caveats as [[compactDeliveryLog]];
+    * content preserved row-for-row, only file boundaries change.
+    */
+  def compactDir(spark: SparkSession, dir: String,
+      clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1L << 20): (Long, Long) = {
     def dataFiles(d: java.io.File): Seq[java.io.File] =
       if (!d.exists()) Seq.empty
@@ -35,11 +47,14 @@ object Compaction {
     val before = dataFiles(new java.io.File(dir)).size.toLong
 
     val tmp = dir + ".compacted"
-    spark.read.parquet(dir)
-      .repartition(org.apache.spark.sql.functions.col("entity"))
-      .write.mode("overwrite")
+    val read = spark.read.parquet(dir)
+    val clustered =
+      if (clusterCols.nonEmpty)
+        read.repartition(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      else read.coalesce(spark.sparkContext.defaultParallelism)
+    val writer = clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("entity")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
 
     val old = dir + ".pre-compaction"

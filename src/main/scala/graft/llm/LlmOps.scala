@@ -1415,6 +1415,19 @@ object LlmOps {
     sig.unpersist()
   }
 
+  /** Fold the small files [[appendMinHashIndex]] accumulates — the index
+    * maintenance step a long-running ingest loop schedules between
+    * batches: both tables rewrite through [[graft.cdc.Compaction]]'s
+    * swap mechanics, bands re-clustered by band_key (each append wrote
+    * its own band files, eroding the probe-locality layout the builder
+    * established), signatures coalesced. Returns the (before, after)
+    * file counts per table. Content row-identical; probes and stats are
+    * unaffected (spec'd).
+    */
+  def compactMinHashIndex(spark: SparkSession, dir: String): ((Long, Long), (Long, Long)) = (
+    graft.cdc.Compaction.compactDir(spark, s"$dir/signatures", Nil),
+    graft.cdc.Compaction.compactDir(spark, s"$dir/bands", Seq("band_key")))
+
   /** Index-health gauge over a stored [[buildMinHashIndex]] artifact —
     * the numbers an operator watches between ingests: per band, how many
     * distinct block keys exist, how big the hottest bucket is, and the

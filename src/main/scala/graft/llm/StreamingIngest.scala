@@ -31,11 +31,15 @@ object StreamingIngest {
     * admitted corpus, `ckpDir` the checkpoint. One file per micro-batch
     * (credit-based admission, as the CDC source); AvailableNow drains the
     * backlog then terminates — production swaps the trigger, nothing
-    * else.
+    * else. `compactEvery` > 0 folds the index's accumulated append files
+    * ([[LlmOps.compactMinHashIndex]]) after every Nth epoch — the
+    * maintenance cadence a long-running ingest schedules so probe-file
+    * counts stay bounded by the cadence, not the epoch count.
     */
   def start(spark: SparkSession, srcDir: String, indexDir: String,
       outDir: String, ckpDir: String, threshold: Double = 0.6,
-      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery = {
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream
       .schema(schema)
@@ -44,7 +48,7 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", ckpDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         // the gate returns canonical doc_id — rename back for the semi join
         val survivors = LlmOps.incrementalDedupMinHashIndexed(
           batch, indexDir, idCol, textCol, threshold)
@@ -54,6 +58,8 @@ object StreamingIngest {
         kept.write.mode("append").parquet(outDir)
         LlmOps.appendMinHashIndex(kept, indexDir, idCol, textCol)
         kept.unpersist()
+        if (compactEvery > 0 && epoch % compactEvery == (compactEvery - 1))
+          LlmOps.compactMinHashIndex(spark, indexDir)
         ()
       }
       .start()

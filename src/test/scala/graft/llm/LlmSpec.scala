@@ -1050,6 +1050,28 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bands").count() === sig.count() * LlmOps.Bands)
   }
 
+  test("index compaction folds appended files, probes and stats unchanged") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-compact").toString
+    LlmOps.buildMinHashIndex(docs(1L -> mk("alpha")), dir)
+    LlmOps.appendMinHashIndex(docs(100L -> mk("delta")), dir)
+    LlmOps.appendMinHashIndex(docs(200L -> mk("omega")), dir)
+    val probe = docs(300L -> (mk("delta") + " tail27"), 400L -> mk("zeta"))
+    val beforeGate = LlmOps.incrementalDedupMinHashIndexed(probe, dir)
+      .collect().map(_.getLong(0)).toSet
+    val beforeStats = LlmOps.minHashIndexStats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ((sigB, sigA), (bandB, bandA)) = LlmOps.compactMinHashIndex(spark, dir)
+    assert(sigA <= sigB && bandA <= bandB, "compaction must not grow file counts")
+    assert(bandB >= 3L, "three writes accumulated band files")
+    assert(LlmOps.incrementalDedupMinHashIndexed(probe, dir)
+      .collect().map(_.getLong(0)).toSet === beforeGate,
+      "the gate must see identical content after the swap")
+    assert(LlmOps.minHashIndexStats(spark, dir)
+      .collect().map(_.toSeq).toSet === beforeStats,
+      "stats must be row-identical after compaction")
+  }
+
   test("indexed IVF probe ≡ annIvf, off the stored partitioned cell table") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString

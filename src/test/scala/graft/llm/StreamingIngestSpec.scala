@@ -47,7 +47,10 @@ class StreamingIngestSpec extends SparkSpec {
     writeSlice("s1", docs(100L -> (mk("alpha") + " tail27"), 101L -> mk("delta")), t0)
     writeSlice("s2", docs(200L -> (mk("delta") + " tail27"), 201L -> mk("omega")), t0 + 30000)
 
-    StreamingIngest.start(spark, src, idx, out, ckp).awaitTermination()
+    // compactEvery=2 exercises the in-loop maintenance: epoch 1 (second
+    // micro-batch) folds the appended index files before the drain ends
+    StreamingIngest.start(spark, src, idx, out, ckp, compactEvery = 2)
+      .awaitTermination()
 
     val admitted = spark.read.parquet(out)
     assert(admitted.columns.toSeq === base.columns.toSeq,
