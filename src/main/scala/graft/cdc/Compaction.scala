@@ -32,11 +32,16 @@ object Compaction {
     * `append`-mode writer erodes — new files never co-group with old
     * ones), `partitionBy(partitionCols)` when given, then swap. The same
     * rename-based mechanics and caveats as [[compactDeliveryLog]];
-    * content preserved row-for-row, only file boundaries change.
+    * content preserved row-for-row, only file boundaries change — unless
+    * `dedupRows` is set, which collapses EXACT duplicate rows during the
+    * rewrite (only valid when the table's rows are a deterministic
+    * function of their keys, so a duplicate can only be a replayed
+    * append — the LSH-index tables' contract).
     */
   def compactDir(spark: SparkSession, dir: String,
       clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 1L << 20): (Long, Long) = {
+      maxRecordsPerFile: Long = 1L << 20,
+      dedupRows: Boolean = false): (Long, Long) = {
     def dataFiles(d: java.io.File): Seq[java.io.File] =
       if (!d.exists()) Seq.empty
       else d.listFiles().toSeq.flatMap {
@@ -47,7 +52,8 @@ object Compaction {
     val before = dataFiles(new java.io.File(dir)).size.toLong
 
     val tmp = dir + ".compacted"
-    val read = spark.read.parquet(dir)
+    val read0 = spark.read.parquet(dir)
+    val read = if (dedupRows) read0.distinct() else read0
     val clustered =
       if (clusterCols.nonEmpty)
         read.repartition(clusterCols.map(org.apache.spark.sql.functions.col): _*)

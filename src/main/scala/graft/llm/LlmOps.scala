@@ -1421,12 +1421,18 @@ object LlmOps {
     * swap mechanics, bands re-clustered by band_key (each append wrote
     * its own band files, eroding the probe-locality layout the builder
     * established), signatures coalesced. Returns the (before, after)
-    * file counts per table. Content row-identical; probes and stats are
-    * unaffected (spec'd).
+    * file counts per table. Probes and stats are unaffected (spec'd) —
+    * with one deliberate exception: exact duplicate rows are collapsed.
+    * Both tables are deterministic functions of a doc's text, so a
+    * duplicate can only be a REPLAYED append (an ingest epoch that failed
+    * after its index write and was re-run). Replay duplicates are already
+    * output-harmless to the gate (candidates and dup sets are
+    * distinct-ed); compaction erases them from the stats too, making the
+    * at-least-once append loop self-healing at its maintenance cadence.
     */
   def compactMinHashIndex(spark: SparkSession, dir: String): ((Long, Long), (Long, Long)) = (
-    graft.cdc.Compaction.compactDir(spark, s"$dir/signatures", Nil),
-    graft.cdc.Compaction.compactDir(spark, s"$dir/bands", Seq("band_key")))
+    graft.cdc.Compaction.compactDir(spark, s"$dir/signatures", Nil, dedupRows = true),
+    graft.cdc.Compaction.compactDir(spark, s"$dir/bands", Seq("band_key"), dedupRows = true))
 
   /** Index-health gauge over a stored [[buildMinHashIndex]] artifact —
     * the numbers an operator watches between ingests: per band, how many

@@ -53,8 +53,8 @@ class StreamingIngestSpec extends SparkSpec {
       .awaitTermination()
 
     val admitted = spark.read.parquet(out)
-    assert(admitted.columns.toSeq === base.columns.toSeq,
-      "admitted corpus keeps the full document schema")
+    assert(admitted.columns.toSet === base.columns.toSet + "epoch",
+      "admitted corpus keeps the full document schema plus the epoch key")
     assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(101L, 201L),
       "base near-copy and cross-batch near-copy drop; novel docs admitted")
@@ -63,5 +63,68 @@ class StreamingIngestSpec extends SparkSpec {
     assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L, 101L, 201L))
     assert(spark.read.parquet(s"$idx/bands").count() === sig.count() * LlmOps.Bands)
+  }
+
+  test("replayed epoch (crash after writes, before commit) leaves no corpus duplicates; compaction heals the index") {
+    val idx = Files.createTempDirectory("graft-si2-idx").toString
+    val src = Files.createTempDirectory("graft-si2-src").toString
+    val out = Files.createTempDirectory("graft-si2-out").toString
+    val ckp = Files.createTempDirectory("graft-si2-ckp").toString
+    LlmOps.buildMinHashIndex(docs(1L -> mk("alpha")), idx)
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeSlice("s1", docs(100L -> mk("delta")), t0)
+    writeSlice("s2", docs(200L -> mk("omega")), t0 + 30000)
+
+    // run 1: epoch 0 completes BOTH writes, then dies before commit
+    @volatile var failedOnce = false
+    val q1 = StreamingIngest.start(spark, src, idx, out, ckp,
+      epochHook = { e =>
+        if (e == 0 && !failedOnce) { failedOnce = true; sys.error("node lost") }
+      })
+    intercept[Exception] { q1.awaitTermination() }
+    assert(failedOnce, "failure was injected after the epoch's writes")
+    // the index already holds the doomed epoch's append — the replay
+    // will append it AGAIN (at-least-once)
+    val sigAfterCrash = spark.read.parquet(s"$idx/signatures").count()
+    assert(sigAfterCrash === 2L, "base + the uncommitted epoch's survivor")
+
+    // run 2: same checkpoint — epoch 0 replays, then epoch 1 runs
+    StreamingIngest.start(spark, src, idx, out, ckp).awaitTermination()
+
+    // corpus: effectively-once — every survivor exactly once
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toList
+    assert(admitted.sorted === List(100L, 200L), s"no duplicates, got $admitted")
+    // index: the replay SELF-CANCELLED — the gate saw doc 100 already in
+    // the index (a doc is an exact copy of itself) and dropped the batch
+    // instead of appending it twice
+    val sig = spark.read.parquet(s"$idx/signatures")
+    assert(sig.count() === 3L, "replayed epoch must not re-append its survivor")
+    assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 100L, 200L))
+
+    // a PARTIAL append (the one crash point that can duplicate rows) is
+    // output-harmless and compaction heals it: inject the duplicate
+    // directly, gate a near-copy correctly, then compact
+    LlmOps.appendMinHashIndex(docs(100L -> mk("delta")), idx)
+    assert(spark.read.parquet(s"$idx/signatures").count() === 4L)
+    val gate = LlmOps.incrementalDedupMinHashIndexed(
+      docs(300L -> (mk("delta") + " tail27"), 400L -> mk("zeta")), idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(gate === Set(400L), "duplicate index rows must not change the gate")
+    LlmOps.compactMinHashIndex(spark, idx)
+    val healed = spark.read.parquet(s"$idx/signatures")
+    assert(healed.count() === 3L, "dedupRows collapsed the duplicate append")
+    assert(spark.read.parquet(s"$idx/bands").count() === 3L * LlmOps.Bands)
   }
 }
