@@ -1729,6 +1729,32 @@ object LlmOps {
     * Token counts are whitespace tokens ([[TextAnalysis.tokenCount]]'s
     * `ws_tokens`), exact integers — both engines agree bit-for-bit.
     */
+  /** Sliding-window document chunking — the pre-tokenization step every
+    * long-context pipeline runs before packing: each document splits into
+    * `window`-token chunks starting every `window - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens of context; a document at
+    * or under the window emits exactly one chunk. One narrow generator
+    * projection (tokens → chunk-start sequence → posexplode → slice), no
+    * shuffle, no state — at 100 TB it pipelines inside the scan stage and
+    * output size is corpus × (1 + overlap/stride) by construction.
+    * Chunk-count arithmetic is pure integers, identical in both engines.
+    */
+  def chunkDocs(corpus: DataFrame, window: Int = 64, overlap: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap < window, "overlap must be smaller than the window")
+    val stride = window - overlap
+    textCorpus(corpus, idCol, textCol)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .withColumn("n_chunks",
+        expr(s"greatest((n - $window + $stride - 1) div $stride + 1, 1)"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "k")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        expr(s"array_join(slice(toks, k * $stride + 1, $window), ' ')").as("chunk"),
+        expr(s"size(slice(toks, k * $stride + 1, $window))").cast("bigint").as("n_tokens"))
+  }
+
   def packSequences(corpus: DataFrame, budget: Int = 2048,
       shardSize: Long = 1000L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -187,6 +187,9 @@ object LlmQueries {
     "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d))),
     // media dedup — exact byte-hash groups and simhash-over-byte-grams
     // near pairs, over the injected exact+near payload-copy corpus
+    // sliding-window chunking: 64-token chunks every 48 tokens (16-token
+    // overlap), the pre-tokenization step ahead of packing
+    "llm_chunk_docs"    -> ((s, d) => LlmOps.chunkDocs(Tables.documents(s, d))),
     "mm_payload_dedup"  -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
     "mm_payload_near"   -> ((s, d) => Multimodal.payloadNearDedup(Tables.documents(s, d))),
     // terminal media dedup: near pairs (Hamming 0 subsumes exact copies)
@@ -256,7 +259,8 @@ object LlmQueries {
     "mm_payload_dedup"  -> Seq(col("keeper_id")),
     "mm_payload_near"   -> Seq(col("id_a"), col("id_b")),
     "mm_payload_apply"  -> Seq(col("doc_id")),
-    "llm_dedup_index_stats" -> Seq(col("band_idx"))
+    "llm_dedup_index_stats" -> Seq(col("band_idx")),
+    "llm_chunk_docs"    -> Seq(col("doc_id"), col("chunk_idx"))
   )
 
   // --------------------------------------------------------- oracle SQL
@@ -1167,6 +1171,19 @@ object LlmQueries {
          |SELECT c.doc_id, CAST(octet_length(encode(c.text)) AS BIGINT) AS n_bytes
          |FROM corpus c WHERE c.doc_id NOT IN (SELECT node FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+
+    // sliding-window chunking, integer-only chunk-count arithmetic
+    // mirrored term for term (stride 48 = 64 - 16)
+    "llm_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |            len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        greatest((n - 64 + 47) // 48 + 1, 1) AS n_chunks FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS k FROM c)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk,
+        |  CAST(len(list_slice(toks, k*48 + 1, k*48 + 64)) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // per-band index health off the same band construction the minhash
     // family blocks on: distinct keys, hottest bucket, total rows

@@ -1050,6 +1050,21 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bands").count() === sig.count() * LlmOps.Bands)
   }
 
+  test("chunking: stride windows overlap by exactly `overlap` tokens, short docs emit one chunk") {
+    // 100 tokens, window 64, stride 48 → chunks at 0 and 48 (2 chunks)
+    val toks = (1 to 100).map(i => s"t$i")
+    val d = docs(5L -> toks.mkString(" "), 9L -> "tiny doc", 3L -> "")
+    val out = LlmOps.chunkDocs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set((5L, 0L), (5L, 1L), (9L, 0L), (3L, 0L)))
+    assert(out((5L, 0L)) === ((toks.take(64).mkString(" "), 64L)))
+    // second chunk starts at token 49 (1-based): last 16 of chunk 0 repeat
+    assert(out((5L, 1L)) === ((toks.slice(48, 100).mkString(" "), 52L)))
+    assert(out((9L, 0L)) === (("tiny doc", 2L)))
+    // empty text splits to one empty token — one chunk, like the oracle
+    assert(out((3L, 0L)) === (("", 1L)))
+  }
+
   test("index compaction folds appended files, probes and stats unchanged") {
     val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("graft-mhix-compact").toString
