@@ -802,7 +802,10 @@ object LlmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
-    tf.join(freq, "tok")
+    // the frequency table is vocabulary-sized (sub-linear in the corpus —
+    // Heaps' law), so broadcast it: the (doc_id, tok, tf) aggregate joins
+    // in place instead of reshuffling on the token key
+    tf.join(broadcast(freq), "tok")
       .crossJoin(broadcast(total))
       .withColumn("f", col("cnt").cast("double") / col("total").cast("double"))
       .groupBy(col("doc_id"))
