@@ -78,7 +78,15 @@ object Bench {
     // sentinel reading taken right after each query's rep block — the
     // per-query load annotation the hygiene pass below keys off
     val sentAfter = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES="a,b,c" restricts the run to named queries —
+    // for iterating on one operator without paying the full-suite wall time
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }
+      case None      => SparkEntry.queries
+    }
+    benched.foreach { case (name, fn) =>
       repTimes(name) = (1 to reps).map(_ => repOnce(fn))
       sentinel(record = true)
       sentAfter(name) = sentinelTimes.last

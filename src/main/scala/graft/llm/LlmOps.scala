@@ -785,36 +785,43 @@ object LlmOps {
     * occurrence of every stop word through its token's single shuffle
     * bucket — at 100 TB the "the" bucket is pathological skew; at tf
     * granularity a hot token costs one row per document that contains it,
-    * never one per occurrence. The original per-occurrence fold order is
-    * reconstructed exactly (each f expanded tf× after the sort — the
-    * sorted-with-multiplicity list is unchanged), so the output is
-    * bit-identical to the per-occurrence formulation and the oracle keeps
-    * stating the semantics directly.
+    * never one per occurrence. The per-doc fold runs at the SAME
+    * granularity: one weighted product f·tf per distinct token, summed in
+    * ascending product order (both engines state the identical arithmetic
+    * — sort doubles, fold-left from 0.0 — so the result is cross-engine
+    * bit-exact; equal products are interchangeable under addition, so the
+    * tie order is immaterial). Nothing ever re-expands to per-occurrence
+    * volume.
+    *
+    * The freq side carries no broadcast hint: vocabulary is sub-linear in
+    * the corpus (Heaps' law) but NOT bounded — at 100 TB the URL/typo/
+    * numeral tail can outgrow executor memory, where a forced broadcast
+    * hard-fails. AQE broadcasts it while it fits and degrades to a
+    * skew-split shuffle join when it doesn't.
     */
   def tokenFreqScore(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // persisted state is the (doc_id, tok, tf) aggregate — already reduced
-    // from occurrences to per-doc distinct tokens; freq derives from it by
-    // summing tf (no second pass over the exploded rows)
+    // the (doc_id, tok, tf) aggregate — already reduced from occurrences
+    // to per-doc distinct tokens; freq derives from it by summing tf (no
+    // second pass over the exploded rows). Deliberately NOT persisted:
+    // the two consumers each re-run a cheap scan+partial-agg, which is
+    // less work than materializing the whole tf table to block storage.
     val tf = textCorpus(corpus, idCol, textCol)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
-    // the frequency table is vocabulary-sized (sub-linear in the corpus —
-    // Heaps' law), so broadcast it: the (doc_id, tok, tf) aggregate joins
-    // in place instead of reshuffling on the token key
-    tf.join(broadcast(freq), "tok")
+    tf.join(freq, "tok")
       .crossJoin(broadcast(total))
-      .withColumn("f", col("cnt").cast("double") / col("total").cast("double"))
+      .withColumn("fw",
+        col("cnt").cast("double") / col("total").cast("double") *
+          col("tf").cast("double"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        expr("aggregate(flatten(transform(array_sort(collect_list(struct(f, tf))), " +
-          "x -> array_repeat(x.f, cast(x.tf as int)))), cast(0.0 as double), (a, v) -> a + v)")
+        expr("aggregate(array_sort(collect_list(fw)), cast(0.0 as double), (a, v) -> a + v)")
           .as("f_sum"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("f_sum") / col("n_tokens")).as("mean_tok_freq"))
+        (col("f_sum") / col("n_tokens").cast("double")).as("mean_tok_freq"))
   }
 
   // --------------------------------------------------- keyword extraction

@@ -608,15 +608,20 @@ object LlmQueries {
          |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
          |FROM test LEFT JOIN sh ON test.doc_id = sh.doc_id ORDER BY test.doc_id""".stripMargin,
 
+    // same weighted ordered fold as the operator: one product f·tf per
+    // DISTINCT (doc, token), summed ascending from 0.0 — never expanded
+    // back to per-occurrence volume on either engine
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |fr AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
-        |tot AS (SELECT SUM(cnt) AS total FROM fr)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |fr AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM fr)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |  list_reduce(
-        |    list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))),
-        |    (a, v) -> a + v) / COUNT(*) AS mean_tok_freq
-        |FROM tk JOIN fr USING (tok), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * CAST(tf AS DOUBLE)))),
+        |    (a, v) -> a + v) / CAST(SUM(tf) AS DOUBLE) AS mean_tok_freq
+        |FROM tf JOIN fr USING (tok), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_keywords" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
