@@ -138,6 +138,28 @@ object LlmOps {
   val Bands: Int      = graft.functions.MinHashSigs.Bands
   val MersenneP: Long = graft.functions.MinHashSigs.MersenneP // 2^31-1
 
+  /** Directory-partition fan-out of the stored LSH index
+    * ([[buildMinHashIndex]]): the band table is partitioned on disk by
+    * (band_idx, bk_bucket) and the signature table by sig_bucket, so an
+    * ingest batch's probe prunes to the directories its own keys land in
+    * instead of scanning the whole index. 16 key buckets × [[Bands]] band
+    * dirs keeps the directory count sane at test scale; at 100 TB the
+    * same layout holds with a larger fan-out (more prefix chars / a
+    * bigger modulus) — the constant is the only thing that changes.
+    */
+  val BandBuckets: Int = 16
+  val SigBuckets: Int  = 16
+
+  /** Band-key directory bucket: first hex char of the md5 band key —
+    * uniform by construction, and transparent (a directory name tells you
+    * which keys it holds).
+    */
+  private def bandBucket(key: Column): Column =
+    conv(substring(key, 1, 1), 16, 10).cast("int")
+
+  /** Signature-table directory bucket over the doc id. */
+  private def sigBucket(id: Column): Column = pmod(hash(id), lit(SigBuckets))
+
   /** Affine rehash constants: mh_j = min((a_j·g + b_j) mod 2^31-1) over the
     * per-shingle base hash g. One md5 per shingle total (not per hash
     * function) — the classic universal-hashing MinHash construction; at
@@ -567,8 +589,23 @@ object LlmOps {
     // deployment knob.
     val ckptDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
     ckptDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // superseded checkpoint blocks are pinned at the RDD layer where
+    // Dataset.unpersist can't reach them (see [[bpeTrain]]'s truncate for
+    // the measured cost of leaving them to driver GC): track the RDD ids
+    // each truncation pins and free them when the next truncation
+    // supersedes them. The FINAL checkpoint is deliberately not freed —
+    // it backs the returned frame; the ContextCleaner reclaims it once
+    // the caller drops the frame.
+    var liveCkptIds: Set[Int] = Set.empty
+    def truncate(df: DataFrame): DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      liveCkptIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveCkptIds = added
+      out
+    }
     // persist the directed pairs once: the union references them twice,
     // and without the cache the upstream pair-generation (LSH join +
     // verify) would run twice
@@ -1060,8 +1097,28 @@ object LlmOps {
     val spark = corpus.sparkSession
     val ckptDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
     ckptDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // checkpoint blocks are pinned at the RDD layer, OUTSIDE the SQL cache
+    // manager — Dataset.unpersist and clearCache never release them, so
+    // without explicit release every truncation's blocks stay in the block
+    // manager until driver GC happens to collect the RDD object. Measured:
+    // back-to-back bpeTrain calls in one session grew monotonically
+    // (1.95 → 5.0 → 6.7 s) as dead checkpoint blocks crowded the store.
+    // Track the RDD ids each truncation pins (the only persistent RDDs
+    // that can appear inside the eager checkpoint call) and free them as
+    // soon as the NEXT truncation supersedes them; the function-exit sweep
+    // below releases the final generation's blocks.
+    var liveCkptIds: Set[Int] = Set.empty
+    var allCkptIds: Set[Int] = Set.empty
+    def truncate(df: DataFrame): DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      liveCkptIds.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveCkptIds = added
+      allCkptIds ++= added
+      out
+    }
     var state = wordCounts(corpus, idCol, textCol)
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
@@ -1106,6 +1163,10 @@ object LlmOps {
     lastBpeRoundSecs.set(roundSecs.toSeq)
     prev.foreach(_.unpersist())
     state.unpersist()
+    // release every checkpoint this call pinned — the merge table is
+    // already collected on the driver, so nothing downstream reads them
+    allCkptIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")
   }
@@ -1325,15 +1386,21 @@ object LlmOps {
   /** Materialize the MinHash LSH index for `corpus` under `dir` — the
     * cross-run artifact [[incrementalDedupMinHash]]'s scaladoc describes:
     * `signatures/` holds the (doc_id, gs) shingle-hash table, `bands/` the
-    * exploded (doc_id, band_idx, band_key) block keys, both parquet. The
-    * band table is written hash-clustered by band_key (an explicit
-    * repartition — the bucketed-by-band-key layout, without needing a
-    * metastore table), so files group probe-relevant keys together.
-    * Built once per corpus generation; every subsequent ingest batch
-    * probes it via [[incrementalDedupMinHashIndexed]] without touching
-    * the base text — at 100 TB the index is ~n_docs rows of hashes
-    * (signatures) + 4·n_docs narrow rows (bands), orders of magnitude
-    * smaller than the corpus it summarizes.
+    * exploded (doc_id, band_idx, band_key) block keys, both parquet.
+    * Both tables are DIRECTORY-PARTITIONED for probe-side pruning — the
+    * [[buildAnnIndex]] layout applied to LSH: bands by (band_idx,
+    * bk_bucket = first hex char of the key), signatures by sig_bucket
+    * (hash of the doc id). A probe joining on the partition columns reads
+    * only the directories its batch keys land in; every other directory
+    * is pruned at planning time, so per-batch probe cost tracks the
+    * BATCH's key set, not the index size. Rows are hash-clustered by
+    * their partition columns before the write (one task ⇒ one directory
+    * ⇒ files ∝ data, not ∝ writer parallelism). Built once per corpus
+    * generation; every subsequent ingest batch probes it via
+    * [[incrementalDedupMinHashIndexed]] without touching the base text —
+    * at 100 TB the index is ~n_docs rows of hashes (signatures) +
+    * 4·n_docs narrow rows (bands), orders of magnitude smaller than the
+    * corpus it summarizes.
     */
   def buildMinHashIndex(corpus: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -1342,27 +1409,44 @@ object LlmOps {
         s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
       .select("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.write.mode("overwrite").parquet(s"$dir/signatures")
+    sig.withColumn("sig_bucket", sigBucket(col("doc_id")))
+      .repartition(col("sig_bucket"))
+      .write.mode("overwrite").partitionBy("sig_bucket")
+      .parquet(s"$dir/signatures")
     withMinHashBands(sig)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_key")))
-      .repartition(col("band_key"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
+      .withColumn("bk_bucket", bandBucket(col("band_key")))
+      .repartition(col("band_idx"), col("bk_bucket"))
+      .write.mode("overwrite").partitionBy("band_idx", "bk_bucket")
+      .parquet(s"$dir/bands")
     sig.unpersist()
   }
 
   /** The steady-state near-dup ingest gate over a STORED index: byte-safe
     * with [[incrementalDedupMinHash]] (same bands, same verify, identical
     * output — equivalence spec), but the base corpus is never re-shingled
-    * or re-hashed — the batch's bands probe `dir`'s band table one-sidedly
-    * and the verify joins `dir`'s signature table. Per-batch cost is the
-    * batch's own signature derivation (fixed) plus a columnar scan of the
-    * narrow band/signature tables — flat-ish in corpus size, vs the
-    * in-query variant's full re-hash (measured 2.28× for a 10× corpus;
-    * the ScaleBench `incmh_indexed` probe publishes this variant's ratio).
-    * The batch side is tiny in the steady state, so AQE broadcasts its
-    * bands and the index scan streams in place — no index-side shuffle.
+    * or re-hashed — the batch probes `dir`'s band and signature tables
+    * one-sidedly. Both probes ride the index's directory partitioning
+    * ([[buildMinHashIndex]]): the candidate join keys on the band table's
+    * (band_idx, bk_bucket) partition columns and the verify join on the
+    * signature table's sig_bucket, with the BATCH side explicitly
+    * broadcast — so dynamic partition pruning reads only the directories
+    * the batch's own keys land in, and the index side is never shuffled
+    * OR broadcast (asserted in PlanQualitySpec: the index scan must be
+    * the streamed side of both joins). Per-batch cost therefore tracks
+    * the batch's key set, not the index size — vs the in-query variant's
+    * full re-hash. The verify is ONE streaming pass over the pruned
+    * signature directories: candidate pairs carry their batch signature
+    * into a broadcast join keyed on (sig_bucket, base_id) — the join
+    * itself is the semi-filter on candidate ids.
+    *
+    * The call is EAGER about one small thing: it runs a batch-only job to
+    * derive the bucket footprint (materializing the batch signature/band
+    * caches as a side effect), because the static partition filter needs
+    * the values at plan time. That job touches the batch, never the
+    * index — its cost is the signature derivation the probe pays anyway.
     */
   def incrementalDedupMinHashIndexed(batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1377,19 +1461,48 @@ object LlmOps {
         s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
       .select("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch bands persisted alongside bSig: the bucket-footprint collect
+    // below materializes them, and the candidate join's broadcast side
+    // reads the cache instead of re-deriving minhash+md5 per use
     val bBands = withMinHashBands(bSig)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_key")))
-    val cand = bBands.as("nb").join(baseBands.as("ob"),
+      .withColumn("bk_bucket", bandBucket(col("band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // STATIC partition pruning: the batch's directory footprint is bounded
+    // by construction (≤ Bands × BandBuckets pairs, = 64 values — a
+    // driver-safe collect no matter how big the batch or index is), so
+    // the probe pins it as a literal disjunction over the partition
+    // columns. Unlike DPP this does not depend on size-estimate
+    // heuristics — the IN filter lands in the scan's PartitionFilters and
+    // unprobed directories are never opened. (DPP alone can't see through
+    // the cached batch relation: InMemoryRelation is a leaf, so the rule
+    // finds no selective predicate on the build side.)
+    val batchBuckets = bBands.select(col("band_idx"), col("bk_bucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val prunedBands = baseBands.filter(
+      batchBuckets.map { case (bi, bk) =>
+        col("band_idx") === bi && col("bk_bucket") === bk
+      }.reduceOption(_ || _).getOrElse(lit(false)))
+    val cand = prunedBands.as("ob").join(broadcast(bBands.as("nb")),
         col("nb.band_idx") === col("ob.band_idx") &&
+          col("nb.bk_bucket") === col("ob.bk_bucket") &&
           col("nb.band_key") === col("ob.band_key"))
       .select(col("nb.doc_id").as("batch_id"), col("ob.doc_id").as("base_id"))
-    val dup = cand
-      .join(bSig.as("sa"), col("batch_id") === col("sa.doc_id"))
-      .join(baseSig.as("sb"), col("base_id") === col("sb.doc_id"))
-      .filter((size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
-        size(array_union(col("sa.gs"), col("sb.gs")))) >= threshold)
+    // attach the batch signature to each candidate pair (both tiny), then
+    // verify in one pass over the pruned signature directories; multi-band
+    // duplicate pairs are collapsed by the final distinct, not here — an
+    // extra exchange inside the broadcast subquery costs more than the
+    // ≤Bands× pair fan-in saves
+    val candB = cand.join(bSig.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .select(col("batch_id"), col("base_id"), col("sa.gs").as("bgs"))
+      .withColumn("cand_bucket", sigBucket(col("base_id")))
+    val dup = baseSig.as("sb").join(broadcast(candB.as("c")),
+        col("c.cand_bucket") === col("sb.sig_bucket") &&
+          col("c.base_id") === col("sb.doc_id"))
+      .filter((size(array_intersect(col("c.bgs"), col("sb.gs"))).cast("double") /
+        size(array_union(col("c.bgs"), col("sb.gs")))) >= threshold)
       .select(col("batch_id")).distinct()
     bSig.select("doc_id")
       .join(dup, col("doc_id") === col("batch_id"), "left_anti")
@@ -1403,10 +1516,10 @@ object LlmOps {
     * batch's probe sees them — near-copies arriving in later batches are
     * caught without ever re-touching earlier corpus text. Both writes are
     * parquet `append` (new files only — no rewrite of the existing index;
-    * at 100 TB each ingest adds files ∝ batch size). The band append keeps
-    * the hash-clustered-by-band_key layout so probe locality holds across
-    * generations; periodic [[graft.cdc.Compaction]] folds the accumulated
-    * small files.
+    * at 100 TB each ingest adds files ∝ batch size). Appends land inside
+    * the same (band_idx, bk_bucket) / sig_bucket directory partitions the
+    * builder established, so probe-side pruning holds across generations;
+    * periodic [[graft.cdc.Compaction]] folds the accumulated small files.
     */
   def appendMinHashIndex(docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -1415,22 +1528,28 @@ object LlmOps {
         s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
       .select("doc_id", "gs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.write.mode("append").parquet(s"$dir/signatures")
+    sig.withColumn("sig_bucket", sigBucket(col("doc_id")))
+      .repartition(col("sig_bucket"))
+      .write.mode("append").partitionBy("sig_bucket")
+      .parquet(s"$dir/signatures")
     withMinHashBands(sig)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_key")))
-      .repartition(col("band_key"))
-      .write.mode("append").parquet(s"$dir/bands")
+      .withColumn("bk_bucket", bandBucket(col("band_key")))
+      .repartition(col("band_idx"), col("bk_bucket"))
+      .write.mode("append").partitionBy("band_idx", "bk_bucket")
+      .parquet(s"$dir/bands")
     sig.unpersist()
   }
 
   /** Fold the small files [[appendMinHashIndex]] accumulates — the index
     * maintenance step a long-running ingest loop schedules between
     * batches: both tables rewrite through [[graft.cdc.Compaction]]'s
-    * swap mechanics, bands re-clustered by band_key (each append wrote
-    * its own band files, eroding the probe-locality layout the builder
-    * established), signatures coalesced. Returns the (before, after)
+    * swap mechanics, keeping the builder's directory partitioning (bands
+    * by (band_idx, bk_bucket), signatures by sig_bucket — each append
+    * added its own small files inside those directories) and folding each
+    * partition back to ∝-data file counts. Returns the (before, after)
     * file counts per table. Probes and stats are unaffected (spec'd) —
     * with one deliberate exception: exact duplicate rows are collapsed.
     * Both tables are deterministic functions of a doc's text, so a
@@ -1441,8 +1560,11 @@ object LlmOps {
     * at-least-once append loop self-healing at its maintenance cadence.
     */
   def compactMinHashIndex(spark: SparkSession, dir: String): ((Long, Long), (Long, Long)) = (
-    graft.cdc.Compaction.compactDir(spark, s"$dir/signatures", Nil, dedupRows = true),
-    graft.cdc.Compaction.compactDir(spark, s"$dir/bands", Seq("band_key"), dedupRows = true))
+    graft.cdc.Compaction.compactDir(spark, s"$dir/signatures",
+      Seq("sig_bucket"), Seq("sig_bucket"), dedupRows = true),
+    graft.cdc.Compaction.compactDir(spark, s"$dir/bands",
+      Seq("band_idx", "bk_bucket"), Seq("band_idx", "bk_bucket"),
+      dedupRows = true))
 
   /** Index-health gauge over a stored [[buildMinHashIndex]] artifact —
     * the numbers an operator watches between ingests: per band, how many

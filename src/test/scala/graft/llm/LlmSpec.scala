@@ -1019,12 +1019,18 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(indexed === inQuery, "stored-index probe must be output-identical")
     assert(indexed === Set(60000013L))
-    // the stored artifacts are the two documented tables
+    // the stored artifacts are the two documented tables, each carrying
+    // its directory-partition bucket column for probe-side pruning
     val sig = spark.read.parquet(s"$dir/signatures")
     val bands = spark.read.parquet(s"$dir/bands")
-    assert(sig.columns.toSeq === Seq("doc_id", "gs"))
-    assert(bands.columns.toSeq === Seq("doc_id", "band_idx", "band_key"))
+    assert(sig.columns.toSeq === Seq("doc_id", "gs", "sig_bucket"))
+    assert(bands.columns.toSeq ===
+      Seq("doc_id", "band_key", "band_idx", "bk_bucket"))
     assert(bands.count() === sig.count() * LlmOps.Bands)
+    // partition directories exist on disk (the probe's pruning surface)
+    val bandDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band_idx=")))
   }
 
   test("index append closes the loop: a later batch's near-copy of an admitted doc is caught") {

@@ -147,6 +147,46 @@ class PlanQualitySpec extends SparkSpec {
       s"scan must read only the projected columns:\n${p.take(600)}")
   }
 
+  test("stored LSH index probe: index scans pruned and streamed, batch is the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_dedup_inc_mh_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+
+    // the band scan carries the batch's STATIC bucket disjunction as a
+    // partition filter — unprobed (band_idx, bk_bucket) directories are
+    // never opened
+    val bandsAt = p.indexOf("/bands], PartitionFilters: [")
+    assert(bandsAt >= 0, s"bands scan missing partition filters:\n${p.take(1500)}")
+    val bandsFilter = p.substring(bandsAt, math.min(p.length, bandsAt + 120))
+    assert(bandsFilter.contains("band_idx") && bandsFilter.contains("="),
+      s"bands partition filter must pin the batch's bucket set: $bandsFilter")
+    // the signature scan is dynamically pruned to candidate buckets (DPP
+    // reusing the verify join's broadcast of the candidate set)
+    assert(p.contains("dynamicpruningexpression"),
+      s"signatures scan must carry a DPP filter:\n${p.take(1500)}")
+
+    // the stored index must NEVER be the broadcast build side: a build
+    // subtree whose every leaf is an index scan is the raw index being
+    // broadcast — the shape that flips to a full index shuffle at scale.
+    // (A build side that MIXES index and batch leaves is a join result —
+    // the bounded candidate set — and is fine.)
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "probe must plan broadcast joins")
+    for (j <- joins) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(l =>
+        l.toString.contains("/bands") || l.toString.contains("/signatures"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored-index table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
