@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Scale-up benchmark: replicate the fact tables N× (key-shifted, so join
   * cardinalities scale honestly) and measure how the headline queries'
@@ -131,10 +132,14 @@ object ScaleBench {
     // the steady-state ingest economics. A flat-ish ratio is the evidence
     // the stored index deletes the in-query variant's re-hash cost (whose
     // row above grows with the corpus).
-    val ixBatch = graft.llm.LlmOps.incrementalNearBatch(
-      Tables.documents(spark, sfDir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ixBatch.count()
+    // the batch is materialized to parquet and read back rather than
+    // persisted: the timed probes clearCache() between reps (to drop the
+    // probe's own internal caches), which would silently evict a cached
+    // batch too and time its re-derivation instead of the probe
+    val ixBatchDir = java.nio.file.Files.createTempDirectory("graft-scale-batch").toString
+    graft.llm.LlmOps.incrementalNearBatch(Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(ixBatchDir)
+    val ixBatch = spark.read.parquet(ixBatchDir)
     def incIdx(dir: String): Double = {
       val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-mhix").toString
       graft.llm.LlmOps.buildMinHashIndex(Tables.documents(spark, dir), ixDir)
@@ -148,7 +153,9 @@ object ScaleBench {
         dt
       }
       probe() // warm
-      (1 to 3).map(_ => probe()).sorted.apply(1)
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
     }
     val ixBase = incIdx(sfDir)
     val ixScaled = incIdx(out)
@@ -161,9 +168,12 @@ object ScaleBench {
     // per-row norm recompute and unprobed cells' files entirely
     // (directory-level partition pruning), which is the serving-path
     // saving a query stream collects on every call.
-    val annQ = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    annQ.count()
+    // 8 query rows — collected to the driver and rebuilt as a local
+    // frame, immune to the probes' clearCache() (a persist here would be
+    // dead the moment the first probe cleared the cache)
+    val annQ = spark.createDataFrame(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 8).collect().toSeq.asJava,
+      Tables.embeddings(spark, sfDir).schema)
     def annIdx(dir: String): Double = {
       val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-annix").toString
       graft.llm.LlmOps.buildAnnIndex(Tables.embeddings(spark, dir), ixDir)
@@ -177,7 +187,9 @@ object ScaleBench {
         dt
       }
       probe() // warm
-      (1 to 3).map(_ => probe()).sorted.apply(1)
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
     }
     val annIxBase = annIdx(sfDir)
     val annIxScaled = annIdx(out)
@@ -269,6 +281,7 @@ object ScaleBench {
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
     println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     spark.stop()
   }
 }

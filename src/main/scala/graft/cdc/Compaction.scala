@@ -10,12 +10,14 @@ import org.apache.spark.sql.SparkSession
   * `maxRecordsPerFile`-bounded files, then swaps directories.
   *
   * The swap is rename-based (not crash-atomic): a reader racing the swap
-  * can observe the old or new directory, and a crash between the two
-  * renames leaves the compacted output under `<dir>.compacted` for manual
-  * recovery — the transactional upgrade is a table format (Delta/Iceberg)
-  * or a metastore pointer flip; this operator keeps the data layout
-  * mechanics honest without those dependencies. Content is preserved
-  * row-for-row (asserted in CompactionSpec); only file boundaries change.
+  * can observe the old or new directory, and a crash inside the swap
+  * window leaves a state that [[recoverDir]] resolves mechanically
+  * (rollback to the original if the swap didn't complete, cleanup if it
+  * did) — run at every compaction entry and at ingest-loop startup. The
+  * transactional upgrade is a table format (Delta/Iceberg) or a metastore
+  * pointer flip; this operator keeps the data layout mechanics honest
+  * without those dependencies. Content is preserved row-for-row (asserted
+  * in CompactionSpec); only file boundaries change.
   */
 object Compaction {
 
@@ -27,6 +29,33 @@ object Compaction {
       maxRecordsPerFile: Long = 1L << 20): (Long, Long) =
     compactDir(spark, dir, Seq("entity"), Seq("entity"), maxRecordsPerFile)
 
+  /** Recover `dir` from a compaction that crashed mid-swap — idempotent,
+    * call before reading or re-compacting a directory that a possibly-
+    * interrupted compaction owns. The swap is two renames with three
+    * crash windows, each of which this resolves:
+    *   - crash during the tmp write: `dir` intact, a partial
+    *     `<dir>.compacted` left behind → delete the tmp.
+    *   - crash between the renames: `dir` ABSENT, `<dir>.pre-compaction`
+    *     holds the original → roll BACK (move it into place) and delete
+    *     the tmp. Rolling back is always correct because compaction
+    *     preserves content — re-running it later converges to the same
+    *     state; rolling forward would require trusting a tmp whose write
+    *     completion we can't prove here.
+    *   - crash after the second rename: `dir` is the compacted output,
+    *     the stale `.pre-compaction` remains → delete it (roll forward).
+    */
+  def recoverDir(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    val pre = new java.io.File(dir + ".pre-compaction")
+    val tmp = new java.io.File(dir + ".compacted")
+    if (!d.exists() && pre.exists())
+      java.nio.file.Files.move(pre.toPath, d.toPath)
+    else if (d.exists() && pre.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(pre)
+    if (tmp.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   /** Generic append-log compaction: rewrite the parquet directory `dir`
     * hash-clustered by `clusterCols` (restoring the locality layout an
     * `append`-mode writer erodes — new files never co-group with old
@@ -37,11 +66,18 @@ object Compaction {
     * rewrite (only valid when the table's rows are a deterministic
     * function of their keys, so a duplicate can only be a replayed
     * append — the LSH-index tables' contract).
+    *
+    * Every entry first runs [[recoverDir]], so a directory orphaned by a
+    * crashed earlier compaction heals on the next attempt; a long-running
+    * loop that schedules compaction ([[graft.llm.StreamingIngest]]) also
+    * runs recovery at startup so a probe never reads a half-swapped
+    * directory.
     */
   def compactDir(spark: SparkSession, dir: String,
       clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1L << 20,
       dedupRows: Boolean = false): (Long, Long) = {
+    recoverDir(dir)
     def dataFiles(d: java.io.File): Seq[java.io.File] =
       if (!d.exists()) Seq.empty
       else d.listFiles().toSeq.flatMap {

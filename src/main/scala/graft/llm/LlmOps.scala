@@ -1323,15 +1323,26 @@ object LlmOps {
     * anywhere: batch bands probe the base band table one-sidedly, so the
     * cost is ∝ batch × bucket overlap, never corpus².
     *
-    * 100 TB shape: the base (doc_id, gs) signature table and its band
-    * table are exactly the materialized index a production pipeline keeps
-    * between ingests (here both sides are persisted within the query —
-    * signatures referenced by candidate generation AND the verify join);
-    * the batch side is typically tiny ⇒ AQE broadcasts its bands, and the
-    * base corpus text is never read at all — the whole decision runs on
-    * hashes. Recall follows the band construction (a near-dup straddling
-    * every band is missed, like any LSH); the oracle mirrors the same
-    * bands bit-for-bit so the check stays hash-exact.
+    * THIS IS THE INDEX-LESS FALLBACK, and it is priced accordingly: it
+    * re-shingles and re-hashes the ENTIRE base corpus on every call (cost
+    * ∝ corpus, per batch — measured 2.28× for a 10× corpus, and ~2.5× the
+    * oracle's time at sf0.1), which is the right trade exactly once — when
+    * no [[buildMinHashIndex]] artifact exists yet, or for a one-shot
+    * backfill where building one wouldn't amortize. The production
+    * steady-state is [[incrementalDedupMinHashIndexed]] over the stored
+    * index (per-batch cost ∝ batch, partition-pruned probes, ScaleBench
+    * ratio 0.85 for a 10× corpus); outputs are identical by construction
+    * (equivalence spec). This variant stays in the query surface as the
+    * semantics oracle and the no-index path, not as the thing to deploy.
+    *
+    * 100 TB shape (within the one call): the base (doc_id, gs) signature
+    * table and its band table are derived once and persisted within the
+    * query — signatures referenced by candidate generation AND the verify
+    * join; the batch side is typically tiny ⇒ AQE broadcasts its bands,
+    * and the base corpus text is never read into the joins — the whole
+    * decision runs on hashes. Recall follows the band construction (a
+    * near-dup straddling every band is missed, like any LSH); the oracle
+    * mirrors the same bands bit-for-bit so the check stays hash-exact.
     */
   def incrementalDedupMinHash(base: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1404,25 +1415,43 @@ object LlmOps {
     */
   def buildMinHashIndex(corpus: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val sig = withShingles(textCorpus(corpus, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
+    val sig = signaturesOf(corpus, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.withColumn("sig_bucket", sigBucket(col("doc_id")))
       .repartition(col("sig_bucket"))
       .write.mode("overwrite").partitionBy("sig_bucket")
       .parquet(s"$dir/signatures")
-    withMinHashBands(sig)
-      .select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-      .withColumn("bk_bucket", bandBucket(col("band_key")))
+    bandsOf(sig)
       .repartition(col("band_idx"), col("bk_bucket"))
       .write.mode("overwrite").partitionBy("band_idx", "bk_bucket")
       .parquet(s"$dir/bands")
     sig.unpersist()
   }
+
+  /** The (doc_id, gs) hashed-shingle signature frame for `docs` — the one
+    * derivation every stored-index operation starts from. Exposed so a
+    * caller orchestrating several index operations over the SAME batch
+    * (probe, then append the survivors — [[StreamingIngest]]) can derive
+    * it once, persist it, share it, and release it when the epoch ends,
+    * instead of each operation re-shingling the batch.
+    */
+  def signaturesOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    withShingles(textCorpus(docs, idCol, textCol))
+      .withColumn("gs", expr(
+        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .select("doc_id", "gs")
+
+  /** The exploded (doc_id, band_idx, band_key, bk_bucket) LSH block-key
+    * frame over a [[signaturesOf]] result — the band table's row shape,
+    * bucket column included.
+    */
+  def bandsOf(sig: DataFrame): DataFrame =
+    withMinHashBands(sig)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .withColumn("bk_bucket", bandBucket(col("band_key")))
 
   /** The steady-state near-dup ingest gate over a STORED index: byte-safe
     * with [[incrementalDedupMinHash]] (same bands, same verify, identical
@@ -1451,25 +1480,26 @@ object LlmOps {
   def incrementalDedupMinHashIndexed(batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.6): DataFrame = {
-    val spark = batch.sparkSession
+    // batch signatures and bands persisted — candidate generation AND the
+    // verify join read them (the same discipline as the in-query
+    // variant); the bucket-footprint collect materializes both
+    val bSig = signaturesOf(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandsOf(bSig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalDedupMinHashIndexedFrom(bSig, bBands, indexDir, threshold)
+  }
+
+  /** [[incrementalDedupMinHashIndexed]] over a caller-derived (and
+    * caller-persisted, caller-released) signature/band pair — the form
+    * [[StreamingIngest]] uses so one shingling job per epoch feeds both
+    * the probe and the survivor append.
+    */
+  def incrementalDedupMinHashIndexedFrom(bSig: DataFrame, bBands: DataFrame,
+      indexDir: String, threshold: Double = 0.6): DataFrame = {
+    val spark = bSig.sparkSession
     val baseSig = spark.read.parquet(s"$indexDir/signatures")
     val baseBands = spark.read.parquet(s"$indexDir/bands")
-    // batch signatures persisted — candidate generation AND the verify
-    // join read them (the same discipline as the in-query variant)
-    val bSig = withShingles(textCorpus(batch, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // batch bands persisted alongside bSig: the bucket-footprint collect
-    // below materializes them, and the candidate join's broadcast side
-    // reads the cache instead of re-deriving minhash+md5 per use
-    val bBands = withMinHashBands(bSig)
-      .select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-      .withColumn("bk_bucket", bandBucket(col("band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // STATIC partition pruning: the batch's directory footprint is bounded
     // by construction (≤ Bands × BandBuckets pairs, = 64 values — a
     // driver-safe collect no matter how big the batch or index is), so
@@ -1523,24 +1553,25 @@ object LlmOps {
     */
   def appendMinHashIndex(docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val sig = withShingles(textCorpus(docs, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
+    val sig = signaturesOf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    appendMinHashIndexFrom(sig, bandsOf(sig), dir)
+    sig.unpersist()
+  }
+
+  /** [[appendMinHashIndex]] over a caller-derived signature/band pair —
+    * the [[StreamingIngest]] form: the epoch's one shingling job feeds
+    * this append and the probe that preceded it.
+    */
+  def appendMinHashIndexFrom(sig: DataFrame, bands: DataFrame,
+      dir: String): Unit = {
     sig.withColumn("sig_bucket", sigBucket(col("doc_id")))
       .repartition(col("sig_bucket"))
       .write.mode("append").partitionBy("sig_bucket")
       .parquet(s"$dir/signatures")
-    withMinHashBands(sig)
-      .select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-      .withColumn("bk_bucket", bandBucket(col("band_key")))
-      .repartition(col("band_idx"), col("bk_bucket"))
+    bands.repartition(col("band_idx"), col("bk_bucket"))
       .write.mode("append").partitionBy("band_idx", "bk_bucket")
       .parquet(s"$dir/bands")
-    sig.unpersist()
   }
 
   /** Fold the small files [[appendMinHashIndex]] accumulates — the index
@@ -2317,4 +2348,44 @@ object LlmOps {
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "label", "cosine")
   }
+
+  /** Index maintenance for [[buildAnnIndex]] — the ANN counterpart of
+    * [[appendMinHashIndex]]: append `emb`'s vectors (norms precomputed,
+    * cells pre-assigned via `labelCol`) into the stored cell table. The
+    * parquet `append` adds new files inside the SAME label partition
+    * directories the builder established, so [[annIvfIndexed]]'s
+    * partition pruning holds across generations and existing index files
+    * are never rewritten — at 100 TB each ingest adds files ∝ batch size.
+    * Periodic [[compactAnnIndex]] folds the accumulated small files.
+    */
+  def appendAnnIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): Unit =
+    emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+      .repartition(col("label"))
+      .write.mode("append").partitionBy("label").parquet(s"$dir/cells")
+
+  /** Fold the small files [[appendAnnIndex]] accumulates — same swap
+    * mechanics and replay-healing contract as [[compactMinHashIndex]]:
+    * every row is a deterministic function of (vec_id, embedding), so an
+    * exact duplicate can only be a replayed append and `dedupRows`
+    * collapses it. Returns (files before, files after).
+    */
+  def compactAnnIndex(spark: SparkSession, dir: String): (Long, Long) =
+    graft.cdc.Compaction.compactDir(spark, s"$dir/cells",
+      Seq("label"), Seq("label"), dedupRows = true)
+
+  /** Cell-health gauge over a stored [[buildAnnIndex]] artifact — the
+    * ANN analog of [[minHashIndexStats]], and the probe-cost early
+    * warning a serving operator watches between ingests: probe latency is
+    * ∝ the probed cells' row counts, so a cell running hot (skewed
+    * upstream cell assignment, a drifting corpus) is where the p99 comes
+    * from. One combinable groupBy over the cell table's partition column
+    * — never touches the vectors, cheap enough to run after every append.
+    */
+  def annIndexStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .groupBy(col("label").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
 }

@@ -24,20 +24,45 @@ object LlmQueries {
     */
   private val indexCache = new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Cheap corpus fingerprint (file paths + sizes + mtimes) folded into
+    * the memo key, so a harness that REGENERATES the parquet under the
+    * same directory in one JVM (a scale run rewriting a scaled dir) gets
+    * a fresh index instead of probing a stale one.
+    */
+  private def fingerprint(d: String, table: String): String = {
+    def ls(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(ls)
+      else Seq(f)
+    ls(new java.io.File(s"$d/$table.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
+  }
+
+  /** Temp index dir, registered for recursive cleanup at JVM exit (a
+    * superseded generation — fingerprint changed — also stays until exit;
+    * bounded by the number of corpus regenerations in one process).
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
   /** The stored MinHash LSH index for `d`'s documents (shared by the
     * indexed ingest gate and the index-stats gauge).
     */
   private def mhIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"mh|$d", {
-      val dir = java.nio.file.Files.createTempDirectory("graft-mh-index").toString
+    indexCache.getOrElseUpdate(s"mh|$d|${fingerprint(d, "documents")}", {
+      val dir = tempIndexDir("graft-mh-index")
       LlmOps.buildMinHashIndex(Tables.documents(s, d), dir)
       dir
     })
 
   /** The stored ANN cell table for `d`'s embeddings. */
   private def annIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"ann|$d", {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    indexCache.getOrElseUpdate(s"ann|$d|${fingerprint(d, "embeddings")}", {
+      val dir = tempIndexDir("graft-ann-index")
       LlmOps.buildAnnIndex(Tables.embeddings(s, d), dir)
       dir
     })
@@ -198,7 +223,11 @@ object LlmQueries {
     // index-health gauge over a stored LSH index: per band, distinct block
     // keys / hottest bucket / total rows — the probe-cost early warning
     "llm_dedup_index_stats" -> ((s, d) =>
-      LlmOps.minHashIndexStats(s, mhIndexDir(s, d)))
+      LlmOps.minHashIndexStats(s, mhIndexDir(s, d))),
+    // cell-health gauge over the stored ANN cell table: rows per cell —
+    // probe latency is ∝ probed cell size, so the hot cell is the p99
+    "llm_ann_index_stats" -> ((s, d) =>
+      LlmOps.annIndexStats(s, annIndexDir(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -260,6 +289,7 @@ object LlmQueries {
     "mm_payload_near"   -> Seq(col("id_a"), col("id_b")),
     "mm_payload_apply"  -> Seq(col("doc_id")),
     "llm_dedup_index_stats" -> Seq(col("band_idx")),
+    "llm_ann_index_stats" -> Seq(col("cell")),
     "llm_chunk_docs"    -> Seq(col("doc_id"), col("chunk_idx"))
   )
 
@@ -1198,7 +1228,13 @@ object LlmQueries {
          |       FROM bands GROUP BY band_idx, band_key)
          |SELECT CAST(band_idx AS BIGINT) AS band_idx, count(*) AS n_keys,
          |  max(bucket) AS max_bucket, CAST(sum(bucket) AS BIGINT) AS n_rows
-         |FROM bk GROUP BY band_idx ORDER BY band_idx""".stripMargin
+         |FROM bk GROUP BY band_idx ORDER BY band_idx""".stripMargin,
+
+    // the stored ANN cell table is exactly the embeddings partitioned by
+    // cell label, so its per-cell row counts group straight off the table
+    "llm_ann_index_stats" ->
+      """SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_vectors
+        |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin
   )
 
   /** The payload simhash chain (corpus → byte-4-gram simhash → chunk

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The near-dup ingest gate as a LIVE pipeline — the production
@@ -20,10 +21,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * sees the batch's own docs in the index (a doc is an exact copy of
   * itself, always over threshold) and drops the whole batch, appending
   * nothing twice. Index duplicates can only arise from a PARTIAL append
-  * (signatures committed, bands not); they are output-harmless
-  * (candidates and dup sets are distinct-ed) and the next compaction
-  * erases them (`dedupRows`) — the loop as a whole is effectively-once
-  * at its maintenance cadence.
+  * (signatures committed, bands not — or the ANN append committed before
+  * the minhash rows); they are output-harmless (candidates and dup sets
+  * are distinct-ed) and the next compaction erases them (`dedupRows`).
+  * The one remaining window is a crash INSIDE a compaction swap itself
+  * (two renames — not atomic): `start` runs
+  * [[graft.cdc.Compaction.recoverDir]] over every index directory before
+  * the stream begins, rolling an interrupted swap back, so the restarted
+  * loop never probes a half-swapped index. The loop as a whole is
+  * effectively-once at its maintenance cadence.
   *
   * At 100 TB this is the shape that holds: per-batch cost is the batch's
   * own signature derivation plus a narrow columnar probe of the index —
@@ -41,16 +47,47 @@ object StreamingIngest {
     * admitted corpus, `ckpDir` the checkpoint. One file per micro-batch
     * (credit-based admission, as the CDC source); AvailableNow drains the
     * backlog then terminates — production swaps the trigger, nothing
-    * else. `compactEvery` > 0 folds the index's accumulated append files
-    * ([[LlmOps.compactMinHashIndex]]) after every Nth epoch — the
-    * maintenance cadence a long-running ingest schedules so probe-file
-    * counts stay bounded by the cadence, not the epoch count.
+    * else. `compactEvery` > 0 folds the indexes' accumulated append files
+    * ([[LlmOps.compactMinHashIndex]] / [[LlmOps.compactAnnIndex]]) after
+    * every Nth epoch — the maintenance cadence a long-running ingest
+    * schedules so probe-file counts stay bounded by the cadence, not the
+    * epoch count.
+    *
+    * `annIndexDir` additionally keeps a stored [[LlmOps.buildAnnIndex]]
+    * cell table in lockstep with the corpus: each admitted survivor's
+    * embedding (`vecCol`, cell pre-assigned in `cellCol` — both columns
+    * of the batch) appends behind the same epoch commit, so a retrieval
+    * probe sees a document as soon as its epoch commits. The ANN append
+    * runs BEFORE the minhash append deliberately: a crash between the
+    * two replays the epoch, and because the minhash rows are not yet
+    * committed the gate re-admits the batch — the ANN rows land twice (a
+    * DUPLICATE, which [[LlmOps.compactAnnIndex]]'s dedupRows heals at the
+    * compaction cadence). The reverse order would turn the same crash
+    * into an ABSENCE: the replayed gate would self-cancel off the
+    * committed minhash rows and the vectors would never be appended —
+    * and no maintenance pass can heal rows that don't exist.
+    *
+    * Per-epoch work discipline: the batch is shingled ONCE
+    * ([[LlmOps.signaturesOf]]/[[LlmOps.bandsOf]], persisted) and the
+    * cached frames feed both the probe and the survivor append; every
+    * cache the epoch pins is released before the epoch commits — a
+    * long-running stream holds no state across epochs.
     */
   def start(spark: SparkSession, srcDir: String, indexDir: String,
       outDir: String, ckpDir: String, threshold: Double = 0.6,
       idCol: String = "doc_id", textCol: String = "text",
       compactEvery: Int = 0,
+      annIndexDir: Option[String] = None,
+      vecCol: String = "embedding", cellCol: String = "label",
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
+    // startup recovery: a previous run may have died INSIDE a compaction
+    // swap, leaving an index directory renamed away. recoverDir rolls the
+    // swap back (or cleans up a completed one), so the first probe of
+    // this run never reads a half-swapped index — the one crash window
+    // the epoch-replay reasoning below doesn't cover on its own.
+    Seq(s"$indexDir/signatures", s"$indexDir/bands")
+      .foreach(graft.cdc.Compaction.recoverDir)
+    annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream
       .schema(schema)
@@ -60,12 +97,16 @@ object StreamingIngest {
       .option("checkpointLocation", ckpDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // ONE shingling job per epoch: the persisted signature/band pair
+        // feeds the probe AND the survivor append below
+        val sig = LlmOps.signaturesOf(batch, idCol, textCol).persist(lvl)
+        val bands = LlmOps.bandsOf(sig).persist(lvl)
         // the gate returns canonical doc_id — rename back for the semi join
-        val survivors = LlmOps.incrementalDedupMinHashIndexed(
-          batch, indexDir, idCol, textCol, threshold)
+        val survivors = LlmOps
+          .incrementalDedupMinHashIndexedFrom(sig, bands, indexDir, threshold)
           .withColumnRenamed("doc_id", idCol)
-        val kept = batch.join(survivors, Seq(idCol), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = batch.join(survivors, Seq(idCol), "left_semi").persist(lvl)
         // effectively-once corpus: epoch-keyed dynamic partition overwrite
         // (the cdc.Streaming.startToParquetIdempotent discipline) — a
         // replayed epoch overwrites its own partition instead of
@@ -73,16 +114,29 @@ object StreamingIngest {
         // function against a cloned session with isolated conf.
         kept.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        kept.withColumn("epoch", org.apache.spark.sql.functions.lit(epoch))
+        kept.withColumn("epoch", lit(epoch))
           .write.mode("overwrite").partitionBy("epoch").parquet(outDir)
-        LlmOps.appendMinHashIndex(kept, indexDir, idCol, textCol)
+        // ANN first, minhash second — see the ordering note above
+        annIndexDir.foreach { aDir =>
+          LlmOps.appendAnnIndex(
+            kept.select(col(idCol).as("vec_id"), col(vecCol), col(cellCol)),
+            aDir, "vec_id", vecCol, cellCol)
+        }
+        val keptIds = kept.select(col(idCol).as("doc_id"))
+        LlmOps.appendMinHashIndexFrom(
+          sig.join(keptIds, Seq("doc_id"), "left_semi"),
+          bands.join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
         kept.unpersist()
-        // failure-injection seam: runs AFTER both writes, BEFORE the epoch
+        bands.unpersist()
+        sig.unpersist()
+        // failure-injection seam: runs AFTER the writes, BEFORE the epoch
         // commits — a throw here forces the exact replay the idempotence
         // claims above are about (spec'd in StreamingIngestSpec)
         epochHook(epoch)
-        if (compactEvery > 0 && epoch % compactEvery == (compactEvery - 1))
+        if (compactEvery > 0 && epoch % compactEvery == (compactEvery - 1)) {
           LlmOps.compactMinHashIndex(spark, indexDir)
+          annIndexDir.foreach(LlmOps.compactAnnIndex(spark, _))
+        }
         ()
       }
       .start()

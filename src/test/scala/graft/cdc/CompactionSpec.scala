@@ -29,4 +29,50 @@ class CompactionSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("entity=")) ===
       entities.toInt)
   }
+
+  test("recoverDir resolves every compaction crash window") {
+    import spark.implicits._
+    def freshLog(): (String, Seq[String]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-recover").toString + "/log"
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.parquet(dir)
+      (dir, spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq)
+    }
+    def rows(dir: String) =
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+
+    // window 1: crash during the tmp write — partial tmp left, dir intact
+    val (d1, want1) = freshLog()
+    new java.io.File(d1 + ".compacted").mkdirs() // partial, unreadable
+    Compaction.recoverDir(d1)
+    assert(!new java.io.File(d1 + ".compacted").exists())
+    assert(rows(d1) === want1)
+
+    // window 2: crash between the renames — dir ABSENT, original under
+    // .pre-compaction, complete tmp present → roll back
+    val (d2, want2) = freshLog()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(d2), java.nio.file.Paths.get(d2 + ".pre-compaction"))
+    new java.io.File(d2 + ".compacted").mkdirs()
+    Compaction.recoverDir(d2)
+    assert(rows(d2) === want2, "original content must be rolled back into place")
+    assert(!new java.io.File(d2 + ".pre-compaction").exists())
+    assert(!new java.io.File(d2 + ".compacted").exists())
+    // a compaction after recovery converges normally
+    val (b2, a2) = Compaction.compactDir(spark, d2, Nil)
+    assert(b2 >= a2 && rows(d2) === want2)
+
+    // window 3: crash after the swap, before cleanup — stale
+    // .pre-compaction next to the live dir → roll forward
+    val (d3, want3) = freshLog()
+    val pre3 = new java.io.File(d3 + ".pre-compaction")
+    pre3.mkdirs()
+    Compaction.recoverDir(d3)
+    assert(!pre3.exists())
+    assert(rows(d3) === want3)
+
+    // recovery is idempotent on a healthy directory
+    Compaction.recoverDir(d3)
+    assert(rows(d3) === want3)
+  }
 }

@@ -1112,6 +1112,39 @@ class LlmSpec extends SparkSpec {
     assert(cellDirs.nonEmpty)
   }
 
+  test("ANN index append + compaction: probe ≡ rebuild, stats track appended cells") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val q = emb.filter(col("vec_id") < 8)
+    // build from half the corpus, append the other half...
+    val grown = java.nio.file.Files.createTempDirectory("graft-ann-app").toString
+    LlmOps.buildAnnIndex(half1, grown)
+    LlmOps.appendAnnIndex(half2, grown)
+    // ...vs one build over everything: probes must be output-identical
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ann-reb").toString
+    LlmOps.buildAnnIndex(emb, rebuilt)
+    val viaAppend = LlmOps.annIvfIndexed(q, grown).collect().map(_.toSeq).toSet
+    val viaRebuild = LlmOps.annIvfIndexed(q, rebuilt).collect().map(_.toSeq).toSet
+    assert(viaAppend === viaRebuild, "append+probe must equal rebuild+probe")
+    // stats gauge: per-cell rows equal the embedding corpus grouped by label
+    val stats = LlmOps.annIndexStats(spark, grown).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = emb.groupBy(col("label").cast("bigint")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats === truth)
+    // a replayed append is healed by compaction (dedupRows) and the probe
+    // still sees identical content through the swap
+    LlmOps.appendAnnIndex(half2, grown)
+    val (filesB, filesA) = LlmOps.compactAnnIndex(spark, grown)
+    assert(filesA <= filesB, "compaction must not grow file counts")
+    assert(LlmOps.annIvfIndexed(q, grown).collect().map(_.toSeq).toSet ===
+      viaRebuild, "replay + compaction must leave the probe unchanged")
+    assert(LlmOps.annIndexStats(spark, grown).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === truth,
+      "compaction must erase the replayed rows from the stats")
+  }
+
   test("dedup recall gauge: n_hit counts band-blocked truth pairs, bounded by n_true") {
     // ids multiples of 20 so the %-20 subsample keeps them; 0 and 140 are
     // also %7==0, so nearDupCorpus injects their +1e7 tailed near-copies

@@ -65,6 +65,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/bands").count() === sig.count() * LlmOps.Bands)
   }
 
+  test("ANN index rides the gate: an epoch-0 survivor's vector is probe-visible post-drain") {
+    val idx = Files.createTempDirectory("graft-si3-idx").toString
+    val ann = Files.createTempDirectory("graft-si3-ann").toString
+    val src = Files.createTempDirectory("graft-si3-src").toString
+    val out = Files.createTempDirectory("graft-si3-out").toString
+    val ckp = Files.createTempDirectory("graft-si3-ckp").toString
+    def docsE(rows: (Long, String, Seq[Float], Int)*) =
+      rows.toDF("doc_id", "text", "embedding", "label")
+    val base = docsE(
+      (1L, mk("alpha"), Seq(1f, 0f), 7),
+      (2L, mk("beta"), Seq(0f, 1f), 7))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // epoch 0: a near-copy of base doc 1 (drops — its vector must NOT
+    // reach the ANN index) + a novel doc (admitted — its vector must)
+    writeSlice("s1", docsE(
+      (100L, mk("alpha") + " tail27", Seq(9f, 9f), 7),
+      (101L, mk("delta"), Seq(0.6f, 0.8f), 7)), t0)
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      annIndexDir = Some(ann)).awaitTermination()
+
+    // the stats gauge sees base + the one admitted vector
+    val stats = LlmOps.annIndexStats(spark, ann).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats === Map(7L -> 3L), s"2 base + 1 admitted, got $stats")
+    // a retrieval probe in the survivor's cell finds it at cosine 1
+    val q = docsE((999L, "", Seq(0.6f, 0.8f), 7))
+    val top = LlmOps.annIvfIndexed(q, ann, k = 1, idCol = "doc_id")
+      .collect().map(r => (r.getLong(2), r.getDouble(4))).toSeq
+    assert(top.map(_._1) === Seq(101L),
+      s"the admitted survivor must be the nearest neighbor, got $top")
+    assert(math.abs(top.head._2 - 1.0) < 1e-9)
+  }
+
   test("replayed epoch (crash after writes, before commit) leaves no corpus duplicates; compaction heals the index") {
     val idx = Files.createTempDirectory("graft-si2-idx").toString
     val src = Files.createTempDirectory("graft-si2-src").toString
