@@ -1,14 +1,19 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-  * rejects by default; we read it as a Long of epoch-nanoseconds via
-  * `spark.sql.legacy.parquet.nanosAsLong` — the CDC view (graft.cdc.CdcView)
-  * derives epoch-millis from it with exact integer division, matching what
-  * the DuckDB oracle computes with `epoch_ms(ts)`.
+  * The physical type of `events.ts` has varied across driver generations:
+  * parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default; read as a
+  * Long of epoch-nanoseconds via `spark.sql.legacy.parquet.nanosAsLong`)
+  * and parquet TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). [[load]]
+  * normalizes both to the epoch-nanos Long every consumer here is written
+  * against — the CDC view (graft.cdc.CdcView) derives epoch-millis from it
+  * with exact integer division, matching what the DuckDB oracle computes
+  * with `epoch_ms(ts)` (exact under either physical type).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -31,8 +36,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     setup(spark)
-    relCache.computeIfAbsent((System.identityHashCode(spark), sfDir, table),
-      _ => spark.read.parquet(s"$sfDir/$table.parquet"))
+    relCache.computeIfAbsent((System.identityHashCode(spark), sfDir, table), _ => {
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      if (table == "events") normalizeTs(df) else df
+    })
+  }
+
+  /** Normalize `events.ts` to an epoch-nanos Long regardless of the file's
+    * physical type (see the object doc). The NTZ→timestamp cast is exact
+    * because [[setup]] pins the session time zone to UTC.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    case other => sys.error(s"unsupported events.ts type: $other")
   }
 
   /** Register every harness table as a SQL temp view — the spark.sql front
