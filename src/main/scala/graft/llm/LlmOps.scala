@@ -2360,9 +2360,17 @@ object LlmOps {
     */
   def appendAnnIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label"): Unit =
-    emb.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
-      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    appendAnnIndexFrom(
+      emb.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+        .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})")), dir)
+
+  /** [[appendAnnIndex]] over a caller-derived (vec_id, e, label, nrm)
+    * frame — the form [[StreamingIngest]] uses so one norm derivation per
+    * epoch feeds both the semantic gate's probe and the survivor append.
+    */
+  def appendAnnIndexFrom(b: DataFrame, dir: String): Unit =
+    b.select(col("vec_id"), col("e"), col("label"), col("nrm"))
       .repartition(col("label"))
       .write.mode("append").partitionBy("label").parquet(s"$dir/cells")
 
@@ -2388,4 +2396,105 @@ object LlmOps {
     spark.read.parquet(s"$dir/cells")
       .groupBy(col("label").cast("bigint").as("cell"))
       .agg(count(lit(1)).as("n_vectors"))
+
+  /** Harness fixture for [[incrementalDedupCosineIndexed]]: the embedding
+    * batch a steady-state ingest sees, built from two deterministic
+    * slices of the corpus — perturbed copies of every 10th BASE vector
+    * (same cell, cosine ≈ 1 with their original → must drop) and the
+    * vectors beyond the base slice (genuinely new content → survive).
+    * Ids offset so the perturbed slice is disjoint from everything else.
+    */
+  def incrementalVecBatch(emb: DataFrame, baseMax: Long = 400L): DataFrame =
+    embBase(emb).filter(col("vec_id") < baseMax && col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(sequence(1, size(e)), i -> element_at(e, i) + (i % 3 - 1) * cast(0.01 as double))").as("e"),
+        col("label"))
+      .unionByName(embBase(emb).filter(col("vec_id") >= baseMax)
+        .select(col("vec_id"), col("e"), col("label")))
+
+  val IncrementalVecBatchSql: String =
+    """SELECT vec_id + 1000000 AS vec_id,
+      |       list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE)) AS e,
+      |       label
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)
+      |WHERE vec_id < 400 AND vec_id % 10 = 0
+      |UNION ALL
+      |SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |FROM embeddings WHERE vec_id >= 400""".stripMargin
+
+  /** The embedding-side ingest gate over a STORED ANN cell index — the
+    * semantic sibling of [[incrementalDedupMinHashIndexed]]: drop each
+    * batch vector whose cosine against any BASE vector of its own IVF
+    * cell reaches `threshold`; the survivors are the semantically-new
+    * content. The probe is one-sided and the stored index is never
+    * shuffled OR broadcast: the batch's cell footprint (≤ the cell count
+    * — a driver-safe collect at any batch size) pins a static partition
+    * filter on the cells scan, the batch side broadcasts into the join,
+    * and the cosine verify streams over only the probed cells'
+    * directories. Per-batch cost therefore tracks batch size × probed
+    * cell rows — index size and unprobed cells never enter, the same
+    * scaling contract as the minhash gate. Recall is cell-restricted
+    * exactly like [[annIvf]]: a near-dup whose upstream cell assignment
+    * differs from its copy's is missed — the IVF trade, bought back with
+    * finer cells + multiprobe where it matters. A re-ingested identical
+    * vector has cosine 1 with itself, so by default an epoch replay whose
+    * index append committed self-cancels (the minhash gate's property);
+    * the streaming loop instead passes `excludeSelfId = true` — see
+    * [[incrementalDedupCosineIndexedFrom]] for why the two gates must NOT
+    * both self-cancel.
+    */
+  def incrementalDedupCosineIndexed(batch: DataFrame, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", threshold: Double = 0.99): DataFrame = {
+    val b = batch.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incrementalDedupCosineIndexedFrom(b, indexDir, threshold)
+  }
+
+  /** [[incrementalDedupCosineIndexed]] over a caller-derived (and
+    * caller-persisted, caller-released) (vec_id, e, label, nrm) batch
+    * frame — the form [[StreamingIngest]]'s semantic gate uses so the
+    * epoch's norm derivation is shared with the ANN index append.
+    *
+    * `excludeSelfId` drops SAME-ID matches from the dup set. The
+    * standalone gate defaults to false (an identical re-ingest is a dup —
+    * and a replayed epoch self-cancels off its own committed append); the
+    * streaming loop sets true because its two gates are appended in
+    * sequence: if a crash lands between the ANN append and the minhash
+    * append, a SELF-CANCELLING semantic gate would empty the replayed
+    * batch and the survivors' minhash rows would never be written — a
+    * permanent absence no maintenance pass can heal. With self-ids
+    * excluded the replay re-admits the same survivors (same ids ⇒ not
+    * dups of themselves), the corpus overwrite is idempotent, the ANN
+    * rows land twice (an exact DUPLICATE, healed by [[compactAnnIndex]]'s
+    * dedupRows), and the missing minhash rows finally land — every crash
+    * window converges to the fully-indexed state.
+    */
+  def incrementalDedupCosineIndexedFrom(b: DataFrame, indexDir: String,
+      threshold: Double = 0.99, excludeSelfId: Boolean = false): DataFrame = {
+    val cells = b.sparkSession.read.parquet(s"$indexDir/cells")
+    // STATIC partition pruning, the incrementalDedupMinHashIndexedFrom
+    // discipline: collect the batch's distinct cells (bounded by the cell
+    // count, not the batch) and pin them as a literal IN over the cell
+    // table's partition column — the filter lands in PartitionFilters and
+    // unprobed cell directories are never opened. (DPP can't see through
+    // the persisted batch: InMemoryRelation is a leaf with no selective
+    // predicate for the rule to find.)
+    val batchCells = b.select("label").distinct().collect().map(_.get(0))
+    val pruned =
+      if (batchCells.isEmpty) cells.filter(lit(false))
+      else cells.filter(col("label").isin(batchCells: _*))
+    val joinCond =
+      if (excludeSelfId)
+        col("nb.label") === col("ob.label") && col("nb.vec_id") =!= col("ob.vec_id")
+      else col("nb.label") === col("ob.label")
+    val dup = pruned.as("ob").join(broadcast(b.as("nb")), joinCond)
+      .filter(expr(s"${dotSql("nb.e", "ob.e")} / (nb.nrm * ob.nrm)") >= threshold)
+      .select(col("nb.vec_id").as("batch_id")).distinct()
+    b.select("vec_id")
+      .join(dup, col("vec_id") === col("batch_id"), "left_anti")
+      .select("vec_id")
+  }
 }

@@ -67,6 +67,17 @@ object LlmQueries {
       dir
     })
 
+  /** The stored ANN cell table over the BASE slice (vec_id < 400) — the
+    * "already-ingested corpus" the semantic ingest gate probes; the
+    * remaining vec_ids play the arriving batch.
+    */
+  private def semAnnIndexDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate(s"semann|$d|${fingerprint(d, "embeddings")}", {
+      val dir = tempIndexDir("graft-semann-index")
+      LlmOps.buildAnnIndex(Tables.embeddings(s, d).filter(col("vec_id") < 400L), dir)
+      dir
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -145,6 +156,13 @@ object LlmQueries {
     // identical to llm_dedup_inc_minhash, so both share one oracle
     "llm_dedup_inc_mh_idx" -> ((s, d) => LlmOps.incrementalDedupMinHashIndexed(
       LlmOps.incrementalNearBatch(Tables.documents(s, d)), mhIndexDir(s, d))),
+    // the EMBEDDING-side ingest gate over the stored ANN cell index: batch
+    // vectors near-dup (cell-restricted cosine >= 0.99) of the indexed
+    // base slice drop, the semantically-new survive — the semantic
+    // sibling of llm_dedup_inc_mh_idx, probing pruned cell directories
+    "llm_dedup_sem_idx" -> ((s, d) => LlmOps.incrementalDedupCosineIndexed(
+      LlmOps.incrementalVecBatch(Tables.embeddings(s, d)),
+      semAnnIndexDir(s, d), vecCol = "e")),
     // blocking-quality gauge: banded-LSH pair recall vs all-pairs exact
     // Jaccard truth on the doc_id % 20 subsample of the near-dup corpus
     "llm_dedup_recall" -> ((s, d) => LlmOps.dedupRecall(
@@ -244,6 +262,7 @@ object LlmQueries {
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
+    "llm_dedup_sem_idx" -> Seq(col("vec_id")),
     "llm_dedup_recall"  -> Seq(col("n_true")),
     "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
     "llm_corpus_stats"  -> Seq(col("n_docs")),
@@ -689,6 +708,19 @@ object LlmQueries {
          |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node)
          |SELECT c.vec_id FROM corpus c
          |WHERE c.vec_id NOT IN (SELECT node FROM dropped) ORDER BY vec_id""".stripMargin,
+
+    // semantic ingest gate over the stored base-slice cell index: batch
+    // vectors whose cell-restricted cosine against any base vector
+    // reaches 0.99 drop; the arithmetic mirrors the Spark fold term for
+    // term so the survivor set is bit-exact
+    "llm_dedup_sem_idx" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings WHERE vec_id < 400),
+         |batch AS (${LlmOps.IncrementalVecBatchSql}),
+         |bn AS (SELECT vec_id, e, label, sqrt(${dotDuck("e", "e")}) AS nrm FROM batch),
+         |bs AS (SELECT vec_id, e, label, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |dup AS (SELECT DISTINCT b.vec_id FROM bn b JOIN bs o ON b.label = o.label
+         |        WHERE ${dotDuck("b.e", "o.e")} / (b.nrm * o.nrm) >= 0.99)
+         |SELECT vec_id FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM dup) ORDER BY vec_id""".stripMargin,
 
     "llm_ann_topk" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

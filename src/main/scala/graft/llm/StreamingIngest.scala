@@ -67,6 +67,20 @@ object StreamingIngest {
     * committed minhash rows and the vectors would never be appended —
     * and no maintenance pass can heal rows that don't exist.
     *
+    * `semanticThreshold` (requires `annIndexDir`) turns the stored cell
+    * table into a SECOND gate: a minhash survivor whose embedding has
+    * cell-restricted cosine ≥ the threshold against an already-ingested
+    * vector ([[LlmOps.incrementalDedupCosineIndexedFrom]]) is dropped
+    * too — syntactic near-copies caught by shingles, paraphrases by the
+    * embedding, the composed production filter. The semantic probe
+    * excludes SAME-ID matches (`excludeSelfId`) so a replayed epoch is
+    * re-admitted rather than self-cancelled — with two sequenced appends
+    * only ONE gate may self-cancel (the minhash one, whose append commits
+    * last); a self-cancelling semantic gate would leave a
+    * crashed-between-appends epoch's minhash rows permanently missing.
+    * The epoch derives (vec_id, e, label, nrm) ONCE, shared between the
+    * semantic probe and the ANN append ([[LlmOps.appendAnnIndexFrom]]).
+    *
     * Per-epoch work discipline: the batch is shingled ONCE
     * ([[LlmOps.signaturesOf]]/[[LlmOps.bandsOf]], persisted) and the
     * cached frames feed both the probe and the survivor append; every
@@ -79,7 +93,10 @@ object StreamingIngest {
       compactEvery: Int = 0,
       annIndexDir: Option[String] = None,
       vecCol: String = "embedding", cellCol: String = "label",
+      semanticThreshold: Option[Double] = None,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
+    require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
+      "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
     // startup recovery: a previous run may have died INSIDE a compaction
     // swap, leaving an index directory renamed away. recoverDir rolls the
     // swap back (or cleans up a completed one), so the first probe of
@@ -106,7 +123,27 @@ object StreamingIngest {
         val survivors = LlmOps
           .incrementalDedupMinHashIndexedFrom(sig, bands, indexDir, threshold)
           .withColumnRenamed("doc_id", idCol)
-        val kept = batch.join(survivors, Seq(idCol), "left_semi").persist(lvl)
+        val kept0 = batch.join(survivors, Seq(idCol), "left_semi")
+        // the optional SECOND gate: minhash survivors probe the stored
+        // cell table; the (vec_id, e, label, nrm) frame is derived once
+        // and reused by the ANN append below
+        val bVec = semanticThreshold.map { _ =>
+          kept0.select(col(idCol).as("vec_id"),
+              col(vecCol).cast("array<double>").as("e"),
+              col(cellCol).as("label"))
+            .withColumn("nrm",
+              org.apache.spark.sql.functions.expr(s"sqrt(${LlmOps.dotSql("e", "e")})"))
+            .persist(lvl)
+        }
+        val kept = (semanticThreshold, bVec) match {
+          case (Some(t), Some(bv)) =>
+            val semOk = LlmOps
+              .incrementalDedupCosineIndexedFrom(bv, annIndexDir.get, t,
+                excludeSelfId = true)
+              .withColumnRenamed("vec_id", idCol)
+            kept0.join(semOk, Seq(idCol), "left_semi").persist(lvl)
+          case _ => kept0.persist(lvl)
+        }
         // effectively-once corpus: epoch-keyed dynamic partition overwrite
         // (the cdc.Streaming.startToParquetIdempotent discipline) — a
         // replayed epoch overwrites its own partition instead of
@@ -118,15 +155,21 @@ object StreamingIngest {
           .write.mode("overwrite").partitionBy("epoch").parquet(outDir)
         // ANN first, minhash second — see the ordering note above
         annIndexDir.foreach { aDir =>
-          LlmOps.appendAnnIndex(
-            kept.select(col(idCol).as("vec_id"), col(vecCol), col(cellCol)),
-            aDir, "vec_id", vecCol, cellCol)
+          bVec match {
+            case Some(bv) => LlmOps.appendAnnIndexFrom(
+              bv.join(kept.select(col(idCol).as("vec_id")),
+                Seq("vec_id"), "left_semi"), aDir)
+            case None => LlmOps.appendAnnIndex(
+              kept.select(col(idCol).as("vec_id"), col(vecCol), col(cellCol)),
+              aDir, "vec_id", vecCol, cellCol)
+          }
         }
         val keptIds = kept.select(col(idCol).as("doc_id"))
         LlmOps.appendMinHashIndexFrom(
           sig.join(keptIds, Seq("doc_id"), "left_semi"),
           bands.join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
         kept.unpersist()
+        bVec.foreach(_.unpersist())
         bands.unpersist()
         sig.unpersist()
         // failure-injection seam: runs AFTER the writes, BEFORE the epoch

@@ -1145,6 +1145,43 @@ class LlmSpec extends SparkSpec {
       "compaction must erase the replayed rows from the stats")
   }
 
+  test("semantic ingest gate: stored-cell probe ≡ direct, drops near-dups, self-cancels on replay") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") < 400L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semix").toString
+    LlmOps.buildAnnIndex(base, dir)
+    val batch = LlmOps.incrementalVecBatch(emb)
+    val survivors = LlmOps.incrementalDedupCosineIndexed(batch, dir, vecCol = "e")
+      .collect().map(_.getLong(0)).toSet
+    // perturbed copies of indexed vectors (same cell, cosine ≈ 1) drop
+    val perturbed = base.filter(col("vec_id") % 10 === 0)
+      .collect().map(_.getLong(0) + 1000000L).toSet
+    assert(perturbed.nonEmpty && survivors.intersect(perturbed).isEmpty,
+      "near-dup batch vectors must drop against the stored index")
+    // equivalence with the index-less computation of the same semantics
+    val bn = batch.withColumn("nrm", expr(s"sqrt(${LlmOps.dotSql("e", "e")})"))
+    val bs = LlmOps.embBase(base)
+      .withColumn("nrm", expr(s"sqrt(${LlmOps.dotSql("e", "e")})"))
+    val dup = bn.as("b").join(bs.as("o"), col("b.label") === col("o.label"))
+      .filter(expr(s"${LlmOps.dotSql("b.e", "o.e")} / (b.nrm * o.nrm)") >= 0.99)
+      .select(col("b.vec_id")).distinct()
+    val direct = batch.select("vec_id").join(dup, Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === direct, "stored-index probe must be output-identical")
+    // the streaming loop's crash-consistency lean: once the survivors'
+    // vectors are appended, a replay of the SAME batch self-cancels (a
+    // vector has cosine 1 with itself)
+    val keptDf = batch.join(
+      LlmOps.incrementalDedupCosineIndexed(batch, dir, vecCol = "e"),
+      Seq("vec_id"), "left_semi")
+    LlmOps.appendAnnIndex(keptDf, dir, vecCol = "e")
+    assert(LlmOps.incrementalDedupCosineIndexed(batch, dir, vecCol = "e")
+      .count() === 0L, "replayed batch must self-cancel against its own append")
+    // empty batch: no cells collected, no directories probed, no survivors
+    assert(LlmOps.incrementalDedupCosineIndexed(
+      batch.filter(lit(false)), dir, vecCol = "e").count() === 0L)
+  }
+
   test("dedup recall gauge: n_hit counts band-blocked truth pairs, bounded by n_true") {
     // ids multiples of 20 so the %-20 subsample keeps them; 0 and 140 are
     // also %7==0, so nearDupCorpus injects their +1e7 tailed near-copies

@@ -110,6 +110,104 @@ class StreamingIngestSpec extends SparkSpec {
     assert(math.abs(top.head._2 - 1.0) < 1e-9)
   }
 
+  test("semantic gate composes: a paraphrase (new text, near vector) drops against the stored cells") {
+    val idx = Files.createTempDirectory("graft-si4-idx").toString
+    val ann = Files.createTempDirectory("graft-si4-ann").toString
+    val src = Files.createTempDirectory("graft-si4-src").toString
+    val out = Files.createTempDirectory("graft-si4-out").toString
+    val ckp = Files.createTempDirectory("graft-si4-ckp").toString
+    def docsE(rows: (Long, String, Seq[Float], Int)*) =
+      rows.toDF("doc_id", "text", "embedding", "label")
+    val base = docsE((1L, mk("alpha"), Seq(1f, 0f), 7))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // doc 100: text shares NO shingles with base (minhash gate passes)
+    // but its vector is a paraphrase of base doc 1 (cosine ≈ 0.99995 in
+    // the same cell) — only the semantic gate can drop it.
+    // doc 101: novel text AND novel vector (cosine 0.6) — admitted.
+    writeSlice("s1", docsE(
+      (100L, mk("delta"), Seq(1f, 0.01f), 7),
+      (101L, mk("omega"), Seq(0.6f, 0.8f), 7)), t0)
+    // doc 200: text near-copy of the epoch-0 SURVIVOR — the minhash gate
+    // still does its cross-batch job with the semantic gate composed in
+    writeSlice("s2", docsE(
+      (200L, mk("omega") + " tail27", Seq(0f, 1f), 7)), t0 + 30000)
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      annIndexDir = Some(ann), semanticThreshold = Some(0.99))
+      .awaitTermination()
+
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(101L),
+      "paraphrase and text near-copy drop; the genuinely-new doc is admitted")
+    // both indexes grew by exactly the one survivor
+    assert(spark.read.parquet(s"$idx/signatures").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 101L))
+    assert(LlmOps.annIndexStats(spark, ann).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 2L))
+  }
+
+  test("crash between ANN and minhash appends converges: same-id vectors re-admit, the duplicate heals") {
+    val idx = Files.createTempDirectory("graft-si5-idx").toString
+    val ann = Files.createTempDirectory("graft-si5-ann").toString
+    val src = Files.createTempDirectory("graft-si5-src").toString
+    val out = Files.createTempDirectory("graft-si5-out").toString
+    val ckp = Files.createTempDirectory("graft-si5-ckp").toString
+    def docsE(rows: (Long, String, Seq[Float], Int)*) =
+      rows.toDF("doc_id", "text", "embedding", "label")
+    val base = docsE((1L, mk("alpha"), Seq(1f, 0f), 7))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
+    // simulate the one crash window the self-id exclusion exists for: a
+    // previous attempt at this epoch committed the ANN append (survivor
+    // 101's vector, SAME id) and died before the minhash append
+    LlmOps.appendAnnIndex(docsE((101L, "", Seq(0.6f, 0.8f), 7)),
+      ann, idCol = "doc_id")
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeSlice("s1", docsE((101L, mk("omega"), Seq(0.6f, 0.8f), 7)),
+      System.currentTimeMillis() - 60000)
+    // the "replay": same batch, gates probe the half-appended indexes. A
+    // self-cancelling semantic gate would drop 101 here and its minhash
+    // rows would be missing FOREVER; the self-id exclusion re-admits it.
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      annIndexDir = Some(ann), semanticThreshold = Some(0.99))
+      .awaitTermination()
+
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(101L),
+      "the replayed survivor must be re-admitted, not self-cancelled")
+    // the minhash rows finally landed — the absence is healed...
+    assert(spark.read.parquet(s"$idx/signatures").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 101L))
+    // ...and the ANN duplicate (the price of re-admission) compacts away
+    assert(LlmOps.annIndexStats(spark, ann).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 3L),
+      "pre-crash + replayed append = a duplicate vector before compaction")
+    LlmOps.compactAnnIndex(spark, ann)
+    assert(LlmOps.annIndexStats(spark, ann).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 2L),
+      "compaction collapses the replayed vector")
+  }
+
   test("replayed epoch (crash after writes, before commit) leaves no corpus duplicates; compaction heals the index") {
     val idx = Files.createTempDirectory("graft-si2-idx").toString
     val src = Files.createTempDirectory("graft-si2-src").toString

@@ -187,6 +187,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic gate probe: cell scan pruned to the batch's cells, batch is the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_dedup_sem_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the cells scan carries the batch's STATIC cell set as a partition
+    // filter — unprobed cell directories are never opened
+    val cellsAt = p.indexOf("/cells], PartitionFilters: [")
+    assert(cellsAt >= 0, s"cells scan missing partition filters:\n${p.take(1500)}")
+    val cellsFilter = p.substring(cellsAt, math.min(p.length, cellsAt + 160))
+    assert(cellsFilter.contains("label"),
+      s"cells partition filter must pin the batch's cell set: $cellsFilter")
+    // the stored cell table must never be the broadcast build side (the
+    // LSH-probe rule: an all-index-leaf build subtree = raw index
+    // broadcast, the shape that flips to a full index shuffle at scale)
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "probe must plan broadcast joins")
+    for (j <- joins) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("/cells"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored cell table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
