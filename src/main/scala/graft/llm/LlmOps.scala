@@ -2151,17 +2151,28 @@ object LlmOps {
     * nearest-centroid argmin, order-fixed reassembly. The index core
     * shared by [[annPq]] and [[annIvfPq]].
     */
-  private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
-      sub: Int, trainMod: Long): DataFrame = {
+  /** The deterministic PQ codebook: the K lowest salted-hash-priority
+    * rows of the `trainMod` id-slice, numbered by that order — (cid, ce).
+    */
+  private def pqPivots(base: DataFrame, kc: Int, trainMod: Long): DataFrame = {
     // codebook training reads ONLY the slice: pri is computed post-filter,
     // so the full corpus is never hashed or globally ranked for training
     val pri = base.filter(col("vec_id") % trainMod === 0)
       .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
     // K rows: the unpartitioned window is over the already-limited frame
-    val pivots = pri.orderBy(col("pri"), col("vec_id")).limit(kc)
+    pri.orderBy(col("pri"), col("vec_id")).limit(kc)
       .withColumn("cid",
         (row_number().over(Window.orderBy(col("pri"), col("vec_id"))) - 1).cast("int"))
       .select("cid", "e").withColumnRenamed("e", "ce")
+  }
+
+  /** Nearest-centroid assignment against a FROZEN codebook — (vec_id, s,
+    * cid) rows. Shared by the in-query operators and the stored index's
+    * build/append (append encodes new vectors with the stored codebook,
+    * the classic PQ lifecycle).
+    */
+  private def pqAssign(base: DataFrame, pivots: DataFrame, m: Int,
+      sub: Int): DataFrame = {
     val assign = base
       .select(col("vec_id"), col("e"), explode(expr(s"sequence(0, ${m - 1})")).as("s"))
       .crossJoin(broadcast(pivots))
@@ -2170,13 +2181,26 @@ object LlmOps {
     // argmin as an aggregation: min over struct(d, cid) is exactly the
     // (d, cid)-ascending rank-1 row, but partial-aggregates map-side —
     // the rank window would shuffle all n·m·K distance rows instead
-    val codes = assign.groupBy("vec_id", "s")
+    assign.groupBy("vec_id", "s")
       .agg(min(struct(col("d"), col("cid"))).as("mc"))
       .select(col("vec_id"), col("s"), col("mc.cid").as("cid"))
+  }
+
+  /** (vec_id, approx) — each vector's PQ reconstruction from (vec_id, s,
+    * cid) codes + the codebook, order-fixed reassembly (collect_list
+    * order is not deterministic).
+    */
+  private def pqReconstruct(codes: DataFrame, pivots: DataFrame,
+      sub: Int): DataFrame =
     codes.join(broadcast(pivots), Seq("cid"))
       .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+
+  private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
+      sub: Int, trainMod: Long): DataFrame = {
+    val pivots = pqPivots(base, kc, trainMod)
+    pqReconstruct(pqAssign(base, pivots, m, sub), pivots, sub)
   }
 
   def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
@@ -2496,5 +2520,107 @@ object LlmOps {
     b.select("vec_id")
       .join(dup, col("vec_id") === col("batch_id"), "left_anti")
       .select("vec_id")
+  }
+
+  /** Materialize the IVF-PQ serving index under `dir` — the composed
+    * artifact a billion-vector retrieval system actually ships (FAISS's
+    * IndexIVFPQ as two parquet tables): `codebooks/` is the K-row FROZEN
+    * PQ codebook ([[pqPivots]] — deterministic hash-rank training over
+    * the id slice), `codes/` one row per vector holding its m centroid
+    * ids packed as an array (m·log₂K bits of payload vs 512 bytes raw —
+    * the 256× shrink IS the index), partitioned by the coarse cell
+    * (`label`). A probe therefore prunes to its cells AND reads only
+    * codes — the raw vectors never leave the build. Between rebuilds
+    * [[appendPqIndex]] encodes new vectors against the stored codebook
+    * (the classic PQ lifecycle: codebooks freeze, codes accumulate,
+    * drift is repaid at the next rebuild), and [[compactPqIndex]] folds
+    * the appended files with the usual replay-healing dedup.
+    */
+  def buildPqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      m: Int = PqSubspaces, kc: Int = PqCentroids, sub: Int = PqSubDim,
+      trainMod: Long = PqTrainSliceMod): Unit = {
+    val base = embBase(ensureH56(emb).withColumn("label", col(labelCol)),
+      idCol, vecCol)
+    val pivots = pqPivots(base.select("vec_id", "e"), kc, trainMod)
+    pivots.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writePqCodes(base, emb.sparkSession.read.parquet(s"$dir/codebooks"),
+      dir, m, sub, "overwrite")
+  }
+
+  /** Encode `base`'s vectors against a frozen `pivots` codebook and land
+    * the packed (vec_id, codes) rows in the cell-partitioned codes table.
+    */
+  private def writePqCodes(base: DataFrame, pivots: DataFrame, dir: String,
+      m: Int, sub: Int, mode: String): Unit =
+    pqAssign(base.select("vec_id", "e"), pivots, m, sub)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid))), x -> x.cid)").as("codes"))
+      .join(base.select("vec_id", "label"), Seq("vec_id"))
+      .repartition(col("label"))
+      .write.mode(mode).partitionBy("label").parquet(s"$dir/codes")
+
+  /** Index maintenance for [[buildPqIndex]]: encode `emb` against the
+    * STORED codebook (never retrained — append cost is the irreducible
+    * per-vector encoding, flat in index size) and append inside the same
+    * label partitions, so [[annIvfPqIndexed]]'s pruning holds across
+    * generations.
+    */
+  def appendPqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      m: Int = PqSubspaces, sub: Int = PqSubDim): Unit = {
+    val pivots = emb.sparkSession.read.parquet(s"$dir/codebooks")
+    val base = embBase(emb.withColumn("label", col(labelCol)), idCol, vecCol)
+    writePqCodes(base, pivots, dir, m, sub, "append")
+  }
+
+  /** Fold the codes files [[appendPqIndex]] accumulates — same swap and
+    * replay-healing contract as [[compactAnnIndex]] (codes are a
+    * deterministic function of (vector, stored codebook), so an exact
+    * duplicate row can only be a replayed append).
+    */
+  def compactPqIndex(spark: SparkSession, dir: String): (Long, Long) =
+    graft.cdc.Compaction.compactDir(spark, s"$dir/codes",
+      Seq("label"), Seq("label"), dedupRows = true)
+
+  /** [[annIvfPq]] over the STORED index: queries prune the codes table to
+    * their cell footprint (static partition IN — the
+    * [[incrementalDedupCosineIndexedFrom]] discipline), reconstruct ONLY
+    * the probed cells' vectors from codes + the broadcast K-row codebook,
+    * and rank by asymmetric distance — output-identical to the in-query
+    * operator (equivalence spec + shared oracle). The steady-state
+    * serving shape: per-probe bytes = probed cells × m·log₂K bits, the
+    * multiplicative IVF×PQ saving, paid for once at build.
+    */
+  def annIvfPqIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", sub: Int = PqSubDim): DataFrame = {
+    val spark = queries.sparkSession
+    val pivots = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qe"), col(labelCol).as("qlabel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qCells = q.select("qlabel").distinct().collect().map(_.get(0))
+    val pruned =
+      if (qCells.isEmpty) codes.filter(lit(false))
+      else codes.filter(col("label").isin(qCells: _*))
+    // reconstruction carries label through the groupBy — no second codes
+    // read, no join to recover the cell (a self-join's build side would
+    // be probed-cells-sized, the thing the plan assertion forbids)
+    val approx = pruned
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(pivots), Seq("cid"))
+      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
+      .groupBy("vec_id", "label")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+    val scored = approx.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("adist", expr(ssdSql("qe", "approx")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "label", "adist")
   }
 }

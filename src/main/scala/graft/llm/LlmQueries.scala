@@ -67,6 +67,16 @@ object LlmQueries {
       dir
     })
 
+  /** The stored IVF-PQ index (frozen codebook + cell-partitioned codes)
+    * for `d`'s embeddings.
+    */
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate(s"pq|$d|${fingerprint(d, "embeddings")}", {
+      val dir = tempIndexDir("graft-pq-index")
+      LlmOps.buildPqIndex(Tables.embeddings(s, d), dir)
+      dir
+    })
+
   /** The stored ANN cell table over the BASE slice (vec_id < 400) — the
     * "already-ingested corpus" the semantic ingest gate probes; the
     * remaining vec_ids play the arriving batch.
@@ -121,6 +131,12 @@ object LlmQueries {
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
     "llm_ann_pq_refine" -> ((s, d) => LlmOps.annPqRefine(Tables.embeddings(s, d))),
     "llm_ann_ivfpq"     -> ((s, d) => LlmOps.annIvfPq(Tables.embeddings(s, d))),
+    // the same IVF-PQ ranking off the STORED serving index (frozen
+    // codebook + cell-partitioned packed codes): probes prune to the
+    // query cells and reconstruct from codes only — raw vectors never
+    // read; shares llm_ann_ivfpq's oracle
+    "llm_ann_ivfpq_idx" -> ((s, d) => LlmOps.annIvfPqIndexed(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), pqIndexDir(s, d))),
     "llm_ann_recall"    -> ((s, d) => LlmOps.annRecall(Tables.embeddings(s, d))),
     // the same gauge over the Hamming-1 probe set: recall_mp − recall IS
     // the multi-probe lift, measured where an index deployment reads it
@@ -288,6 +304,7 @@ object LlmQueries {
     "llm_ann_pq"        -> Seq(col("qid"), col("rnk")),
     "llm_ann_pq_refine" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfpq"     -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivfpq_idx" -> Seq(col("qid"), col("rnk")),
     "llm_ann_recall"    -> Seq(col("qid")),
     "llm_ann_recall_mp" -> Seq(col("qid")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
@@ -445,7 +462,8 @@ object LlmQueries {
 
   def oracle: Map[String, String] = oracleBase +
     ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash")) +
-    ("llm_ann_ivf_idx" -> oracleBase("llm_ann_ivf"))
+    ("llm_ann_ivf_idx" -> oracleBase("llm_ann_ivf")) +
+    ("llm_ann_ivfpq_idx" -> oracleBase("llm_ann_ivfpq"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_dedup_exact" ->

@@ -1145,6 +1145,49 @@ class LlmSpec extends SparkSpec {
       "compaction must erase the replayed rows from the stats")
   }
 
+  test("stored IVF-PQ index: probe ≡ in-query, append encodes with the frozen codebook, compaction heals") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    LlmOps.buildPqIndex(emb, dir)
+    val indexed = LlmOps.annIvfPqIndexed(q, dir)
+    val direct = LlmOps.annIvfPq(emb)
+    assert(indexed.columns.toSeq === direct.columns.toSeq)
+    assert(indexed.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet,
+      "stored-codes probe must be output-identical to the in-query ranking")
+    // the stored artifacts: a K-row codebook and label-partitioned codes
+    assert(spark.read.parquet(s"$dir/codebooks").count() === LlmOps.PqCentroids)
+    val codeDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("label=")).map(_.getName)
+    assert(codeDirs.nonEmpty, "codes must be cell-partitioned on disk")
+
+    // append lifecycle: build over the training slice only (so the
+    // frozen codebook equals a full build's), append the rest encoded
+    // against the STORED codebook — probes must equal one full build
+    val slice = emb.filter(col("vec_id") % LlmOps.PqTrainSliceMod === 0)
+    val rest = emb.filter(col("vec_id") % LlmOps.PqTrainSliceMod =!= 0)
+    val grown = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    LlmOps.buildPqIndex(slice, grown)
+    LlmOps.appendPqIndex(rest, grown)
+    assert(LlmOps.annIvfPqIndexed(q, grown).collect().map(_.toSeq).toSet ===
+      indexed.collect().map(_.toSeq).toSet,
+      "append+probe must equal full-build+probe when the codebook is shared")
+    // a replayed append duplicates codes rows; compaction heals them
+    // (dedupRows — codes are a deterministic function of the vector and
+    // the stored codebook) and the healed probe is identical
+    val before = spark.read.parquet(s"$grown/codes").count()
+    LlmOps.appendPqIndex(rest, grown)
+    assert(spark.read.parquet(s"$grown/codes").count() ===
+      before + rest.count())
+    LlmOps.compactPqIndex(spark, grown)
+    assert(spark.read.parquet(s"$grown/codes").count() === before,
+      "compaction must collapse the replayed codes")
+    assert(LlmOps.annIvfPqIndexed(q, grown).collect().map(_.toSeq).toSet ===
+      indexed.collect().map(_.toSeq).toSet,
+      "the healed index must probe identically")
+  }
+
   test("semantic ingest gate: stored-cell probe ≡ direct, drops near-dups, self-cancels on replay") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter(col("vec_id") < 400L)

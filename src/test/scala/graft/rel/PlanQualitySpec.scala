@@ -217,6 +217,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stored IVF-PQ probe: codes scan pruned to query cells, codes never the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_ann_ivfpq_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val codesAt = p.indexOf("/codes], PartitionFilters: [")
+    assert(codesAt >= 0, s"codes scan missing partition filters:\n${p.take(1500)}")
+    assert(p.substring(codesAt, math.min(p.length, codesAt + 160)).contains("label"),
+      s"codes partition filter must pin the query cells")
+    // the K-row codebook broadcasting is CORRECT (it IS tiny by
+    // construction); the cell-partitioned codes table must not be
+    val phys = df.queryExecution.sparkPlan
+    for (j <- phys.collect { case jj: BroadcastHashJoinExec => jj }) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("/codes"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw codes table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
