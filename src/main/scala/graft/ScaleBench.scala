@@ -207,6 +207,58 @@ object ScaleBench {
     }
     val annInqScaled = annInQuery(out)
 
+    // semantic-gate probe off the stored cells: fixed batch (parquet,
+    // immune to the clearCache), index rebuilt per corpus size; the
+    // ratio tracks probed-cell mass — at the harness's fixed 10 cells
+    // every cell grows with the corpus, the honest IVF trade (value
+    // compounds with cell COUNT, the 100 TB regime)
+    val semBatchDir = java.nio.file.Files.createTempDirectory("graft-scale-sembatch").toString
+    graft.llm.LlmOps.incrementalVecBatch(Tables.embeddings(spark, sfDir))
+      .write.mode("overwrite").parquet(semBatchDir)
+    val semBatch = spark.read.parquet(semBatchDir)
+    def semIdx(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-semix").toString
+      graft.llm.LlmOps.buildAnnIndex(Tables.embeddings(spark, dir), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.incrementalDedupCosineIndexed(semBatch, ixDir, vecCol = "e")
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
+    }
+    val semIxBase = semIdx(sfDir)
+    val semIxScaled = semIdx(out)
+
+    // stored IVF-PQ probe: codebook+codes built per corpus size
+    // (untimed), the timed step is the fixed-8-query ADC rank off the
+    // pruned packed-codes scan
+    def pqIdx(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-pqix").toString
+      graft.llm.LlmOps.buildPqIndex(Tables.embeddings(spark, dir), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.annIvfPqIndexed(annQ, ixDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
+    }
+    val pqIxBase = pqIdx(sfDir)
+    val pqIxScaled = pqIdx(out)
+
     // hot-token probe for tokenFreqScore: every doc prefixed with 30
     // repeats of one stop word — the shape where a per-occurrence freq
     // join funnels the whole corpus through one shuffle bucket; the
@@ -280,8 +332,9 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
     spark.stop()
   }
 }
