@@ -81,6 +81,13 @@ object StreamingIngest {
     * The epoch derives (vec_id, e, label, nrm) ONCE, shared between the
     * semantic probe and the ANN append ([[LlmOps.appendAnnIndexFrom]]).
     *
+    * `pqIndexDir` keeps a stored [[LlmOps.buildPqIndex]] serving index in
+    * lockstep as well: survivors' vectors are encoded against the FROZEN
+    * codebook ([[LlmOps.appendPqIndex]]) and their packed codes land in
+    * the cell partitions behind the same epoch commit — ordered with the
+    * ANN append (before minhash) so every crash window replays into a
+    * compaction-healable duplicate, never an absence.
+    *
     * Per-epoch work discipline: the batch is shingled ONCE
     * ([[LlmOps.signaturesOf]]/[[LlmOps.bandsOf]], persisted) and the
     * cached frames feed both the probe and the survivor append; every
@@ -94,6 +101,7 @@ object StreamingIngest {
       annIndexDir: Option[String] = None,
       vecCol: String = "embedding", cellCol: String = "label",
       semanticThreshold: Option[Double] = None,
+      pqIndexDir: Option[String] = None,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
@@ -105,6 +113,7 @@ object StreamingIngest {
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
     annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))
+    pqIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/codes"))
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream
       .schema(schema)
@@ -164,6 +173,15 @@ object StreamingIngest {
               aDir, "vec_id", vecCol, cellCol)
           }
         }
+        // PQ codes (encoded against the stored FROZEN codebook) keep the
+        // serving index in lockstep too — like the ANN append, before the
+        // minhash append, so a crash window replays into a healable
+        // duplicate rather than a permanent absence
+        pqIndexDir.foreach { pDir =>
+          LlmOps.appendPqIndex(
+            kept.select(col(idCol).as("vec_id"), col(vecCol),
+              col(cellCol).as("label")), pDir, "vec_id", vecCol, "label")
+        }
         val keptIds = kept.select(col(idCol).as("doc_id"))
         LlmOps.appendMinHashIndexFrom(
           sig.join(keptIds, Seq("doc_id"), "left_semi"),
@@ -179,6 +197,7 @@ object StreamingIngest {
         if (compactEvery > 0 && epoch % compactEvery == (compactEvery - 1)) {
           LlmOps.compactMinHashIndex(spark, indexDir)
           annIndexDir.foreach(LlmOps.compactAnnIndex(spark, _))
+          pqIndexDir.foreach(LlmOps.compactPqIndex(spark, _))
         }
         ()
       }

@@ -68,6 +68,7 @@ class StreamingIngestSpec extends SparkSpec {
   test("ANN index rides the gate: an epoch-0 survivor's vector is probe-visible post-drain") {
     val idx = Files.createTempDirectory("graft-si3-idx").toString
     val ann = Files.createTempDirectory("graft-si3-ann").toString
+    val pq = Files.createTempDirectory("graft-si3-pq").toString
     val src = Files.createTempDirectory("graft-si3-src").toString
     val out = Files.createTempDirectory("graft-si3-out").toString
     val ckp = Files.createTempDirectory("graft-si3-ckp").toString
@@ -78,6 +79,8 @@ class StreamingIngestSpec extends SparkSpec {
       (2L, mk("beta"), Seq(0f, 1f), 7))
     LlmOps.buildMinHashIndex(base, idx)
     LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
+    // trainMod=1: the 2-doc fixture has no % 20 == 0 ids to train on
+    LlmOps.buildPqIndex(base, pq, idCol = "doc_id", trainMod = 1L)
     def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
       val tmp = s"$src/_$name"
       d.coalesce(1).write.parquet(tmp)
@@ -95,12 +98,18 @@ class StreamingIngestSpec extends SparkSpec {
       (100L, mk("alpha") + " tail27", Seq(9f, 9f), 7),
       (101L, mk("delta"), Seq(0.6f, 0.8f), 7)), t0)
     StreamingIngest.start(spark, src, idx, out, ckp,
-      annIndexDir = Some(ann)).awaitTermination()
+      annIndexDir = Some(ann), pqIndexDir = Some(pq)).awaitTermination()
 
     // the stats gauge sees base + the one admitted vector
     val stats = LlmOps.annIndexStats(spark, ann).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats === Map(7L -> 3L), s"2 base + 1 admitted, got $stats")
+    // the PQ serving index stayed in lockstep: the survivor's codes
+    // landed (encoded against the frozen codebook), the dropped doc's
+    // never did
+    assert(spark.read.parquet(s"$pq/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 101L),
+      "survivor codes appended behind the epoch commit")
     // a retrieval probe in the survivor's cell finds it at cosine 1
     val q = docsE((999L, "", Seq(0.6f, 0.8f), 7))
     val top = LlmOps.annIvfIndexed(q, ann, k = 1, idCol = "doc_id")
