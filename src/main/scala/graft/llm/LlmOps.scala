@@ -2597,6 +2597,18 @@ object LlmOps {
     graft.cdc.Compaction.compactDir(spark, s"$dir/codes",
       Seq("label"), Seq("label"), dedupRows = true)
 
+  /** Cell-health gauge over a stored [[buildPqIndex]] artifact — rows
+    * per cell of the codes table (≡ vectors per cell: one packed-codes
+    * row each). Probe cost is ∝ the probed cells' code rows, so this is
+    * the [[annIndexStats]] analog for the PQ serving index — and the
+    * replay-duplicate detector: a cell whose count exceeds its corpus
+    * count is carrying un-compacted replayed appends.
+    */
+  def pqIndexStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .groupBy(col("label").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+
   /** [[annIvfPq]] over the STORED index: queries prune the codes table to
     * their cell footprint (static partition IN — the
     * [[incrementalDedupCosineIndexedFrom]] discipline), reconstruct ONLY

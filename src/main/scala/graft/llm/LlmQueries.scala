@@ -261,7 +261,12 @@ object LlmQueries {
     // cell-health gauge over the stored ANN cell table: rows per cell —
     // probe latency is ∝ probed cell size, so the hot cell is the p99
     "llm_ann_index_stats" -> ((s, d) =>
-      LlmOps.annIndexStats(s, annIndexDir(s, d)))
+      LlmOps.annIndexStats(s, annIndexDir(s, d))),
+    // same gauge over the stored PQ codes table (one packed row per
+    // vector, so per-cell counts mirror the corpus — a count above the
+    // corpus' is an un-compacted replayed append)
+    "llm_pq_index_stats" -> ((s, d) =>
+      LlmOps.pqIndexStats(s, pqIndexDir(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -326,6 +331,7 @@ object LlmQueries {
     "mm_payload_apply"  -> Seq(col("doc_id")),
     "llm_dedup_index_stats" -> Seq(col("band_idx")),
     "llm_ann_index_stats" -> Seq(col("cell")),
+    "llm_pq_index_stats" -> Seq(col("cell")),
     "llm_chunk_docs"    -> Seq(col("doc_id"), col("chunk_idx"))
   )
 
@@ -1283,6 +1289,12 @@ object LlmQueries {
     // the stored ANN cell table is exactly the embeddings partitioned by
     // cell label, so its per-cell row counts group straight off the table
     "llm_ann_index_stats" ->
+      """SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_vectors
+        |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin,
+
+    // the PQ codes table holds exactly one packed row per corpus vector,
+    // so the stored-index gauge must reproduce the corpus' cell counts
+    "llm_pq_index_stats" ->
       """SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_vectors
         |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin
   )
