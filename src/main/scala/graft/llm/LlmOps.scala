@@ -2597,6 +2597,36 @@ object LlmOps {
     graft.cdc.Compaction.compactDir(spark, s"$dir/codes",
       Seq("label"), Seq("label"), dedupRows = true)
 
+  /** Blocking-recall gauge for the cosine near-dup family — the
+    * [[dedupRecall]] analog for [[dedupCosine]]'s sign-bucket LSH: over
+    * the bounded %-`sampleMod` id subsample, TRUTH is all-pairs exact
+    * cosine ≥ `threshold` (a deliberate bounded broadcast cross — the
+    * same whitelist rationale as dedupRecall's truth side) and a pair
+    * HITS when both ends share the sign-projection bucket the blocker
+    * joins on. One row: (n_true, n_hit, recall) — the dial-reading for
+    * `bucketBits` (more bits = smaller buckets = cheaper blocking =
+    * lower recall), watched the same way a production LSH pipeline
+    * samples its own miss rate.
+    */
+  def semRecall(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "e", threshold: Double = 0.99,
+      bucketBits: Int = 8, sampleMod: Long = 20L): DataFrame = {
+    val sub = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
+      .filter(col("vec_id") % sampleMod === 0)
+      .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sub.as("a").crossJoin(broadcast(sub.as("b")))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)") >= threshold)
+      .select((col("a.bucket") === col("b.bucket")).as("hit"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** Cell-health gauge over a stored [[buildPqIndex]] artifact — rows
     * per cell of the codes table (≡ vectors per cell: one packed-codes
     * row each). Probe cost is ∝ the probed cells' code rows, so this is

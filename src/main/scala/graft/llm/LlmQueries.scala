@@ -183,6 +183,11 @@ object LlmQueries {
     // Jaccard truth on the doc_id % 20 subsample of the near-dup corpus
     "llm_dedup_recall" -> ((s, d) => LlmOps.dedupRecall(
       LlmOps.nearDupCorpus(Tables.documents(s, d)))),
+    // the cosine-family twin: sign-bucket blocking recall vs all-pairs
+    // exact-cosine truth on the vec_id % 20 subsample of the perturbed-
+    // copy corpus — the bucketBits dial-reading
+    "llm_sem_recall" -> ((s, d) => LlmOps.semRecall(
+      LlmOps.cosineCorpus(LlmOps.embBase(Tables.embeddings(s, d))))),
     "llm_bpe_pairs"     -> ((s, d) => LlmOps.bpePairs(Tables.documents(s, d))),
     // run over the injected-dup corpus so dup_frac is non-trivial; source/
     // lang joined back from the base table (injected copies inherit them)
@@ -285,6 +290,7 @@ object LlmQueries {
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
     "llm_dedup_sem_idx" -> Seq(col("vec_id")),
     "llm_dedup_recall"  -> Seq(col("n_true")),
+    "llm_sem_recall"    -> Seq(col("n_true")),
     "llm_bpe_pairs"     -> Seq(col("sym_a"), col("sym_b")),
     "llm_corpus_stats"  -> Seq(col("n_docs")),
     "llm_bpe_train"     -> Seq(col("rank")),
@@ -1227,6 +1233,28 @@ object LlmQueries {
          |SELECT (SELECT count(*) FROM truth) AS n_true,
          |  (SELECT count(*) FROM hit) AS n_hit,
          |  CAST((SELECT count(*) FROM hit) AS DOUBLE) / (SELECT count(*) FROM truth) AS recall""".stripMargin,
+
+    // sign-bucket blocking recall for the cosine family: truth = exact
+    // all-pairs cosine over the bounded subsample, hit = same bucket
+    "llm_sem_recall" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(range(1, len(e)+1), i -> e[i] + (i % 3 - 1) * CAST(0.01 AS DOUBLE))
+         |  FROM base WHERE vec_id % 10 = 0
+         |),
+         |sub AS (SELECT vec_id, e, ${signBucketDuck("e")} AS bucket, sqrt(${dotDuck("e", "e")}) AS nrm
+         |        FROM corpus WHERE vec_id % 20 = 0),
+         |truth AS (
+         |  SELECT (a.bucket = b.bucket) AS hit
+         |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+         |  WHERE ${dotDuck("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.99
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS recall
+         |FROM truth""".stripMargin,
 
     // exact media dedup over the payload-copy corpus; payload = UTF-8
     // bytes of text, and DuckDB's md5(VARCHAR) hashes those same bytes,

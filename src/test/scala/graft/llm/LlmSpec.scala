@@ -1145,6 +1145,19 @@ class LlmSpec extends SparkSpec {
       "compaction must erase the replayed rows from the stats")
   }
 
+  test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))
+    val row = LlmOps.semRecall(corpus).collect()(0)
+    val (nTrue, nHit, recall) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // every %20 base doc's perturbed copy (cosine ≈ 0.99995) is a truth pair
+    val injected = emb.filter(col("vec_id") % 20 === 0).count()
+    assert(nTrue >= injected, s"at least the $injected injected pairs, got $nTrue")
+    assert(nHit >= 0L && nHit <= nTrue)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall === nHit.toDouble / nTrue)
+  }
+
   test("stored IVF-PQ index: probe ≡ in-query, append encodes with the frozen codebook, compaction heals") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 8)

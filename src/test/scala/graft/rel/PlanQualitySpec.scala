@@ -70,12 +70,14 @@ class PlanQualitySpec extends SparkSpec {
     // single-row corpus total — all plan as BroadcastNestedLoopJoin by
     // construction. domain_mix crosses a 1-row global-min frame; the PQ
     // family crosses the K-row broadcast codebook and the 8-row query set.
-    // dedup_recall's TRUTH side is the point of the operator: all-pairs
-    // exact Jaccard over the bounded %-20 subsample, via broadcast.
+    // dedup_recall's and sem_recall's TRUTH sides are the point of those
+    // operators: all-pairs exact Jaccard/cosine over the bounded %-20
+    // subsample, via broadcast.
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
-      "llm_ann_recall", "llm_ann_recall_mp", "llm_dedup_recall")
+      "llm_ann_recall", "llm_ann_recall_mp", "llm_dedup_recall",
+      "llm_sem_recall")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
