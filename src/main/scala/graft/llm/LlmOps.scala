@@ -865,6 +865,49 @@ object LlmOps {
         (col("f_sum") / col("n_tokens").cast("double")).as("mean_tok_freq"))
   }
 
+  /** Corpus-bigram fluency score — the KenLM-shaped quality signal a
+    * curation pipeline runs without a model artifact: the corpus itself
+    * is the language model. Each document scores the mean transition
+    * probability of its own bigrams under the corpus bigram counts,
+    * P(w2|w1) ≈ c(w1,w2)/c(w1·) with prefix counts c(w1·) = Σ_w2
+    * c(w1,w2) (derived from the bigram table — no second occurrence
+    * pass). Gibberish and shuffled text score near zero; text whose
+    * transitions the corpus has seen scores high. All-rational
+    * arithmetic (no ln/exp — libm differences would break cross-engine
+    * hashes); the per-doc sum folds the value-sorted list so the result
+    * is bit-exact against the oracle stating the same fold.
+    *
+    * 100 TB shape: occurrences reduce to (doc, w1, w2, n) in the first
+    * aggregation and the weighted fold (n·c2/c1 per DISTINCT doc-bigram)
+    * never re-expands them — the [[tokenFreqScore]] discipline; the
+    * count tables are vocabulary-sized with no broadcast hint (AQE
+    * broadcasts while they fit, degrades to a shuffle join when the
+    * unbounded bigram tail outgrows memory). Docs with fewer than two
+    * tokens have no bigrams and are absent from the output by
+    * construction.
+    */
+  def fluencyScore(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bic = textCorpus(corpus, idCol, textCol)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val c2 = bic.groupBy("w1", "w2").agg(sum(col("n")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bic.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("v", col("n").cast("double") *
+        (col("c2").cast("double") / col("c1").cast("double")))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("f_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
+  }
+
   // --------------------------------------------------- keyword extraction
 
   /** Top-k keywords per document by tf × (N/df) — TF-IDF with a rational

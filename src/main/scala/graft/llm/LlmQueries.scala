@@ -225,6 +225,10 @@ object LlmQueries {
     "llm_decontaminate" -> ((s, d) => LlmOps.decontaminate(Tables.documents(s, d))),
     "llm_tok_freq"      -> ((s, d) => LlmOps.tokenFreqScore(Tables.documents(s, d))),
     "llm_keywords"      -> ((s, d) => LlmOps.keywords(Tables.documents(s, d))),
+    // corpus-as-language-model fluency: mean bigram transition
+    // probability under the corpus' own bigram counts — rational
+    // arithmetic only, value-sorted fold for cross-engine bit-exactness
+    "llm_fluency"       -> ((s, d) => LlmOps.fluencyScore(Tables.documents(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -303,6 +307,7 @@ object LlmQueries {
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
+    "llm_fluency"       -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -690,6 +695,25 @@ object LlmQueries {
     // same weighted ordered fold as the operator: one product f·tf per
     // DISTINCT (doc, token), summed ascending from 0.0 — never expanded
     // back to per-occurrence volume on either engine
+    // bigram fluency: prefix counts derive from the bigram table (sum
+    // over w2), the per-doc sum folds value-sorted doubles — both
+    // engines state the identical reduction
+    "llm_fluency" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |       WHERE len(t) >= 2),
+        |bic AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bic GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
+        |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
+        |FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),

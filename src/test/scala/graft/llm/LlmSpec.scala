@@ -1145,6 +1145,22 @@ class LlmSpec extends SparkSpec {
       "compaction must erase the replayed rows from the stats")
   }
 
+  test("fluency: corpus-bigram transition means, short docs absent, seen transitions outscore rare ones") {
+    val d = docs(1L -> "a b a b", 3L -> "a c", 5L -> "x", 7L -> "")
+    val out = LlmOps.fluencyScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // docs 5 and 7 have < 2 tokens — no bigrams, absent by construction
+    assert(out.keySet === Set(1L, 3L))
+    // corpus counts: c(a,b)=2, c(b,a)=1, c(a,c)=1 ⇒ c(a·)=3, c(b·)=1.
+    // doc 1: fold_sorted{2·(2/3), 1·(1/1)} / 3 ; doc 3: (1/3) / 1
+    val d1 = (0.0 + 1.0 + 2.0 * (2.0 / 3.0)) / 3.0
+    val d3 = (0.0 + 1.0 / 3.0) / 1.0
+    assert(out(1L) === ((3L, d1)))
+    assert(out(3L) === ((1L, d3)))
+    assert(out(1L)._2 > out(3L)._2,
+      "the doc whose transitions the corpus has seen twice must outscore the rare one")
+  }
+
   test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))
