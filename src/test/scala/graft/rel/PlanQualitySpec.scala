@@ -243,6 +243,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("fluency: both corpus-count windows share one w1 exchange, no count-table join") {
+    val p = plan("llm_fluency")
+    assert(!p.contains("Join"), s"window form must not join a count table back:\n${p.take(1200)}")
+    assert(p.contains("Window"), "expected window-sum corpus counts")
+    // exactly three exchanges: doc-bigram reduce, the shared w1 window
+    // shuffle, the per-doc fold — a fourth means the (w1, w2) window
+    // stopped reusing the w1 partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 3,
+      s"expected 3 exchanges (reduce, shared window shuffle, fold), got $exchanges:\n${p.take(1500)}")
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
