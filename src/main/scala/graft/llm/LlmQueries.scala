@@ -77,6 +77,18 @@ object LlmQueries {
       dir
     })
 
+  /** The stored BPE tokenizer (rank-ordered merge table) trained on the
+    * 5% doc_id slice — the same sample-train regime as `llm_bpe_apply`,
+    * so the stored-vs-inline equivalence is exact.
+    */
+  private def bpeTokenizerDir(s: SparkSession, d: String): String =
+    indexCache.getOrElseUpdate(s"bpe|$d|${fingerprint(d, "documents")}", {
+      val dir = tempIndexDir("graft-bpe-tok")
+      LlmOps.buildBpeTokenizer(
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0), dir)
+      dir
+    })
+
   /** The stored ANN cell table over the BASE slice (vec_id < 400) — the
     * "already-ingested corpus" the semantic ingest gate probes; the
     * remaining vec_ids play the arriving batch.
@@ -216,6 +228,13 @@ object LlmQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       LlmOps.bpeApply(docs, merges)
     }),
+    // the same encode off the STORED tokenizer artifact — training paid
+    // once at build, every subsequent encode job reads the merge table
+    // (train-once/apply-everywhere, the production tokenizer lifecycle);
+    // rows-only like llm_bpe_apply, equivalence to the inline form spec'd
+    // (LlmSpec "bpe stored tokenizer")
+    "llm_bpe_apply_idx" -> ((s, d) =>
+      LlmOps.bpeApplyStored(Tables.documents(s, d), bpeTokenizerDir(s, d))),
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     "llm_pack_apply"    -> ((s, d) => LlmOps.packApply(Tables.documents(s, d))),
@@ -324,6 +343,7 @@ object LlmQueries {
     "llm_ann_recall"    -> Seq(col("qid")),
     "llm_ann_recall_mp" -> Seq(col("qid")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
+    "llm_bpe_apply_idx" -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
     "llm_text_stats"    -> Seq(col("doc_id")),
     "llm_lang_id"       -> Seq(col("doc_id")),

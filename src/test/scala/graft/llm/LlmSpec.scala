@@ -759,6 +759,29 @@ class LlmSpec extends SparkSpec {
     assert(got(0).getLong(1) === wantTokens)
   }
 
+  test("bpe stored tokenizer: encode off the artifact equals training inline") {
+    // train-once/apply-everywhere: the stored merge table round-trips
+    // through parquet (rank order included) and encodes identically to
+    // merges held in memory — on a corpus DIFFERENT from the training
+    // sample, the regime the artifact exists for
+    val train = docs(1L -> "low low low low low lower lower newest newest newest",
+      2L -> "newest newest newest widest widest widest")
+    val apply = docs(10L -> "lowest newest news widest low", 11L -> "zz qq")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-spec").toString
+    LlmOps.buildBpeTokenizer(train, dir, nMerges = 6)
+    val inline = LlmOps.bpeTrain(train, nMerges = 6)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val wantRows = LlmOps.bpeApply(apply, inline).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotRows = LlmOps.bpeApplyStored(apply, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRows === wantRows)
+    // the artifact is the merge table itself: ranks dense from 1, in order
+    val stored = spark.read.parquet(s"$dir/merges").orderBy("rank").collect()
+    assert(stored.map(_.getInt(0)).toSeq === (1 to stored.length))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("incremental dedup: exact copies dropped, fresh content survives; bloom path agrees") {
     val base = docs(10L -> "alpha beta gamma", 14L -> "delta epsilon zeta",
       3L -> "eta theta iota")
