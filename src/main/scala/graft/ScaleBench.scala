@@ -236,6 +236,40 @@ object ScaleBench {
     val semIxBase = semIdx(sfDir)
     val semIxScaled = semIdx(out)
 
+    // production-regime variant of the probe above: the cell count scales
+    // WITH the corpus — each replica sub-divides its labels
+    // (label·factor + replica), so cells go factor× while per-cell mass
+    // stays constant. This is the regime the IVF trade exists for
+    // (thousands of cells, a handful probed per batch): the batch's cell
+    // footprint prunes to same-mass directories whatever the corpus size,
+    // so a flat ratio here is the published evidence that the fixed-cell
+    // probe's ∝-corpus growth above is per-cell mass (a harness axis),
+    // not the gate's scaling design.
+    val semBatchRc = semBatch
+      .withColumn("label", (col("label") * factor).cast("int"))
+    def semIdxCells(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-semixc").toString
+      graft.llm.LlmOps.buildAnnIndex(
+        Tables.embeddings(spark, dir).withColumn("label",
+          (col("label") * factor +
+            (col("vec_id") / keyShift).cast("int")).cast("int")), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.incrementalDedupCosineIndexed(semBatchRc, ixDir, vecCol = "e")
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
+    }
+    val semCellsBase = semIdxCells(sfDir)
+    val semCellsScaled = semIdxCells(out)
+
     // stored IVF-PQ probe: codebook+codes built per corpus size
     // (untimed), the timed step is the fixed-8-query ADC rank off the
     // pruned packed-codes scan
@@ -332,7 +366,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
     spark.stop()
