@@ -1330,6 +1330,54 @@ object LlmOps {
     bpeApply(corpus, merges, idCol, textCol)
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit run between two
+    * crawl generations before a retrain: per doc_id, `added` (only in
+    * the new snapshot), `removed` (only in the old), `changed` (both,
+    * content hash differs), `unchanged`. The decision runs entirely on
+    * (doc_id, md5) fingerprint projections joined full-outer on doc_id —
+    * text never crosses the shuffle, so at 100 TB the diff costs one
+    * hash pass over each snapshot plus a fingerprint-sized join (AQE
+    * broadcasts a small snapshot side; both-large degrades to a hash
+    * join of 48-byte rows). `unchanged` rows — the overwhelming mass of
+    * real consecutive snapshots — are dropped from the output by
+    * default, so output ∝ churn, not corpus.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      keepUnchanged: Boolean = false): DataFrame = {
+    def fp(df: DataFrame, h: String) = textCorpus(df, idCol, textCol)
+      .select(col("doc_id"), md5(col("text")).as(h))
+    val joined = fp(oldSnap, "old_hash")
+      .join(fp(newSnap, "new_hash"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+    if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
+  /** Harness fixture for [[corpusDiff]]: the "next crawl generation" —
+    * every 11th doc gone (removed), every 7th surviving doc re-crawled
+    * with a changed tail (changed), a 13th-doc slice arriving under new
+    * ids (added), everything else byte-identical (unchanged).
+    */
+  def snapshotNext(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"), col("text")))
+
+  val SnapshotNextSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+      |FROM documents WHERE doc_id % 11 <> 0
+      |UNION ALL
+      |SELECT doc_id + 70000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —
     * exact copies of every 10th doc (already in the base corpus → must be
     * dropped) ∪ every 7th doc with a fresh tail (genuinely new content →

@@ -171,6 +171,13 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
     }),
+    // snapshot-versioning audit: which doc_ids were added / removed /
+    // changed between two crawl generations — fingerprints full-outer
+    // joined, text never shuffled, output ∝ churn
+    "llm_corpus_diff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.corpusDiff(base, LlmOps.snapshotNext(base))
+    }),
     // the near-dup ingest gate: tailed copies survive the EXACT
     // incremental check above but are dropped here; reversed-word docs
     // (shingle-disjoint) survive both
@@ -309,6 +316,7 @@ object LlmQueries {
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
+    "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
     "llm_dedup_sem_idx" -> Seq(col("vec_id")),
@@ -1094,6 +1102,20 @@ object LlmQueries {
       s"""WITH batch AS (${LlmOps.IncrementalBatchSql})
          |SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
          |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_diff" ->
+      s"""WITH next AS (${LlmOps.SnapshotNextSql}),
+         |o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+         |n AS (SELECT doc_id, md5(text) AS new_hash FROM next)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.old_hash IS NULL THEN 'added'
+         |       WHEN n.new_hash IS NULL THEN 'removed'
+         |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.old_hash, n.new_hash
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |WHERE o.old_hash IS NULL OR n.new_hash IS NULL OR o.old_hash <> n.new_hash
          |ORDER BY doc_id""".stripMargin,
 
     // the near-dup ingest gate: both sides' shingles → signatures → bands

@@ -782,6 +782,22 @@ class LlmSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("corpus diff: added/removed/changed classified per id, unchanged dropped by default") {
+    val old = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon zeta")
+    val next = docs(1L -> "alpha beta", 2L -> "gamma delta rev2", 4L -> "eta theta")
+    val out = LlmOps.corpusDiff(old, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val full = LlmOps.corpusDiff(old, next, keepUnchanged = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(1L) === "unchanged" && full.size === 4)
+    // fingerprints carried: a changed row shows both sides, added/removed one
+    val rows = LlmOps.corpusDiff(old, next).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(rows(2L)._1 != null && rows(2L)._2 != null && rows(2L)._1 != rows(2L)._2)
+    assert(rows(3L)._2 == null && rows(4L)._1 == null)
+  }
+
   test("incremental dedup: exact copies dropped, fresh content survives; bloom path agrees") {
     val base = docs(10L -> "alpha beta gamma", 14L -> "delta epsilon zeta",
       3L -> "eta theta iota")
