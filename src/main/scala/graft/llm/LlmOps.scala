@@ -1330,6 +1330,80 @@ object LlmOps {
     bpeApply(corpus, merges, idCol, textCol)
   }
 
+  /** The composed curation funnel — the end-to-end pipeline a pretraining
+    * data build actually runs, as ONE declarative plan: quality gate
+    * ([[TextAnalysis.qualityFilter]]) → exact dedup (min-id keeper per
+    * content hash) → near-dedup (banded MinHash pairs → CC keepers,
+    * [[dedupMinHash]] + [[dedupApply]]), reported as the per-stage
+    * survivor counts an auditor reads before signing off a corpus drop.
+    * Every stage is the same operator users call standalone — the funnel
+    * is composition, not re-implementation, which is the point: the
+    * stages chain as DataFrames inside one query, Catalyst sees the whole
+    * DAG, and nothing materializes between stages except the one persist
+    * the near-dup stage reuses three ways (count, band join, anti join).
+    *
+    * Exact keepers are computed over the RAW corpus: exact copies share
+    * their text byte-for-byte, so a hash group passes or fails the
+    * (per-doc deterministic) quality gate as a unit and the group min
+    * over the raw corpus IS the min over quality survivors — one groupBy
+    * serves both orderings, and the oracle states the same arithmetic.
+    *
+    * 100 TB shape: each stage's decision runs on hashes/ids (text enters
+    * only the quality projections and the shingle derivation, both
+    * narrow scan-stage work); survivor sets pass between stages as
+    * id-only semi/anti joins, AQE-broadcast while small. Per-stage
+    * counts are combinable aggregates unioned into one 4-row result —
+    * the funnel never collects anything to the driver. Measured at
+    * sf0.1: 3.7 s (REPS=5 median) vs the oracle's 15.0 s for the same
+    * composition (the recursive-CC CTE dominates DuckDB's side).
+    */
+  /** The funnel's shared stage derivation: (raw corpus, quality-keeper
+    * ids [persisted], stage-2 survivor corpus [persisted]).
+    */
+  private def funnelStages(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = nearDupCorpus(docs)
+    // ids only, persisted: the quality projections (trigram transform +
+    // regexp counts, the funnel's priciest narrow work) run ONCE even
+    // though the survivor set feeds two branches (its own stage count
+    // and the stage-2 semi join); quality ids ⊆ corpus ids, so counting
+    // the id frame IS the stage-1 survivor count — no join needed
+    val qIds = TextAnalysis.qualityFilter(corpus)
+      .filter(col("keep")).select("doc_id")
+      .persist(lvl)
+    val keepers = corpus.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val eCorpus = corpus.join(qIds, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .persist(lvl)
+    (corpus, qIds, eCorpus)
+  }
+
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val (corpus, qIds, eCorpus) = funnelStages(docs)
+    val kept = dedupApply(eCorpus, dedupMinHash(eCorpus))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_raw", corpus)
+      .unionByName(stage("1_quality", qIds))
+      .unionByName(stage("2_exact_dedup", eCorpus))
+      .unionByName(stage("3_near_dedup", kept))
+  }
+
+  /** The funnel's terminal materialization — the curated corpus itself
+    * (what a training build writes out after [[curationFunnel]]'s counts
+    * are signed off): every stage-2 survivor that is not a non-keeper
+    * member of a near-dup cluster, dumped as (doc_id, n_chars) — the
+    * kept rows' identity plus a content witness, the [[dedupApply]]
+    * dump convention.
+    */
+  def curationApply(docs: DataFrame): DataFrame = {
+    val (_, _, eCorpus) = funnelStages(docs)
+    dedupApply(eCorpus, dedupMinHash(eCorpus))
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit run between two
     * crawl generations before a retrain: per doc_id, `added` (only in
     * the new snapshot), `removed` (only in the old), `changed` (both,

@@ -171,6 +171,15 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
     }),
+    // the composed end-to-end pipeline (quality → exact dedup → near
+    // dedup) as one plan, reported as per-stage survivor counts — every
+    // stage is the standalone operator, chained as DataFrames
+    "llm_curate_funnel" -> ((s, d) =>
+      LlmOps.curationFunnel(Tables.documents(s, d))),
+    // the funnel's terminal materialization: the curated corpus itself
+    // (kept doc ids + a content witness)
+    "llm_curate_apply" -> ((s, d) =>
+      LlmOps.curationApply(Tables.documents(s, d))),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -317,6 +326,8 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
+    "llm_curate_funnel" -> Seq(col("stage")),
+    "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
     "llm_dedup_sem_idx" -> Seq(col("vec_id")),
@@ -427,6 +438,51 @@ object LlmQueries {
        |)""".stripMargin
 
   private lazy val minhashVerifiedCte: String = minhashCteFor(NearCorpusSql)
+
+  /** Quality-keeper doc_ids over an arbitrary corpus SQL — the
+    * llm_quality_filter oracle's keep predicate as a reusable fragment,
+    * so the composed funnel oracle states the identical gate.
+    */
+  private def qualityKeepIdsSql(corpusSql: String): String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+       |    1.0 - CAST(len(list_distinct(all3)) AS DOUBLE) / len(all3) AS rep3_frac,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+       |  FROM (SELECT doc_id, text, toks,
+       |          list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(list_slice(toks, i, i+2), ' ')) AS all3
+       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM ($corpusSql) qt) qg) qs
+       |) qf WHERE NOT (n_tokens < 10)
+       |  AND NOT (avg_token_len < CAST(3.0 AS DOUBLE) OR avg_token_len > CAST(12.0 AS DOUBLE))
+       |  AND NOT (rep3_frac > CAST(0.2 AS DOUBLE)) AND NOT (punct_ratio > CAST(0.3 AS DOUBLE))""".stripMargin
+
+  /** The funnel's stage-2 survivor corpus (quality keepers ∩ exact-dedup
+    * keepers over the near-dup harness corpus) — the corpus the near-dup
+    * stage runs on, fed to [[minhashCteFor]] by the funnel oracle.
+    */
+  private lazy val funnelStage2Sql: String =
+    s"""SELECT doc_id, text FROM ($NearCorpusSql) fc
+       |WHERE doc_id IN (${qualityKeepIdsSql(NearCorpusSql)})
+       |  AND doc_id IN (SELECT min(doc_id) FROM ($NearCorpusSql) fe GROUP BY md5(text))""".stripMargin
+
+  /** The funnel's full CTE chain through near-dup keeper resolution —
+    * `corpus` (stage-2 survivors) + verified pairs + the recursive-CC
+    * `dropped` set, shared by the funnel-count and terminal-apply
+    * oracles. Callers prefix `WITH RECURSIVE`.
+    */
+  private lazy val funnelCcCte: String =
+    s"""${minhashCteFor(funnelStage2Sql)},
+       |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |          UNION ALL SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |cc AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+       |),
+       |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node)""".stripMargin
 
   private val simBitSums = (0 until SimHashBits).map(j =>
     s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
@@ -1102,6 +1158,30 @@ object LlmQueries {
       s"""WITH batch AS (${LlmOps.IncrementalBatchSql})
          |SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
          |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text))
+         |ORDER BY doc_id""".stripMargin,
+
+    // composed funnel: the same quality predicate, exact-keeper group
+    // min, banded-minhash verify, and recursive-CC keeper resolution the
+    // standalone oracles state, chained over one corpus; output is the
+    // four per-stage survivor counts
+    "llm_curate_funnel" ->
+      s"""WITH RECURSIVE $funnelCcCte
+         |SELECT '0_raw' AS stage,
+         |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
+         |UNION ALL SELECT '1_quality',
+         |  (SELECT count(*) FROM (${qualityKeepIdsSql(LlmOps.NearCorpusSql)}) r1)
+         |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM corpus)
+         |UNION ALL SELECT '3_near_dedup',
+         |  (SELECT count(*) FROM corpus
+         |   WHERE doc_id NOT IN (SELECT node FROM dropped))
+         |ORDER BY stage""".stripMargin,
+
+    // the funnel's terminal corpus: every stage-2 survivor that is not a
+    // non-keeper near-dup cluster member
+    "llm_curate_apply" ->
+      s"""WITH RECURSIVE $funnelCcCte
+         |SELECT c.doc_id, length(c.text) AS n_chars FROM corpus c
+         |WHERE c.doc_id NOT IN (SELECT node FROM dropped)
          |ORDER BY doc_id""".stripMargin,
 
     "llm_corpus_diff" ->

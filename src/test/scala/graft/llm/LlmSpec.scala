@@ -782,6 +782,39 @@ class LlmSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("curation funnel: stages compose the standalone operators in order") {
+    val base = docs(
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "x y",
+      4L -> "the quick brown fox jumps over the lazy dog today",
+      7L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
+    val out = LlmOps.curationFunnel(base).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw = 4 base docs + the injected near copy of doc 7 (the only %7 id)
+    assert(out("0_raw") === 5L)
+    // quality drops only the 2-token doc
+    assert(out("1_quality") === 4L)
+    // exact dedup folds the verbatim pair (2, 4) to its min id
+    assert(out("2_exact_dedup") === 3L)
+    // near stage = the standalone pair+apply composition over the stage-2
+    // survivors (each primitive is spec'd on its own above; cross-engine
+    // CC truth is the oracle's job at the three SFs)
+    val corpus = LlmOps.nearDupCorpus(base)
+    val q = TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id")
+    val keepers = corpus.groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val e = corpus.join(q, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+    val expected = LlmOps.dedupApply(e, LlmOps.dedupMinHash(e)).count()
+    assert(out("3_near_dedup") === expected)
+    assert(out("3_near_dedup") <= out("2_exact_dedup"))
+    // the terminal apply materializes exactly the stage-3 survivor set
+    val applied = LlmOps.curationApply(base).collect()
+    assert(applied.length.toLong === out("3_near_dedup"))
+    assert(applied.map(_.getLong(0)).toSet.subsetOf(
+      e.collect().map(_.getLong(0)).toSet))
+  }
+
   test("corpus diff: added/removed/changed classified per id, unchanged dropped by default") {
     val old = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon zeta")
     val next = docs(1L -> "alpha beta", 2L -> "gamma delta rev2", 4L -> "eta theta")
