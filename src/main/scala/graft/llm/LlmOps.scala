@@ -1360,9 +1360,10 @@ object LlmOps {
   /** The funnel's shared stage derivation: (raw corpus, quality-keeper
     * ids [persisted], stage-2 survivor corpus [persisted]).
     */
-  private def funnelStages(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def funnelStages(raw: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val corpus = nearDupCorpus(docs)
+    val corpus = textCorpus(raw, idCol, textCol)
     // ids only, persisted: the quality projections (trigram transform +
     // regexp counts, the funnel's priciest narrow work) run ONCE even
     // though the survivor set feeds two branches (its own stage count
@@ -1379,13 +1380,14 @@ object LlmOps {
     (corpus, qIds, eCorpus)
   }
 
-  def curationFunnel(docs: DataFrame): DataFrame = {
-    val (corpus, qIds, eCorpus) = funnelStages(docs)
+  def curationFunnel(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (raw, qIds, eCorpus) = funnelStages(corpus, idCol, textCol)
     val kept = dedupApply(eCorpus, dedupMinHash(eCorpus))
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_raw", corpus)
+    stage("0_raw", raw)
       .unionByName(stage("1_quality", qIds))
       .unionByName(stage("2_exact_dedup", eCorpus))
       .unionByName(stage("3_near_dedup", kept))
@@ -1398,8 +1400,9 @@ object LlmOps {
     * kept rows' identity plus a content witness, the [[dedupApply]]
     * dump convention.
     */
-  def curationApply(docs: DataFrame): DataFrame = {
-    val (_, _, eCorpus) = funnelStages(docs)
+  def curationApply(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, _, eCorpus) = funnelStages(corpus, idCol, textCol)
     dedupApply(eCorpus, dedupMinHash(eCorpus))
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }

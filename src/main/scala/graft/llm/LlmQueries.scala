@@ -175,11 +175,11 @@ object LlmQueries {
     // dedup) as one plan, reported as per-stage survivor counts — every
     // stage is the standalone operator, chained as DataFrames
     "llm_curate_funnel" -> ((s, d) =>
-      LlmOps.curationFunnel(Tables.documents(s, d))),
+      LlmOps.curationFunnel(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     // the funnel's terminal materialization: the curated corpus itself
     // (kept doc ids + a content witness)
     "llm_curate_apply" -> ((s, d) =>
-      LlmOps.curationApply(Tables.documents(s, d))),
+      LlmOps.curationApply(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn

@@ -788,7 +788,7 @@ class LlmSpec extends SparkSpec {
       3L -> "x y",
       4L -> "the quick brown fox jumps over the lazy dog today",
       7L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet")
-    val out = LlmOps.curationFunnel(base).collect()
+    val out = LlmOps.curationFunnel(LlmOps.nearDupCorpus(base)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // raw = 4 base docs + the injected near copy of doc 7 (the only %7 id)
     assert(out("0_raw") === 5L)
@@ -809,7 +809,7 @@ class LlmSpec extends SparkSpec {
     assert(out("3_near_dedup") === expected)
     assert(out("3_near_dedup") <= out("2_exact_dedup"))
     // the terminal apply materializes exactly the stage-3 survivor set
-    val applied = LlmOps.curationApply(base).collect()
+    val applied = LlmOps.curationApply(corpus).collect()
     assert(applied.length.toLong === out("3_near_dedup"))
     assert(applied.map(_.getLong(0)).toSet.subsetOf(
       e.collect().map(_.getLong(0)).toSet))
