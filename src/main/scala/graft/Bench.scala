@@ -193,6 +193,40 @@ object Bench {
       (raw, rawSec, routed)
     } catch { case _: Throwable => (0.0, 0.0, 0.0) }
 
+    // ---- live ingest-gate throughput: the production loop end-to-end.
+    // Half the documents table plays the already-ingested corpus (stored
+    // LSH index built from it, untimed — amortized across the stream's
+    // life); the other half arrives as one parquet file per micro-batch
+    // through StreamingIngest (probe pruned index → epoch-keyed corpus
+    // write → index append). COLD, including stream startup and every
+    // per-epoch index append. At harness SFs the rate is fixed-cost
+    // dominated (each epoch pays job-submit + probe + two appends + the
+    // checkpoint commit regardless of batch size), so the invariant a
+    // capacity plan reads is ingest_epoch_sec — docs/s climbs with batch
+    // size as that cost amortizes, exactly like the floor_* figures.
+    val ingestBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "4").toInt
+    val (ingestRate, ingestN, ingestEpochSec) = try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest")
+      val docs = Tables.documents(spark, sfDir)
+      graft.llm.LlmOps.buildMinHashIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        s"$root/ix")
+      val arriving = docs
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+      val nDocs = arriving.count()
+      (0 until ingestBatches).foreach { b =>
+        arriving.filter(org.apache.spark.sql.functions
+            .col("doc_id") % (2 * ingestBatches) === (2 * b + 1))
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+      }
+      val t0 = System.nanoTime()
+      graft.llm.StreamingIngest.start(spark, s"$root/src", s"$root/ix",
+        s"$root/out", s"$root/ckp").awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      (if (dt > 0) nDocs / dt else 0.0, nDocs, dt / ingestBatches)
+    } catch { case _: Throwable => (0.0, 0L, 0.0) }
+
     // ---- inline scale-up probe: q1 on the fact table replicated 5×
     // (shifted keys). ratio ≪ 5 ⇒ the per-query cost at this SF is
     // floor-dominated and amortizes with data size — the measured form of
@@ -238,7 +272,7 @@ object Bench {
     def line(dp: Int, extras: Int): String = {
       val ext = extras match {
         case 2 =>
-          s""","floor_noop_sec":${r(floorNoop, 3)},"floor_scan_sec":${r(floorScan, 3)},"floor_total_sec":${r(floorScan * results.size, 1)},"stream_events_per_sec":${r(streamRate, 0)},"stream_routed_events_per_sec":${r(routedRate, 0)},"scaleup_factor":$scaleFactor,"scaleup_q1_ratio":${r(scaleRatio, 2)},"sentinel_med_sec":${r(sentMed, 3)}"""
+          s""","floor_noop_sec":${r(floorNoop, 3)},"floor_scan_sec":${r(floorScan, 3)},"floor_total_sec":${r(floorScan * results.size, 1)},"stream_events_per_sec":${r(streamRate, 0)},"stream_routed_events_per_sec":${r(routedRate, 0)},"ingest_docs_per_sec":${r(ingestRate, 0)},"ingest_epoch_sec":${r(ingestEpochSec, 2)},"scaleup_factor":$scaleFactor,"scaleup_q1_ratio":${r(scaleRatio, 2)},"sentinel_med_sec":${r(sentMed, 3)}"""
         case 1 => // compact keys; full names + per-rep detail in bench_detail.json
           s""","floor_scan":${r(floorScan, 3)},"ev_per_sec":${r(streamRate, 0)},"routed_ev_per_sec":${r(routedRate, 0)},"scaleup_q1":${r(scaleRatio, 2)},"detail":"bench_detail.json""""
         case _ => ""
@@ -273,7 +307,7 @@ object Bench {
     val rereppedJson = rerepped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentAfterJson = sentAfter.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"ingest_docs":$ingestN,"ingest_batches":$ingestBatches,"ingest_docs_per_sec":$ingestRate,"ingest_epoch_sec":$ingestEpochSec,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
     try {
       val p = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "bench_detail.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8")); ()
