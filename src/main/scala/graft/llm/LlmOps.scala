@@ -1259,6 +1259,19 @@ object LlmOps {
     * [[Multimodal.decodeStub]] precedent): merge ranks broadcast once,
     * encoding embarrassingly parallel, no shuffle.
     */
+  /** Per-partition word-encode memo cap: BPE encode is a pure function
+    * of the word, and word frequency is Zipfian — the same few thousand
+    * words dominate any natural corpus — so each task memoizes
+    * word → token-count and the hot head encodes once per partition
+    * instead of once per occurrence (the stored-tokenizer encode
+    * llm_bpe_apply_idx: 0.8 → 0.29 s at sf0.1; llm_bpe_apply moves
+    * little — its cost is the in-query 5%-slice training, not the
+    * encode). The cap bounds task memory against adversarial
+    * vocabularies (random strings would otherwise grow the map with
+    * the partition).
+    */
+  val BpeEncodeCacheMax = 1 << 20
+
   def bpeApply(corpus: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
@@ -1269,31 +1282,38 @@ object LlmOps {
     val table = merges.toVector
     val rank = table.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast((rank, table))
-    textCorpus(corpus, idCol, textCol).as[(Long, String)].map { case (id, text) =>
-      val nToks = text.split(" ").filter(_.nonEmpty).iterator.map { w =>
-        var syms = w.map(_.toString).toVector
-        var done = false
-        while (!done && syms.length > 1) {
-          val cand = syms.sliding(2).zipWithIndex
-            .flatMap { case (Seq(x, y), _) => bc.value._1.get((x, y)) }
-            .reduceOption(math.min)
-          cand match {
-            case None => done = true
-            case Some(rk) =>
-              val (a, b) = bc.value._2(rk)
-              val out = Vector.newBuilder[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                  out += (a + b); i += 2
-                } else { out += syms(i); i += 1 }
-              }
-              syms = out.result()
-          }
+    def encodeWord(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val cand = syms.sliding(2).zipWithIndex
+          .flatMap { case (Seq(x, y), _) => bc.value._1.get((x, y)) }
+          .reduceOption(math.min)
+        cand match {
+          case None => done = true
+          case Some(rk) =>
+            val (a, b) = bc.value._2(rk)
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
         }
-        syms.length
-      }.sum
-      (id, nToks.toLong)
+      }
+      syms.length
+    }
+    textCorpus(corpus, idCol, textCol).as[(Long, String)].mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map { case (id, text) =>
+        val nToks = text.split(" ").filter(_.nonEmpty).iterator.map { w =>
+          if (memo.size < BpeEncodeCacheMax) memo.getOrElseUpdate(w, encodeWord(w))
+          else memo.getOrElse(w, encodeWord(w))
+        }.sum
+        (id, nToks.toLong)
+      }
     }.toDF("doc_id", "n_bpe_tokens")
   }
 
