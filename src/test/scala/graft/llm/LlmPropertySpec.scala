@@ -93,6 +93,36 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff: statuses partition the id space; self-diff is empty — any snapshots") {
+    // generated pairs of snapshots over a small id/text alphabet so every
+    // status arises: added (id only in new), removed (only in old),
+    // changed (both, text differs), unchanged (dropped by default)
+    val entry = Gen.zip(Gen.chooseNum(0L, 9L), Gen.oneOf("aa", "bb", "cc"))
+    val snapGen = Gen.listOfN(7, entry).map(_.toMap) // map ⇒ unique ids
+    samples(Gen.zip(snapGen, snapGen), 6).zipWithIndex.foreach {
+      case ((o, n), trial) =>
+        val old = o.toSeq.toDF("doc_id", "text")
+        val neu = n.toSeq.toDF("doc_id", "text")
+        val got = LlmOps.corpusDiff(old, neu, keepUnchanged = true).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got.keySet === (o.keySet ++ n.keySet), s"trial $trial: id coverage")
+        got.foreach { case (id, st) =>
+          val want =
+            if (!o.contains(id)) "added"
+            else if (!n.contains(id)) "removed"
+            else if (o(id) == n(id)) "unchanged"
+            else "changed"
+          assert(st === want, s"trial $trial id=$id")
+        }
+        // default output = the churn only
+        val churn = LlmOps.corpusDiff(old, neu).collect()
+          .map(_.getString(1)).toSet
+        assert(!churn.contains("unchanged"), s"trial $trial")
+        // a snapshot diffed against itself reports nothing
+        assert(LlmOps.corpusDiff(old, old).count() === 0L, s"trial $trial")
+    }
+  }
+
   test("bpeApply: empty merges = char count; any merges keep 1..chars per word") {
     val word = Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString)
     samples(Gen.listOfN(5, word), 4).foreach { words =>
