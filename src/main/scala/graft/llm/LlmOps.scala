@@ -1873,6 +1873,36 @@ object LlmOps {
         max(col("bucket")).as("max_bucket"),
         sum(col("bucket")).cast("bigint").as("n_rows"))
 
+  /** Corpus ↔ stored-index consistency audit — the id-level reconciliation
+    * an operator runs before trusting a [[buildMinHashIndex]] artifact
+    * against the CURRENT corpus generation: per doc_id, `indexed` (in
+    * both), `unindexed` (corpus doc the index has never seen — arrivals
+    * since the last build/append, the gate's blind spot), `orphaned`
+    * (index rows whose doc has been removed from the corpus — dead weight
+    * that inflates probe buckets and, worse, can VETO a legitimately
+    * re-ingestable doc as a dup of content that no longer exists).
+    * Complements [[corpusDiff]] (content-level, corpus-vs-corpus) at the
+    * id level, corpus-vs-index.
+    *
+    * 100 TB shape: the index side reads ONLY the signature table's doc_id
+    * column (columnar prune — signatures' gs arrays never leave the
+    * scan), the corpus side only its id column; the decision is a
+    * full-outer join of 8-byte keys reduced to three counts —
+    * map-side-combinable aggs, nothing driver-sized. Cheap enough to run
+    * at every maintenance window alongside [[minHashIndexStats]].
+    */
+  def indexCoverage(corpus: DataFrame, indexDir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val idx = corpus.sparkSession.read.parquet(s"$indexDir/signatures")
+      .select(col("doc_id").as("idx_id")).distinct()
+    val cur = corpus.select(col(idCol).as("cur_id")).distinct()
+    idx.join(cur, col("idx_id") === col("cur_id"), "full_outer")
+      .select(when(col("idx_id").isNull, lit("unindexed"))
+        .when(col("cur_id").isNull, lit("orphaned"))
+        .otherwise(lit("indexed")).as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Blocking-recall gauge for the banded-LSH dedup family — the
     * [[annRecall]] pattern applied to near-dup detection: on a
     * deterministic id-subsample (`doc_id % sampleMod = 0`, small enough
@@ -2921,5 +2951,46 @@ object LlmOps {
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "label", "adist")
+  }
+
+  /** Codebook-drift gauge over a stored [[buildPqIndex]] artifact — the
+    * rebuild trigger of the freeze-codebook/accumulate-codes lifecycle:
+    * per cell, how many vectors the codes table holds, how many exceed
+    * the quantization-error budget, and the worst reconstruction error.
+    * [[appendPqIndex]] encodes arrivals against the FROZEN codebook, so
+    * as the distribution drifts from the training sample the codes
+    * reconstruct worse and ADC ranking degrades silently — this gauge is
+    * where that shows first; `n_high_err/n_vectors` crossing a policy
+    * line is the retrain signal, and `max_err` names the cell to look at.
+    *
+    * Aggregates are deliberately order-free (counts and a max — exact
+    * under any reduction order, the cross-engine determinism rule), never
+    * an FP sum over an unordered set; the per-vector error itself is the
+    * same left-fold [[ssdSql]] both engines state. 100 TB shape: one
+    * linear pass — codes reconstruct via the broadcast K-row codebook
+    * (the [[annIvfPqIndexed]] reassembly, label carried through), join
+    * raw vectors on vec_id, reduce to per-cell triples map-side; runs at
+    * maintenance cadence like [[pqIndexStats]], never in the probe path.
+    */
+  def pqDrift(emb: DataFrame, indexDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      sub: Int = PqSubDim, errBudget: Double = 1.0): DataFrame = {
+    val spark = emb.sparkSession
+    val pivots = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val base = embBase(emb.withColumn("label", col(labelCol)), idCol, vecCol)
+    val approx = codes
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(pivots), Seq("cid"))
+      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
+      .groupBy("vec_id", "label")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+    approx.join(base.select("vec_id", "e"), Seq("vec_id"))
+      .withColumn("err", expr(ssdSql("e", "approx")))
+      .groupBy(col("label").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("err") > errBudget, 1L).otherwise(0L)).as("n_high_err"),
+        max(col("err")).as("max_err"))
   }
 }

@@ -310,7 +310,17 @@ object LlmQueries {
     // vector, so per-cell counts mirror the corpus — a count above the
     // corpus' is an un-compacted replayed append)
     "llm_pq_index_stats" -> ((s, d) =>
-      LlmOps.pqIndexStats(s, pqIndexDir(s, d)))
+      LlmOps.pqIndexStats(s, pqIndexDir(s, d))),
+    // corpus ↔ stored-index reconciliation: the LSH index was built over
+    // the BASE documents generation, the "current" corpus is the next
+    // crawl snapshot — survivors are indexed, arrivals unindexed,
+    // removed ids orphaned
+    "llm_index_coverage" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.snapshotNext(Tables.documents(s, d)), mhIndexDir(s, d))),
+    // codebook-drift gauge over the stored PQ index: per cell, vectors
+    // over the quantization-error budget + worst error — the retrain dial
+    "llm_pq_drift" -> ((s, d) =>
+      LlmOps.pqDrift(Tables.embeddings(s, d), pqIndexDir(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -326,6 +336,8 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
+    "llm_index_coverage" -> Seq(col("status")),
+    "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
@@ -1470,7 +1482,34 @@ object LlmQueries {
     // so the stored-index gauge must reproduce the corpus' cell counts
     "llm_pq_index_stats" ->
       """SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_vectors
-        |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY cell""".stripMargin,
+
+    // the stored LSH index holds one signature row per base-generation
+    // doc, so coverage against the next snapshot is a pure id-set
+    // reconciliation between the two generations
+    "llm_index_coverage" ->
+      s"""WITH cur AS (SELECT doc_id FROM (${LlmOps.SnapshotNextSql}) sn),
+         |idx AS (SELECT doc_id FROM documents)
+         |SELECT CASE WHEN i.doc_id IS NULL THEN 'unindexed'
+         |            WHEN c.doc_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // drift gauge: the PQ chain's reconstructions (codes assigned against
+    // the frozen sample-trained codebook) joined back to the raw vectors;
+    // per-cell aggregates are order-free (counts + max) by design
+    "llm_pq_drift" ->
+      s"""WITH $pqChainDuck,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |er AS (SELECT a.vec_id, l.label, ${ssdDuck("b.e", "a.approx")} AS err
+         |  FROM ap a JOIN base b ON a.vec_id = b.vec_id
+         |  JOIN lb l ON a.vec_id = l.vec_id)
+         |SELECT CAST(label AS BIGINT) AS cell, count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN err > CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_high_err,
+         |  max(err) AS max_err
+         |FROM er GROUP BY label ORDER BY cell""".stripMargin
   )
 
   /** The payload simhash chain (corpus → byte-4-gram simhash → chunk

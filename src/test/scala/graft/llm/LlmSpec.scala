@@ -1399,4 +1399,42 @@ class LlmSpec extends SparkSpec {
       assert(maxBucket === 2L, "the identical pair is the hot bucket")
     }
   }
+
+  test("index coverage reconciles a stored index against the current corpus generation") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(1L -> mk("alpha"), 2L -> mk("beta"), 9L -> mk("gamma"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-cov").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    // next generation: doc 1 removed, 2 and 9 survive, 5 arrives
+    val cur = docs(2L -> mk("beta"), 9L -> mk("gamma"), 5L -> mk("delta"))
+    val cov = LlmOps.indexCoverage(cur, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cov === Map("indexed" -> 2L, "orphaned" -> 1L, "unindexed" -> 1L))
+    // the generation the index was built over reconciles clean
+    val self = LlmOps.indexCoverage(base, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(self === Map("indexed" -> 3L))
+  }
+
+  test("PQ drift gauge: per-cell counts mirror the codes table; budget bounds the high-err split") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
+    LlmOps.buildPqIndex(emb, dir)
+    val drift = LlmOps.pqDrift(emb, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val counts = LlmOps.pqIndexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drift.keySet === counts.keySet, "one drift row per stored cell")
+    drift.foreach { case (cell, (n, nHigh, maxErr)) =>
+      assert(n === counts(cell), "drift scans exactly the stored codes")
+      assert(nHigh >= 0L && nHigh <= n)
+      assert(maxErr >= 0.0)
+    }
+    // the budget partitions the same per-vector errors: an infinite
+    // budget flags nothing, a negative one flags every vector
+    val none = LlmOps.pqDrift(emb, dir, errBudget = Double.MaxValue).collect()
+    assert(none.forall(_.getLong(2) === 0L))
+    val all = LlmOps.pqDrift(emb, dir, errBudget = -1.0).collect()
+    assert(all.forall(r => r.getLong(2) === r.getLong(1)))
+  }
 }
