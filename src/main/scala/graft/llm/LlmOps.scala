@@ -1475,6 +1475,70 @@ object LlmOps {
       |UNION ALL
       |SELECT doc_id + 70000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** Harness fixture for [[curateDelta]]: [[snapshotNext]] plus a slice of
+    * NEAR-duplicate arrivals — every 17th doc re-crawled under a new id
+    * with a drifted tail. These pass the exact gate (the text differs)
+    * but near-dup against the stored index's original — the case the
+    * delta pipeline's stage-3 probe exists to catch.
+    */
+  def snapshotCurate(docs: DataFrame): DataFrame =
+    snapshotNext(docs)
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          concat(col("text"), lit(" drift")).as("text")))
+
+  val SnapshotCurateSql: String =
+    s"""$SnapshotNextSql
+       |UNION ALL
+       |SELECT doc_id + 90000000, text || ' drift' FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
+  /** Incremental curation between crawl generations — what a production
+    * pipeline runs NIGHTLY once [[curationFunnel]] has signed off the
+    * initial corpus: only the new generation's churn (added/changed docs,
+    * the [[corpusDiff]] decision) runs the gates, each gate probing
+    * STORED state instead of re-deriving the corpus — quality
+    * (per-doc, churn-only), exact (content hash anti-joined against the
+    * base generation's hashes), near (the stored-LSH one-sided probe,
+    * [[incrementalDedupMinHashIndexedFrom]] with self-ids excluded: a
+    * changed doc is an UPDATE that replaces its old version, not a
+    * duplicate of it). Reported as the per-stage survivor counts, the
+    * [[curationFunnel]] read-out over the delta.
+    *
+    * 100 TB shape: cost ∝ churn, never corpus — the diff is a
+    * fingerprint join (text never shuffles), quality runs on delta rows
+    * only, the exact gate ships 16-byte hashes, and the near gate reads
+    * only the index directories the delta's own band keys prune to. The
+    * full corpus is read exactly once (the fingerprint/hash pass);
+    * the stored index is never scanned beyond the probe footprint.
+    */
+  def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.6): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val oldC = textCorpus(oldSnap, idCol, textCol)
+    val newC = textCorpus(newSnap, idCol, textCol)
+    val deltaIds = corpusDiff(oldSnap, newSnap, idCol, textCol)
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+    val delta = newC.join(deltaIds, Seq("doc_id"), "left_semi").persist(lvl)
+    val qIds = TextAnalysis.qualityFilter(delta)
+      .filter(col("keep")).select("doc_id")
+    val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
+    val eC = qC.join(oldC.select(md5(col("text")).as("ch")).distinct(),
+        md5(col("text")) === col("ch"), "left_anti")
+      .persist(lvl)
+    val bSig = signaturesOf(eC).persist(lvl)
+    val bBands = bandsOf(bSig).persist(lvl)
+    val kept = incrementalDedupMinHashIndexedFrom(bSig, bBands, indexDir,
+      threshold, excludeSelfId = true)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_delta", delta)
+      .unionByName(stage("1_quality", qIds))
+      .unionByName(stage("2_exact", eC))
+      .unionByName(stage("3_near", kept))
+  }
+
   /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —
     * exact copies of every 10th doc (already in the base corpus → must be
     * dropped) ∪ every 7th doc with a fresh tail (genuinely new content →
@@ -1751,9 +1815,18 @@ object LlmOps {
     * caller-persisted, caller-released) signature/band pair — the form
     * [[StreamingIngest]] uses so one shingling job per epoch feeds both
     * the probe and the survivor append.
+    *
+    * `excludeSelfId` drops SAME-ID candidates before the verify — the
+    * [[incrementalDedupCosineIndexedFrom]] knob, needed wherever a batch
+    * doc is a new VERSION of an indexed doc (delta curation: the update
+    * replaces its old self, it is not a duplicate of it). The streaming
+    * gate keeps the default false: an identical re-ingest self-cancelling
+    * against its own committed index rows is what makes epoch replay
+    * idempotent there.
     */
   def incrementalDedupMinHashIndexedFrom(bSig: DataFrame, bBands: DataFrame,
-      indexDir: String, threshold: Double = 0.6): DataFrame = {
+      indexDir: String, threshold: Double = 0.6,
+      excludeSelfId: Boolean = false): DataFrame = {
     val spark = bSig.sparkSession
     val baseSig = spark.read.parquet(s"$indexDir/signatures")
     val baseBands = spark.read.parquet(s"$indexDir/bands")
@@ -1772,10 +1845,12 @@ object LlmOps {
       batchBuckets.map { case (bi, bk) =>
         col("band_idx") === bi && col("bk_bucket") === bk
       }.reduceOption(_ || _).getOrElse(lit(false)))
+    val bandMatch = col("nb.band_idx") === col("ob.band_idx") &&
+      col("nb.bk_bucket") === col("ob.bk_bucket") &&
+      col("nb.band_key") === col("ob.band_key")
     val cand = prunedBands.as("ob").join(broadcast(bBands.as("nb")),
-        col("nb.band_idx") === col("ob.band_idx") &&
-          col("nb.bk_bucket") === col("ob.bk_bucket") &&
-          col("nb.band_key") === col("ob.band_key"))
+        if (excludeSelfId) bandMatch && col("nb.doc_id") =!= col("ob.doc_id")
+        else bandMatch)
       .select(col("nb.doc_id").as("batch_id"), col("ob.doc_id").as("base_id"))
     // attach the batch signature to each candidate pair (both tiny), then
     // verify in one pass over the pruned signature directories; multi-band

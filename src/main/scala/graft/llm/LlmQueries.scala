@@ -187,6 +187,13 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.corpusDiff(base, LlmOps.snapshotNext(base))
     }),
+    // nightly incremental curation: only the next generation's churn runs
+    // the quality/exact/near gates, the near gate probing the STORED LSH
+    // index (built over the base generation) with self-ids excluded
+    "llm_curate_delta" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d))
+    }),
     // the near-dup ingest gate: tailed copies survive the EXACT
     // incremental check above but are dropped here; reversed-word docs
     // (shingle-disjoint) survive both
@@ -338,6 +345,7 @@ object LlmQueries {
     "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_index_coverage" -> Seq(col("status")),
     "llm_pq_drift"      -> Seq(col("cell")),
+    "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
@@ -414,6 +422,52 @@ object LlmQueries {
   }.mkString("\n  UNION ALL ")
 
   private val bandUnion = bandUnionOf("mh")
+
+  /** The one-sided minhash ingest-gate CTE chain, parameterized over the
+    * batch and base table/CTE names: both sides' shingles → signatures →
+    * bands, batch bands probing base bands, exact-Jaccard verify — ending
+    * in `dup` (batch_id), with `bshg` left in scope for the caller's
+    * survivor anti-membership. `selfExcl` mirrors the Spark probe's
+    * excludeSelfId (a changed doc is an update, not a dup of its old
+    * self). Shared by the incremental-dedup oracle and the delta-curation
+    * oracle so both state the identical probe.
+    */
+  private def incGateCtes(batchTbl: String, baseTbl: String,
+      selfExcl: Boolean = false): String =
+    s"""btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $batchTbl),
+       |bsh AS (SELECT doc_id, $shinglesDuck AS shingles FROM btok),
+       |bshg AS (SELECT doc_id,
+       |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM bsh),
+       |bmh AS (SELECT doc_id,
+       |    $mhCols
+       |  FROM bshg),
+       |bbands AS (
+       |  ${bandUnionOf("bmh")}
+       |),
+       |otok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $baseTbl),
+       |osh AS (SELECT doc_id, $shinglesDuck AS shingles FROM otok),
+       |oshg AS (SELECT doc_id,
+       |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM osh),
+       |omh AS (SELECT doc_id,
+       |    $mhCols
+       |  FROM oshg),
+       |obands AS (
+       |  ${bandUnionOf("omh")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS batch_id, ob.doc_id AS base_id
+       |  FROM bbands nb JOIN obands ob
+       |    ON nb.band_idx = ob.band_idx AND nb.band_key = ob.band_key${if (selfExcl) " AND nb.doc_id <> ob.doc_id" else ""}
+       |),
+       |dup AS (
+       |  SELECT DISTINCT c.batch_id
+       |  FROM cand c
+       |  JOIN bshg sa ON c.batch_id = sa.doc_id
+       |  JOIN oshg sb ON c.base_id = sb.doc_id
+       |  WHERE ${jaccardDuck("sa.gs", "sb.gs")} >= 0.6
+       |)""".stripMargin
 
   private def jaccardDuck(a: String, b: String): String =
     s"CAST(len(list_filter($a, v -> list_contains($b, v))) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
@@ -1219,40 +1273,7 @@ object LlmQueries {
     // "stored index vs in-query derivation")
     "llm_dedup_inc_minhash" ->
       s"""WITH batch AS (${LlmOps.IncrementalNearBatchSql}),
-         |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
-         |bsh AS (SELECT doc_id, $shinglesDuck AS shingles FROM btok),
-         |bshg AS (SELECT doc_id,
-         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM bsh),
-         |bmh AS (SELECT doc_id,
-         |    $mhCols
-         |  FROM bshg),
-         |bbands AS (
-         |  ${bandUnionOf("bmh")}
-         |),
-         |otok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |osh AS (SELECT doc_id, $shinglesDuck AS shingles FROM otok),
-         |oshg AS (SELECT doc_id,
-         |    list_distinct(list_transform(shingles, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM osh),
-         |omh AS (SELECT doc_id,
-         |    $mhCols
-         |  FROM oshg),
-         |obands AS (
-         |  ${bandUnionOf("omh")}
-         |),
-         |cand AS (
-         |  SELECT DISTINCT nb.doc_id AS batch_id, ob.doc_id AS base_id
-         |  FROM bbands nb JOIN obands ob
-         |    ON nb.band_idx = ob.band_idx AND nb.band_key = ob.band_key
-         |),
-         |dup AS (
-         |  SELECT DISTINCT c.batch_id
-         |  FROM cand c
-         |  JOIN bshg sa ON c.batch_id = sa.doc_id
-         |  JOIN oshg sb ON c.base_id = sb.doc_id
-         |  WHERE ${jaccardDuck("sa.gs", "sb.gs")} >= 0.6
-         |)
+         |${incGateCtes("batch", "documents")}
          |SELECT b.doc_id FROM batch b
          |WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
          |ORDER BY doc_id""".stripMargin,
@@ -1496,6 +1517,30 @@ object LlmQueries {
          |  count(*) AS n_docs
          |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // incremental curation: delta = fingerprint-diff churn, quality =
+    // the shared keep-predicate fragment, exact = hash anti-membership
+    // against the base corpus, near = the shared ingest-gate chain with
+    // self-ids excluded (the stored index holds the base generation)
+    "llm_curate_delta" ->
+      s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
+         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         |delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
+         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+         |q AS (SELECT doc_id, text FROM delta
+         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+         |batch AS (SELECT doc_id, text FROM q
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+         |${incGateCtes("batch", "documents", selfExcl = true)}
+         |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_exact', count(*) FROM batch
+         |UNION ALL SELECT '3_near', count(*) FROM batch b
+         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
+         |ORDER BY stage""".stripMargin,
 
     // drift gauge: the PQ chain's reconstructions (codes assigned against
     // the frozen sample-trained codebook) joined back to the raw vectors;

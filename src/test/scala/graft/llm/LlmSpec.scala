@@ -1437,4 +1437,25 @@ class LlmSpec extends SparkSpec {
     val all = LlmOps.pqDrift(emb, dir, errBudget = -1.0).collect()
     assert(all.forall(r => r.getLong(2) === r.getLong(1)))
   }
+
+  test("delta curation: churn-only gates against stored state; an update is not a dup of its old self") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(1L -> mk("alpha"), 2L -> mk("beta"),
+      3L -> mk("gamma"), 4L -> mk("delta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-curdelta").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    val next = docs(
+      1L -> mk("alpha"),                // unchanged → not in the delta
+      2L -> (mk("beta") + " tail"),     // changed: an UPDATE — must survive
+      //  3 removed
+      5L -> mk("gamma"),                // arrival, exact copy of doc 3 → exact gate
+      6L -> (mk("delta") + " drift"),   // arrival, near-dup of doc 4 → near gate
+      7L -> mk("fresh"),                // genuinely new → survives
+      8L -> "tiny doc")                 // fails the quality gate (n_tokens)
+    val out = LlmOps.curateDelta(base, next, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("0_delta" -> 5L, "1_quality" -> 4L,
+      "2_exact" -> 3L, "3_near" -> 2L),
+      s"each gate drops exactly its own case, got $out")
+  }
 }
