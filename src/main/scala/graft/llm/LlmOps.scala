@@ -1507,9 +1507,13 @@ object LlmOps {
     * 100 TB shape: cost ∝ churn, never corpus — the diff is a
     * fingerprint join (text never shuffles), quality runs on delta rows
     * only, the exact gate ships 16-byte hashes, and the near gate reads
-    * only the index directories the delta's own band keys prune to. The
-    * full corpus is read exactly once (the fingerprint/hash pass);
-    * the stored index is never scanned beyond the probe footprint.
+    * only the index directories the delta's own band keys prune to. Each
+    * snapshot's text is read exactly once: the old generation's
+    * (doc_id, md5) fingerprints derive in one pass and persist
+    * (48-byte rows), shared by the churn decision AND the exact gate's
+    * anti-membership; the stored index is never scanned beyond the
+    * probe footprint. The one corpus-linear stage is that single narrow
+    * hash scan — the cheapest possible touch of the base generation.
     */
   def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1517,13 +1521,20 @@ object LlmOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val oldC = textCorpus(oldSnap, idCol, textCol)
     val newC = textCorpus(newSnap, idCol, textCol)
-    val deltaIds = corpusDiff(oldSnap, newSnap, idCol, textCol)
-      .filter(col("status").isin("added", "changed")).select("doc_id")
+    val oldFp = oldC.select(col("doc_id"), md5(col("text")).as("oh"))
+      .persist(lvl)
+    // churn = added ∪ changed: the corpusDiff decision, inlined over the
+    // shared fingerprints (removed docs don't ingest, so the left join
+    // suffices — no full-outer needed here)
+    val deltaIds = newC.select(col("doc_id"), md5(col("text")).as("nh"))
+      .join(oldFp, Seq("doc_id"), "left_outer")
+      .filter(col("oh").isNull || col("oh") =!= col("nh"))
+      .select("doc_id")
     val delta = newC.join(deltaIds, Seq("doc_id"), "left_semi").persist(lvl)
     val qIds = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
     val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
-    val eC = qC.join(oldC.select(md5(col("text")).as("ch")).distinct(),
+    val eC = qC.join(oldFp.select(col("oh").as("ch")).distinct(),
         md5(col("text")) === col("ch"), "left_anti")
       .persist(lvl)
     val bSig = signaturesOf(eC).persist(lvl)
