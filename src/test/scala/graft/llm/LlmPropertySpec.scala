@@ -123,6 +123,38 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("curateDelta: stages are a monotone funnel; delta = churn; identical snapshots curate nothing") {
+    // generated snapshot pairs over a small id space with quality-passing
+    // texts (distinct suffixed tokens — no rep3/short-token rejections by
+    // construction, so the funnel arithmetic is the thing under test)
+    val word = Gen.oneOf("alpha", "bravo", "charli", "deltaa", "echoes")
+    val text = Gen.chooseNum(12, 25).flatMap(n => Gen.listOfN(n, word)
+      .map(_.zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" ")))
+    val entry = Gen.zip(Gen.chooseNum(0L, 14L), text)
+    val snapGen = Gen.listOfN(10, entry).map(_.toMap)
+    samples(Gen.zip(snapGen, snapGen), 3).zipWithIndex.foreach {
+      case ((o, n), trial) =>
+        val old = o.toSeq.toDF("doc_id", "text")
+        val neu = n.toSeq.toDF("doc_id", "text")
+        val dir = java.nio.file.Files.createTempDirectory("graft-prop-curd").toString
+        LlmOps.buildMinHashIndex(old, dir)
+        val out = LlmOps.curateDelta(old, neu, dir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(out.keySet === Set("0_delta", "1_quality", "2_exact", "3_near"),
+          s"trial $trial")
+        assert(out("0_delta") >= out("1_quality") &&
+          out("1_quality") >= out("2_exact") &&
+          out("2_exact") >= out("3_near"), s"trial $trial: monotone funnel, got $out")
+        // the delta stage counts exactly the churn (added ∪ changed)
+        val churn = n.count { case (id, t) => !o.contains(id) || o(id) != t }
+        assert(out("0_delta") === churn.toLong, s"trial $trial")
+        // a generation curated against itself admits nothing at any stage
+        val self = LlmOps.curateDelta(old, old, dir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(self.values.forall(_ === 0L), s"trial $trial: self-delta, got $self")
+    }
+  }
+
   test("bpeApply: empty merges = char count; any merges keep 1..chars per word") {
     val word = Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString)
     samples(Gen.listOfN(5, word), 4).foreach { words =>
