@@ -2676,6 +2676,32 @@ object LlmOps {
       .withColumn("recall_at_k", col("n_hits").cast("double") / k)
   }
 
+  /** Recall@k of the PQ asymmetric-distance ranking vs exact cosine —
+    * the deploy gauge for the ADC serving path, completing the recall
+    * family (LSH buckets, multiprobe, and now codes). [[pqDrift]] reads
+    * the codebook's reconstruction error; this reads its END EFFECT on
+    * ranking — the number a retrieval operator actually alarms on, since
+    * tolerable per-vector error can still reorder a top-k. Unit-norm
+    * corpus ⇒ L2² = 2−2·cos, so the exact-cosine truth ranking IS the
+    * exact-L2 ranking the ADC approximates — the comparison is
+    * apples-to-apples. Same shape as [[annRecall]]: per query,
+    * |exact∩approx|/k.
+    */
+  def annRecallPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", nQueries: Int = 8,
+      m: Int = PqSubspaces, kc: Int = PqCentroids,
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
+    val exact = annTopK(emb, k, idCol, vecCol, nQueries)
+      .select(col("qid"), col("vec_id"))
+    val approx = annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
+  }
+
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
     * assignment); each query probes only its own cell — the scale path
     * where the scan cost drops by the cell count.

@@ -154,6 +154,9 @@ object LlmQueries {
     // the multi-probe lift, measured where an index deployment reads it
     "llm_ann_recall_mp" -> ((s, d) => LlmOps.annRecall(Tables.embeddings(s, d),
       multiprobe = true)),
+    // recall of the ADC (packed-codes) ranking vs exact cosine — the
+    // serving-path complement of the pqDrift reconstruction gauge
+    "llm_ann_recall_pq" -> ((s, d) => LlmOps.annRecallPq(Tables.embeddings(s, d))),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -381,6 +384,7 @@ object LlmQueries {
     "llm_ann_ivfpq_idx" -> Seq(col("qid"), col("rnk")),
     "llm_ann_recall"    -> Seq(col("qid")),
     "llm_ann_recall_mp" -> Seq(col("qid")),
+    "llm_ann_recall_pq" -> Seq(col("qid")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_bpe_apply_idx" -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
@@ -1028,6 +1032,26 @@ object LlmQueries {
          |apk AS (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM aps)
          |  WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // recall@5 of the full-corpus ADC ranking (the PQ chain's r) vs the
+    // exact-cosine truth — renamed exact-side CTEs avoid colliding with
+    // the chain's base/q
+    "llm_ann_recall_pq" ->
+      s"""WITH $pqChainDuck,
+         |nbx AS (SELECT vec_id, e, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |qx AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM nbx WHERE vec_id < 8),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM nbx b CROSS JOIN qx q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |apk AS (SELECT qid, vec_id FROM r WHERE rnk <= 5)
          |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
          |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
          |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id

@@ -1438,6 +1438,32 @@ class LlmSpec extends SparkSpec {
     assert(all.forall(r => r.getLong(2) === r.getLong(1)))
   }
 
+  test("PQ recall gauge: bounded per query; exact re-ranking can only improve it") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 5
+    val rec = LlmOps.annRecallPq(emb, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rec.keySet === (0L until 8L).toSet, "one row per query")
+    rec.values.foreach { case (hits, r) =>
+      assert(hits >= 0L && hits <= k)
+      assert(r === hits.toDouble / k)
+    }
+    // dominance law: refine's top-k is the exact re-rank of the ADC
+    // shortlist, so every truth member the shortlist contains makes the
+    // refined top-k — refined recall ≥ raw ADC recall, per query
+    val exact = LlmOps.annTopK(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val refined = LlmOps.annPqRefine(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 8L).foreach { qid =>
+      val refRecall = (exact(qid) intersect refined(qid)).size
+      assert(refRecall >= rec(qid)._1,
+        s"qid=$qid: refine must not lose truth members the shortlist holds")
+    }
+  }
+
   test("delta curation: churn-only gates against stored state; an update is not a dup of its old self") {
     val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
     val base = docs(1L -> mk("alpha"), 2L -> mk("beta"),
