@@ -63,6 +63,13 @@ class StreamingIngestSpec extends SparkSpec {
     assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L, 101L, 201L))
     assert(spark.read.parquet(s"$idx/bands").count() === sig.count() * LlmOps.Bands)
+    // the coverage audit reads clean after the drain: base ∪ admitted IS
+    // the indexed set — no unindexed arrivals, no orphaned index rows
+    val cov = LlmOps.indexCoverage(
+        base.select("doc_id").unionByName(admitted.select("doc_id")), idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cov === Map("indexed" -> 4L),
+      s"post-ingest corpus and index must reconcile exactly, got $cov")
   }
 
   test("ANN index rides the gate: an epoch-0 survivor's vector is probe-visible post-drain") {
