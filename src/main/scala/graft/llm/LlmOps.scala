@@ -577,6 +577,31 @@ object LlmOps {
     */
   val SmallGraphMaxEdges = 100000
 
+  /** RDD ids pinned (storage level set) in the lineage of `df`'s physical
+    * RDD — for a locally-checkpointed frame this is exactly the checkpoint
+    * block RDD the eager checkpoint registered. Reading the frame's OWN
+    * lineage, instead of diffing `sc.getPersistentRDDs` around the
+    * checkpoint call, is what makes the tracking safe on a shared session:
+    * the snapshot diff attributed any RDD a CONCURRENT query pinned inside
+    * the window (Verify runs four queries at a time on one session) to
+    * this loop, which would later unpersist live blocks out from under it
+    * — unrecoverable for a locally-checkpointed frame, whose lineage is
+    * already truncated. The walk never runs a job: `toRdd` only builds the
+    * RDD graph, and a checkpointed frame's graph is a few narrow wrappers
+    * over the pinned RDD.
+    */
+  private[llm] def pinnedRddIds(df: DataFrame): Set[Int] = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    val pinned = scala.collection.mutable.HashSet.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = if (seen.add(r.id)) {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        pinned += r.id
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(df.queryExecution.toRdd)
+    pinned.toSet
+  }
+
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b",
       smallGraphMaxEdges: Int = SmallGraphMaxEdges): DataFrame = {
@@ -598,9 +623,8 @@ object LlmOps {
     // the caller drops the frame.
     var liveCkptIds: Set[Int] = Set.empty
     def truncate(df: DataFrame): DataFrame = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val out = if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
-      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      val added = pinnedRddIds(out)
       liveCkptIds.foreach(id =>
         spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveCkptIds = added
@@ -1182,16 +1206,16 @@ object LlmOps {
     // manager until driver GC happens to collect the RDD object. Measured:
     // back-to-back bpeTrain calls in one session grew monotonically
     // (1.95 → 5.0 → 6.7 s) as dead checkpoint blocks crowded the store.
-    // Track the RDD ids each truncation pins (the only persistent RDDs
-    // that can appear inside the eager checkpoint call) and free them as
-    // soon as the NEXT truncation supersedes them; the function-exit sweep
-    // below releases the final generation's blocks.
+    // Track the RDD ids each truncation pins (read off the checkpointed
+    // frame's own lineage — [[pinnedRddIds]] — so concurrent queries on a
+    // shared session can't be misattributed) and free them as soon as the
+    // NEXT truncation supersedes them; the function-exit sweep below
+    // releases the final generation's blocks.
     var liveCkptIds: Set[Int] = Set.empty
     var allCkptIds: Set[Int] = Set.empty
     def truncate(df: DataFrame): DataFrame = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val out = if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
-      val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      val added = pinnedRddIds(out)
       liveCkptIds.foreach(id =>
         spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveCkptIds = added

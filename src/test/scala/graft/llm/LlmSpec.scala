@@ -689,6 +689,31 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === 4L, "no applicable merge leaves raw characters")
   }
 
+  test("checkpoint tracking reads the frame's own lineage, not a session snapshot") {
+    // pinnedRddIds is how the CC/BPE truncation loops decide which blocks
+    // a checkpoint pinned. A getPersistentRDDs before/after diff would
+    // attribute any RDD a CONCURRENT query pinned inside the window
+    // (Verify runs four queries at once on one session) to this loop and
+    // later unpersist live checkpoint blocks out from under it. The
+    // lineage walk must see exactly the frame's own pinned RDD, no matter
+    // what else gets persisted around the call.
+    val own = docs(1L -> "alpha beta gamma").localCheckpoint()
+    val other = docs(2L -> "unrelated bystander frame").persist()
+    other.count()
+    val ids = LlmOps.pinnedRddIds(own)
+    assert(ids.nonEmpty, "the local checkpoint's pinned RDD was not found")
+    assert(ids.subsetOf(spark.sparkContext.getPersistentRDDs.keySet.toSet))
+    // the bystander's blocks are not attributed to `own`
+    val otherIds = LlmOps.pinnedRddIds(other)
+    assert(ids.intersect(otherIds).isEmpty,
+      "lineage walk leaked into an unrelated frame's blocks")
+    // a plain un-cached frame pins nothing
+    assert(LlmOps.pinnedRddIds(docs(3L -> "plain")).isEmpty)
+    ids.foreach(id => spark.sparkContext.getPersistentRDDs
+      .get(id).foreach(_.unpersist(blocking = false)))
+    other.unpersist()
+  }
+
   test("bpe train: checkpoint truncation never changes the merge table") {
     // Two gates. (1) A truncated run (boundary every 2 rounds) equals the
     // single-node reference — ties the checkpoint path to ground truth.
