@@ -1851,9 +1851,9 @@ object LlmOps {
     * [[StreamingIngest]] uses so one shingling job per epoch feeds both
     * the probe and the survivor append.
     *
-    * `excludeSelfId` drops SAME-ID candidates before the verify — the
-    * [[incrementalDedupCosineIndexedFrom]] knob, needed wherever a batch
-    * doc is a new VERSION of an indexed doc (delta curation: the update
+    * `excludeSelfId` drops SAME-ID candidates before the verify — needed
+    * wherever a batch doc is a new VERSION of an indexed doc (delta
+    * curation: the update
     * replaces its old self, it is not a duplicate of it). The streaming
     * gate keeps the default false: an identical re-ingest self-cancelling
     * against its own committed index rows is what makes epoch replay
@@ -2886,7 +2886,7 @@ object LlmOps {
     * finer cells + multiprobe where it matters. A re-ingested identical
     * vector has cosine 1 with itself, so by default an epoch replay whose
     * index append committed self-cancels (the minhash gate's property);
-    * the streaming loop instead passes `excludeSelfId = true` — see
+    * the streaming loop instead passes `excludeBatchIds = true` — see
     * [[incrementalDedupCosineIndexedFrom]] for why the two gates must NOT
     * both self-cancel.
     */
@@ -2905,22 +2905,29 @@ object LlmOps {
     * frame — the form [[StreamingIngest]]'s semantic gate uses so the
     * epoch's norm derivation is shared with the ANN index append.
     *
-    * `excludeSelfId` drops SAME-ID matches from the dup set. The
+    * `excludeBatchIds` makes the probe ignore every stored vector whose
+    * id is in the BATCH's own id set (an anti-join on the pruned index
+    * side — the batch id set broadcasts, the index stays streamed). The
     * standalone gate defaults to false (an identical re-ingest is a dup —
     * and a replayed epoch self-cancels off its own committed append); the
     * streaming loop sets true because its two gates are appended in
-    * sequence: if a crash lands between the ANN append and the minhash
-    * append, a SELF-CANCELLING semantic gate would empty the replayed
-    * batch and the survivors' minhash rows would never be written — a
-    * permanent absence no maintenance pass can heal. With self-ids
-    * excluded the replay re-admits the same survivors (same ids ⇒ not
-    * dups of themselves), the corpus overwrite is idempotent, the ANN
-    * rows land twice (an exact DUPLICATE, healed by [[compactAnnIndex]]'s
-    * dedupRows), and the missing minhash rows finally land — every crash
-    * window converges to the fully-indexed state.
+    * sequence, and a replay arriving AFTER the ANN append committed must
+    * re-admit exactly the survivors of the first attempt so the
+    * still-missing minhash rows finally land. Excluding only SAME-ID
+    * matches is not enough for that: two mutually-near survivors admitted
+    * together (batch-vs-index sees neither — they entered in the same
+    * epoch) would each find the OTHER's committed vector on replay and
+    * both would drop — their minhash rows would then be permanently
+    * missing, an absence no compaction can heal. With the whole batch id
+    * set excluded the replay sees exactly the index of the first attempt
+    * (partial appends included — any committed subset of the epoch's own
+    * rows is invisible), re-admits the same survivors, the corpus
+    * overwrite is idempotent, the ANN rows land twice (an exact
+    * DUPLICATE, healed by [[compactAnnIndex]]'s dedupRows), and every
+    * crash window converges to the fully-indexed state.
     */
   def incrementalDedupCosineIndexedFrom(b: DataFrame, indexDir: String,
-      threshold: Double = 0.99, excludeSelfId: Boolean = false): DataFrame = {
+      threshold: Double = 0.99, excludeBatchIds: Boolean = false): DataFrame = {
     val cells = b.sparkSession.read.parquet(s"$indexDir/cells")
     // STATIC partition pruning, the incrementalDedupMinHashIndexedFrom
     // discipline: collect the batch's distinct cells (bounded by the cell
@@ -2930,14 +2937,18 @@ object LlmOps {
     // the persisted batch: InMemoryRelation is a leaf with no selective
     // predicate for the rule to find.)
     val batchCells = b.select("label").distinct().collect().map(_.get(0))
-    val pruned =
+    val pruned0 =
       if (batchCells.isEmpty) cells.filter(lit(false))
       else cells.filter(col("label").isin(batchCells: _*))
-    val joinCond =
-      if (excludeSelfId)
-        col("nb.label") === col("ob.label") && col("nb.vec_id") =!= col("ob.vec_id")
-      else col("nb.label") === col("ob.label")
-    val dup = pruned.as("ob").join(broadcast(b.as("nb")), joinCond)
+    // the epoch's own committed rows (full OR partial append) become
+    // invisible via an anti-join on the batch id set — the id frame is
+    // batch-sized and broadcasts; the index side stays streamed
+    val pruned =
+      if (excludeBatchIds)
+        pruned0.join(broadcast(b.select("vec_id")), Seq("vec_id"), "left_anti")
+      else pruned0
+    val dup = pruned.as("ob").join(broadcast(b.as("nb")),
+        col("nb.label") === col("ob.label"))
       .filter(expr(s"${dotSql("nb.e", "ob.e")} / (nb.nrm * ob.nrm)") >= threshold)
       .select(col("nb.vec_id").as("batch_id")).distinct()
     b.select("vec_id")

@@ -73,11 +73,15 @@ object StreamingIngest {
     * vector ([[LlmOps.incrementalDedupCosineIndexedFrom]]) is dropped
     * too — syntactic near-copies caught by shingles, paraphrases by the
     * embedding, the composed production filter. The semantic probe
-    * excludes SAME-ID matches (`excludeSelfId`) so a replayed epoch is
-    * re-admitted rather than self-cancelled — with two sequenced appends
-    * only ONE gate may self-cancel (the minhash one, whose append commits
-    * last); a self-cancelling semantic gate would leave a
-    * crashed-between-appends epoch's minhash rows permanently missing.
+    * excludes the BATCH's entire id set from the index side
+    * (`excludeBatchIds`) so a replayed epoch is re-admitted rather than
+    * (even partially) self-cancelled — with two sequenced appends only
+    * ONE gate may self-cancel (the minhash one, whose append commits
+    * last). Excluding only same-id matches would not be enough: two
+    * mutually-near survivors admitted together would each find the
+    * other's committed vector on replay and both would drop, leaving
+    * their minhash rows permanently missing (spec'd in
+    * StreamingIngestSpec).
     * The epoch derives (vec_id, e, label, nrm) ONCE, shared between the
     * semantic probe and the ANN append ([[LlmOps.appendAnnIndexFrom]]).
     *
@@ -132,7 +136,12 @@ object StreamingIngest {
         val survivors = LlmOps
           .incrementalDedupMinHashIndexedFrom(sig, bands, indexDir, threshold)
           .withColumnRenamed("doc_id", idCol)
-        val kept0 = batch.join(survivors, Seq(idCol), "left_semi")
+        // with the semantic gate on, kept0 feeds TWO materializations
+        // (the semantic probe's footprint collect and the corpus write) —
+        // persisted so the minhash probe joins run once per epoch
+        val kept0raw = batch.join(survivors, Seq(idCol), "left_semi")
+        val kept0 =
+          if (semanticThreshold.isDefined) kept0raw.persist(lvl) else kept0raw
         // the optional SECOND gate: minhash survivors probe the stored
         // cell table; the (vec_id, e, label, nrm) frame is derived once
         // and reused by the ANN append below
@@ -148,7 +157,7 @@ object StreamingIngest {
           case (Some(t), Some(bv)) =>
             val semOk = LlmOps
               .incrementalDedupCosineIndexedFrom(bv, annIndexDir.get, t,
-                excludeSelfId = true)
+                excludeBatchIds = true)
               .withColumnRenamed("vec_id", idCol)
             kept0.join(semOk, Seq(idCol), "left_semi").persist(lvl)
           case _ => kept0.persist(lvl)
@@ -187,6 +196,7 @@ object StreamingIngest {
           sig.join(keptIds, Seq("doc_id"), "left_semi"),
           bands.join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
         kept.unpersist()
+        if (semanticThreshold.isDefined) kept0.unpersist()
         bVec.foreach(_.unpersist())
         bands.unpersist()
         sig.unpersist()

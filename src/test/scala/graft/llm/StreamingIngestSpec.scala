@@ -184,7 +184,7 @@ class StreamingIngestSpec extends SparkSpec {
     val base = docsE((1L, mk("alpha"), Seq(1f, 0f), 7))
     LlmOps.buildMinHashIndex(base, idx)
     LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
-    // simulate the one crash window the self-id exclusion exists for: a
+    // simulate the one crash window the batch-id exclusion exists for: a
     // previous attempt at this epoch committed the ANN append (survivor
     // 101's vector, SAME id) and died before the minhash append
     LlmOps.appendAnnIndex(docsE((101L, "", Seq(0.6f, 0.8f), 7)),
@@ -203,7 +203,7 @@ class StreamingIngestSpec extends SparkSpec {
       System.currentTimeMillis() - 60000)
     // the "replay": same batch, gates probe the half-appended indexes. A
     // self-cancelling semantic gate would drop 101 here and its minhash
-    // rows would be missing FOREVER; the self-id exclusion re-admits it.
+    // rows would be missing FOREVER; the batch-id exclusion re-admits it.
     StreamingIngest.start(spark, src, idx, out, ckp,
       annIndexDir = Some(ann), semanticThreshold = Some(0.99))
       .awaitTermination()
@@ -222,6 +222,60 @@ class StreamingIngestSpec extends SparkSpec {
     assert(LlmOps.annIndexStats(spark, ann).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 2L),
       "compaction collapses the replayed vector")
+  }
+
+  test("crash replay with two mutually-near survivors re-admits both — no permanent minhash absence") {
+    // The case same-id exclusion alone gets WRONG: docs 100 and 101 are
+    // admitted together (shingle-disjoint, so the minhash gate passes
+    // both; their vectors are near EACH OTHER but not near base, so the
+    // batch-vs-index semantic probe sees neither). The ANN append
+    // commits, the process dies before the minhash append. On replay,
+    // with only same-id matches excluded, 100 would find 101's committed
+    // vector and vice versa — BOTH would drop and their minhash rows
+    // would be missing forever. The batch-id exclusion makes the replay
+    // see exactly the attempt-1 index and re-admit both.
+    val idx = Files.createTempDirectory("graft-si6-idx").toString
+    val ann = Files.createTempDirectory("graft-si6-ann").toString
+    val src = Files.createTempDirectory("graft-si6-src").toString
+    val out = Files.createTempDirectory("graft-si6-out").toString
+    val ckp = Files.createTempDirectory("graft-si6-ckp").toString
+    def docsE(rows: (Long, String, Seq[Float], Int)*) =
+      rows.toDF("doc_id", "text", "embedding", "label")
+    val base = docsE((1L, mk("alpha"), Seq(1f, 0f), 7))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildAnnIndex(base, ann, idCol = "doc_id")
+    // the doomed first attempt: BOTH survivors' vectors committed
+    LlmOps.appendAnnIndex(docsE(
+      (100L, "", Seq(0.6f, 0.8f), 7),
+      (101L, "", Seq(0.6001f, 0.7999f), 7)), ann, idCol = "doc_id")
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeSlice("s1", docsE(
+      (100L, mk("delta"), Seq(0.6f, 0.8f), 7),
+      (101L, mk("omega"), Seq(0.6001f, 0.7999f), 7)),
+      System.currentTimeMillis() - 60000)
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      annIndexDir = Some(ann), semanticThreshold = Some(0.99))
+      .awaitTermination()
+
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(100L, 101L),
+      "the replay must re-admit BOTH mutually-near survivors")
+    assert(spark.read.parquet(s"$idx/signatures").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 100L, 101L),
+      "the missing minhash rows finally land")
+    // the replayed ANN appends are duplicates, healed at compaction
+    LlmOps.compactAnnIndex(spark, ann)
+    assert(LlmOps.annIndexStats(spark, ann).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 3L))
   }
 
   test("replayed epoch (crash after writes, before commit) leaves no corpus duplicates; compaction heals the index") {
