@@ -150,6 +150,21 @@ object LlmOps {
   val BandBuckets: Int = 16
   val SigBuckets: Int  = 16
 
+  /** Max batch-side rows the stored-index gates still FORCE-broadcast.
+    * An ingest micro-batch is orders of magnitude under this, so the
+    * probe keeps its pinned shape (batch broadcast, index streamed —
+    * the PlanQualitySpec assertion). But the same gates are reused where
+    * the "batch" is unbounded — delta curation on a first run or a full
+    * re-crawl makes it corpus-sized — and an unconditional hint would
+    * hard-fail Spark's 8 GB broadcast cap (or OOM the driver) where AQE
+    * would have degraded to a shuffle join gracefully. Bounds are
+    * conservative against that cap: band rows are ~tens of bytes (4 M ×
+    * [[Bands]]-row batches stay well under a GB); vector rows carry the
+    * embedding payload itself (KBs each), so their bound is tighter.
+    */
+  val GateBroadcastMaxRows: Long    = 4000000L
+  val GateBroadcastMaxVecRows: Long = 262144L
+
   /** Band-key directory bucket: first hex char of the md5 band key —
     * uniform by construction, and transparent (a directory name tells you
     * which keys it holds).
@@ -1832,6 +1847,17 @@ object LlmOps {
     * caches as a side effect), because the static partition filter needs
     * the values at plan time. That job touches the batch, never the
     * index — its cost is the signature derivation the probe pays anyway.
+    *
+    * The batch-side broadcast hints are SIZE-GATED
+    * ([[GateBroadcastMaxRows]]): an ingest micro-batch is always under
+    * the bound and keeps the pinned plan shape, but the gate is also
+    * reused where "batch" can be corpus-sized (delta curation on a
+    * first run or a full re-crawl), and an unconditional hint would
+    * hard-fail the 8 GB broadcast cap there. Over the bound the hints
+    * drop and AQE picks the join sides from runtime stats — degrading
+    * to a shuffle join instead of dying. The band-row count that makes
+    * the decision is a cached-scan count (the footprint collect already
+    * materialized the caller-persisted frames).
     */
   def incrementalDedupMinHashIndexed(batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1861,7 +1887,8 @@ object LlmOps {
     */
   def incrementalDedupMinHashIndexedFrom(bSig: DataFrame, bBands: DataFrame,
       indexDir: String, threshold: Double = 0.6,
-      excludeSelfId: Boolean = false): DataFrame = {
+      excludeSelfId: Boolean = false,
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
     val spark = bSig.sparkSession
     val baseSig = spark.read.parquet(s"$indexDir/signatures")
     val baseBands = spark.read.parquet(s"$indexDir/bands")
@@ -1876,6 +1903,11 @@ object LlmOps {
     // finds no selective predicate on the build side.)
     val batchBuckets = bBands.select(col("band_idx"), col("bk_bucket"))
       .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    // size-gate the batch-side hints: micro-batches keep the pinned
+    // broadcast shape; a corpus-sized "batch" (delta curation, backfill)
+    // drops them and AQE decides from runtime stats (see scaladoc)
+    val smallBatch = broadcastMaxRows > 0 && bBands.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     val prunedBands = baseBands.filter(
       batchBuckets.map { case (bi, bk) =>
         col("band_idx") === bi && col("bk_bucket") === bk
@@ -1883,7 +1915,7 @@ object LlmOps {
     val bandMatch = col("nb.band_idx") === col("ob.band_idx") &&
       col("nb.bk_bucket") === col("ob.bk_bucket") &&
       col("nb.band_key") === col("ob.band_key")
-    val cand = prunedBands.as("ob").join(broadcast(bBands.as("nb")),
+    val cand = prunedBands.as("ob").join(hinted(bBands.as("nb")),
         if (excludeSelfId) bandMatch && col("nb.doc_id") =!= col("ob.doc_id")
         else bandMatch)
       .select(col("nb.doc_id").as("batch_id"), col("ob.doc_id").as("base_id"))
@@ -1895,7 +1927,7 @@ object LlmOps {
     val candB = cand.join(bSig.as("sa"), col("batch_id") === col("sa.doc_id"))
       .select(col("batch_id"), col("base_id"), col("sa.gs").as("bgs"))
       .withColumn("cand_bucket", sigBucket(col("base_id")))
-    val dup = baseSig.as("sb").join(broadcast(candB.as("c")),
+    val dup = baseSig.as("sb").join(hinted(candB.as("c")),
         col("c.cand_bucket") === col("sb.sig_bucket") &&
           col("c.base_id") === col("sb.doc_id"))
       .filter((size(array_intersect(col("c.bgs"), col("sb.gs"))).cast("double") /
@@ -2876,8 +2908,10 @@ object LlmOps {
     * content. The probe is one-sided and the stored index is never
     * shuffled OR broadcast: the batch's cell footprint (≤ the cell count
     * — a driver-safe collect at any batch size) pins a static partition
-    * filter on the cells scan, the batch side broadcasts into the join,
-    * and the cosine verify streams over only the probed cells'
+    * filter on the cells scan, the batch side broadcasts into the join
+    * (size-gated, [[GateBroadcastMaxVecRows]] — an unbounded batch drops
+    * the hint and AQE decides), and the cosine verify streams over only
+    * the probed cells'
     * directories. Per-batch cost therefore tracks batch size × probed
     * cell rows — index size and unprobed cells never enter, the same
     * scaling contract as the minhash gate. Recall is cell-restricted
@@ -2927,7 +2961,8 @@ object LlmOps {
     * crash window converges to the fully-indexed state.
     */
   def incrementalDedupCosineIndexedFrom(b: DataFrame, indexDir: String,
-      threshold: Double = 0.99, excludeBatchIds: Boolean = false): DataFrame = {
+      threshold: Double = 0.99, excludeBatchIds: Boolean = false,
+      broadcastMaxVecRows: Long = GateBroadcastMaxVecRows): DataFrame = {
     val cells = b.sparkSession.read.parquet(s"$indexDir/cells")
     // STATIC partition pruning, the incrementalDedupMinHashIndexedFrom
     // discipline: collect the batch's distinct cells (bounded by the cell
@@ -2937,6 +2972,17 @@ object LlmOps {
     // the persisted batch: InMemoryRelation is a leaf with no selective
     // predicate for the rule to find.)
     val batchCells = b.select("label").distinct().collect().map(_.get(0))
+    // size-gate the batch-side hints (the [[GateBroadcastMaxRows]]
+    // rationale): micro-batches keep the pinned broadcast shape; an
+    // unbounded batch drops the hints and AQE decides. Cached-scan count:
+    // the cell-footprint collect above materialized the caller's persist.
+    val batchRows = b.count()
+    def hintedV(df: DataFrame): DataFrame =
+      if (broadcastMaxVecRows > 0 && batchRows <= broadcastMaxVecRows)
+        broadcast(df) else df
+    def hintedId(df: DataFrame): DataFrame =
+      if (broadcastMaxVecRows > 0 && batchRows <= GateBroadcastMaxRows)
+        broadcast(df) else df
     val pruned0 =
       if (batchCells.isEmpty) cells.filter(lit(false))
       else cells.filter(col("label").isin(batchCells: _*))
@@ -2945,9 +2991,9 @@ object LlmOps {
     // batch-sized and broadcasts; the index side stays streamed
     val pruned =
       if (excludeBatchIds)
-        pruned0.join(broadcast(b.select("vec_id")), Seq("vec_id"), "left_anti")
+        pruned0.join(hintedId(b.select("vec_id")), Seq("vec_id"), "left_anti")
       else pruned0
-    val dup = pruned.as("ob").join(broadcast(b.as("nb")),
+    val dup = pruned.as("ob").join(hintedV(b.as("nb")),
         col("nb.label") === col("ob.label"))
       .filter(expr(s"${dotSql("nb.e", "ob.e")} / (nb.nrm * ob.nrm)") >= threshold)
       .select(col("nb.vec_id").as("batch_id")).distinct()

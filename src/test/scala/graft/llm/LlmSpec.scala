@@ -1130,6 +1130,52 @@ class LlmSpec extends SparkSpec {
     assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band_idx=")))
   }
 
+  test("over the broadcast bound the gates drop their hints and stay output-identical") {
+    // The indexed gates force-broadcast the batch side only while it is
+    // small (GateBroadcastMaxRows/MaxVecRows) — a corpus-sized "batch"
+    // (delta curation first run, backfill) must degrade to whatever AQE
+    // picks instead of dying on the 8 GB broadcast cap. broadcastMaxRows=0
+    // forces that over-the-bound path on the small fixture: the plan must
+    // carry no batch-side hint, and the survivors must be identical.
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(70L -> mk("alpha"), 13L -> mk("beta"), 3L -> mk("gamma"))
+    val batch = LlmOps.incrementalNearBatch(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-nohint").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bSig = LlmOps.signaturesOf(batch).persist(lvl)
+    val bBands = LlmOps.bandsOf(bSig).persist(lvl)
+    val hintedOut = LlmOps.incrementalDedupMinHashIndexedFrom(bSig, bBands, dir)
+    val unhinted = LlmOps.incrementalDedupMinHashIndexedFrom(bSig, bBands, dir,
+      broadcastMaxRows = 0L)
+    assert(!unhinted.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      "over the bound, no broadcast hint may survive in the plan")
+    assert(hintedOut.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "under the bound, the batch-side hint must be present")
+    assert(unhinted.collect().map(_.getLong(0)).toSet
+      === hintedOut.collect().map(_.getLong(0)).toSet,
+      "hinted and unhinted probes must agree")
+    bSig.unpersist(); bBands.unpersist()
+
+    // the cosine gate: same contract
+    val emb = Seq((1L, Seq(1.0, 0.0), 7), (2L, Seq(0.0, 1.0), 7))
+      .toDF("vec_id", "e", "label")
+    val adir = java.nio.file.Files.createTempDirectory("graft-annix-nohint").toString
+    LlmOps.buildAnnIndex(emb, adir, vecCol = "e")
+    val vb = Seq((10L, Seq(1.0, 0.001), 7), (11L, Seq(0.5, 0.5), 7))
+      .toDF("vec_id", "e", "label")
+      .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x))"))
+      .persist(lvl)
+    val vHint = LlmOps.incrementalDedupCosineIndexedFrom(vb, adir)
+      .collect().map(_.getLong(0)).toSet
+    val vPlain = LlmOps.incrementalDedupCosineIndexedFrom(vb, adir,
+      broadcastMaxVecRows = 0L)
+    assert(!vPlain.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    assert(vPlain.collect().map(_.getLong(0)).toSet === vHint)
+    assert(vHint === Set(11L), s"near-copy of a stored vector drops, got $vHint")
+    vb.unpersist()
+  }
+
   test("index append closes the loop: a later batch's near-copy of an admitted doc is caught") {
     val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
     val base = docs(1L -> mk("alpha"))
