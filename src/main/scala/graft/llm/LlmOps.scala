@@ -1417,20 +1417,26 @@ object LlmOps {
     * composition (the recursive-CC CTE dominates DuckDB's side).
     */
   /** The funnel's shared stage derivation: (raw corpus, quality-keeper
-    * ids [persisted], stage-2 survivor corpus [persisted]).
+    * ids [persisted iff `persistQIds`], stage-2 survivor corpus
+    * [persisted]). The persists back the returned lazy frames, so they
+    * live until the caller's post-materialization `clearCache` (the
+    * Bench rep discipline) — bounded: ids and stage-2 survivors only.
     */
   private def funnelStages(raw: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+      textCol: String, persistQIds: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = textCorpus(raw, idCol, textCol)
-    // ids only, persisted: the quality projections (trigram transform +
-    // regexp counts, the funnel's priciest narrow work) run ONCE even
-    // though the survivor set feeds two branches (its own stage count
-    // and the stage-2 semi join); quality ids ⊆ corpus ids, so counting
-    // the id frame IS the stage-1 survivor count — no join needed
-    val qIds = TextAnalysis.qualityFilter(corpus)
+    // ids only, persisted for the FUNNEL caller: the quality projections
+    // (trigram transform + regexp counts, the funnel's priciest narrow
+    // work) run ONCE even though the survivor set feeds two branches
+    // there (its own stage count and the stage-2 semi join); quality ids
+    // ⊆ corpus ids, so counting the id frame IS the stage-1 survivor
+    // count — no join needed. The APPLY caller consumes qIds exactly
+    // once (the semi join), so it skips the persist — a cache with one
+    // reader is pure block-manager leak.
+    val qIds0 = TextAnalysis.qualityFilter(corpus)
       .filter(col("keep")).select("doc_id")
-      .persist(lvl)
+    val qIds = if (persistQIds) qIds0.persist(lvl) else qIds0
     val keepers = corpus.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val eCorpus = corpus.join(qIds, Seq("doc_id"), "left_semi")
@@ -1441,7 +1447,8 @@ object LlmOps {
 
   def curationFunnel(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val (raw, qIds, eCorpus) = funnelStages(corpus, idCol, textCol)
+    val (raw, qIds, eCorpus) = funnelStages(corpus, idCol, textCol,
+      persistQIds = true)
     val kept = dedupApply(eCorpus, dedupMinHash(eCorpus))
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
@@ -1461,7 +1468,8 @@ object LlmOps {
     */
   def curationApply(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val (_, _, eCorpus) = funnelStages(corpus, idCol, textCol)
+    val (_, _, eCorpus) = funnelStages(corpus, idCol, textCol,
+      persistQIds = false)
     dedupApply(eCorpus, dedupMinHash(eCorpus))
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }
@@ -1553,6 +1561,13 @@ object LlmOps {
     * anti-membership; the stored index is never scanned beyond the
     * probe footprint. The one corpus-linear stage is that single narrow
     * hash scan — the cheapest possible touch of the base generation.
+    *
+    * Cache lifecycle: the stage frames (fingerprints, delta, survivors,
+    * batch signatures/bands — all churn-sized or narrower, never corpus
+    * text) back the returned lazy counts and live until the caller's
+    * post-materialization `clearCache` (the Bench/Verify rep discipline)
+    * or session end; a long-running service embedding this call should
+    * clear between generations.
     */
   def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1864,7 +1879,11 @@ object LlmOps {
       threshold: Double = 0.6): DataFrame = {
     // batch signatures and bands persisted — candidate generation AND the
     // verify join read them (the same discipline as the in-query
-    // variant); the bucket-footprint collect materializes both
+    // variant); the bucket-footprint collect materializes both. The two
+    // caches (batch-derived, never index-sized) back the returned lazy
+    // frame and live until the caller's post-materialization clearCache;
+    // a long-running loop should use the From variant and release its own
+    // frames per epoch (the StreamingIngest discipline).
     val bSig = signaturesOf(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandsOf(bSig)
@@ -2927,6 +2946,9 @@ object LlmOps {
   def incrementalDedupCosineIndexed(batch: DataFrame, indexDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", threshold: Double = 0.99): DataFrame = {
+    // the batch-derived cache backs the returned lazy frame and lives
+    // until the caller's post-materialization clearCache; long-running
+    // loops use the From variant and release per epoch
     val b = batch.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("e"), col(labelCol).as("label"))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
@@ -3077,12 +3099,14 @@ object LlmOps {
   def semRecall(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "e", threshold: Double = 0.99,
       bucketBits: Int = 8, sampleMod: Long = 20L): DataFrame = {
+    // NOT persisted: both cross-join sides derive from the same narrow
+    // subsample projection — two sample-sized scans at gauge cadence beat
+    // a cache that outlives the call
     val sub = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("e"))
       .filter(col("vec_id") % sampleMod === 0)
       .withColumn("bucket", expr(signBucketSql("e", bucketBits)))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sub.as("a").crossJoin(broadcast(sub.as("b")))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .filter(expr(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)") >= threshold)
@@ -3120,9 +3144,11 @@ object LlmOps {
     val spark = queries.sparkSession
     val pivots = spark.read.parquet(s"$indexDir/codebooks")
     val codes = spark.read.parquet(s"$indexDir/codes")
+    // NOT persisted: q is a narrow projection read twice (the footprint
+    // collect and the broadcast join) — re-deriving it costs two tiny
+    // scans, a persisted copy would outlive the call in the block manager
     val q = queries.select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qe"), col(labelCol).as("qlabel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qCells = q.select("qlabel").distinct().collect().map(_.get(0))
     val pruned =
       if (qCells.isEmpty) codes.filter(lit(false))
