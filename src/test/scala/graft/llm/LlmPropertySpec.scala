@@ -155,6 +155,69 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("stored-index minhash gate ≡ the in-query gate — any generated corpus and batch") {
+    // the equivalence the fixed-fixture spec pins, generalized: for
+    // generated base/batch pairs (fresh word-soup docs plus DRIFTED
+    // copies of base docs, so some batch docs genuinely near-dup and
+    // drop), the stored-index probe must agree with the in-query gate
+    // doc for doc. Exercises the footprint pruning, the size-gated
+    // broadcast, and the verify join against arbitrary band collisions.
+    val word = Gen.oneOf("alpha", "bravo", "charli", "deltaa", "echoes", "foxtro")
+    val text = Gen.chooseNum(8, 20).flatMap(n => Gen.listOfN(n, word)
+      .map(_.zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" ")))
+    val entry = Gen.zip(Gen.chooseNum(0L, 30L), text)
+    val pairGen = Gen.zip(Gen.listOfN(8, entry).map(_.toMap),
+      Gen.listOfN(5, entry).map(_.toMap))
+    samples(pairGen, 3).zipWithIndex.foreach { case ((b, q), trial) =>
+      val base = b.toSeq.toDF("doc_id", "text")
+      // batch = fresh docs (disjoint ids) ∪ near-copies of half the base
+      val drifted = b.toSeq.filter(_._1 % 2 == 0)
+        .map { case (id, t) => (id + 2000L, t + " drift tail") }
+      val batch = (q.toSeq.map { case (id, t) => (id + 1000L, t) } ++ drifted)
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-mhix").toString
+      LlmOps.buildMinHashIndex(base, dir)
+      val indexed = LlmOps.incrementalDedupMinHashIndexed(batch, dir)
+        .collect().map(_.getLong(0)).toSet
+      val inQuery = LlmOps.incrementalDedupMinHash(base, batch)
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed === inQuery, s"trial $trial: stored-index probe diverged")
+      spark.sqlContext.clearCache()
+    }
+  }
+
+  test("stored-cell cosine gate = the brute-force cell-restricted rule — any vectors") {
+    // driver-side truth, written independently of the operator: a batch
+    // vector drops iff SOME base vector of its own cell reaches the
+    // cosine threshold. Generated small-dim vectors across 3 cells so
+    // same-cell hits, cross-cell misses (the IVF trade), and empty-cell
+    // probes all arise.
+    val vec = Gen.listOfN(3, Gen.chooseNum(-5, 5)).map(_.map(_.toDouble))
+      .suchThat(v => v.exists(_ != 0.0))
+    val entry = Gen.zip(Gen.chooseNum(0, 2), vec)
+    val pairGen = Gen.zip(Gen.listOfN(8, entry), Gen.listOfN(6, entry))
+    val threshold = 0.95
+    samples(pairGen, 4).zipWithIndex.foreach { case ((b, q), trial) =>
+      val base = b.zipWithIndex.map { case ((c, v), i) => (i.toLong, v, c) }
+      val batch = q.zipWithIndex.map { case ((c, v), i) => (100L + i, v, c) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-cosix").toString
+      LlmOps.buildAnnIndex(base.toDF("vec_id", "e", "label"), dir, vecCol = "e")
+      val got = LlmOps.incrementalDedupCosineIndexed(
+          batch.toDF("vec_id", "e", "label"), dir, vecCol = "e",
+          threshold = threshold)
+        .collect().map(_.getLong(0)).toSet
+      def cos(a: Seq[Double], x: Seq[Double]): Double = {
+        val d = a.zip(x).map { case (p, r) => p * r }.sum
+        d / (math.sqrt(a.map(p => p * p).sum) * math.sqrt(x.map(p => p * p).sum))
+      }
+      val want = batch.collect { case (id, v, c)
+        if !base.exists { case (_, bv, bc) => bc == c && cos(v, bv) >= threshold } => id
+      }.toSet
+      assert(got === want, s"trial $trial: batch=$batch base=$base")
+      spark.sqlContext.clearCache()
+    }
+  }
+
   test("bpeApply: empty merges = char count; any merges keep 1..chars per word") {
     val word = Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString)
     samples(Gen.listOfN(5, word), 4).foreach { words =>
