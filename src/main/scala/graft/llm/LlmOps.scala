@@ -1873,6 +1873,16 @@ object LlmOps {
     * to a shuffle join instead of dying. The band-row count that makes
     * the decision is a cached-scan count (the footprint collect already
     * materialized the caller-persisted frames).
+    *
+    * The verify join's candB inherits the same decision, which measures
+    * batch bands, not candidate fan-out — sound under the LSH regime
+    * assumption that band keys are near-unique (md5 over a hashed
+    * signature slice). A corpus whose docs pile onto shared band keys
+    * (mass boilerplate) blows up candidate GENERATION itself —
+    * quadratic pairs, the failure mode of any LSH blocker, broadcast or
+    * not — and surfaces in [[minHashIndexStats]]'s hottest-band gauge
+    * long before this join; the operational answer there is stop-listing
+    * the hot band keys upstream, not a different join side.
     */
   def incrementalDedupMinHashIndexed(batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -2981,6 +2991,15 @@ object LlmOps {
     * overwrite is idempotent, the ANN rows land twice (an exact
     * DUPLICATE, healed by [[compactAnnIndex]]'s dedupRows), and every
     * crash window converges to the fully-indexed state.
+    *
+    * The deliberate trade: batch-wide exclusion hides a stored vector
+    * from EVERY batch doc's probe when its id appears in the batch — so
+    * in the narrow case of a same-id rewrite of doc Y arriving in the
+    * same epoch as a paraphrase of OLD stored Y, the paraphrase escapes
+    * this gate. That is a bounded recall miss (one admitted near-dup,
+    * recoverable by any offline [[dedupCosine]] sweep); the same-id-only
+    * alternative risked the UNHEALABLE failure above — index rows
+    * permanently missing. Durability beats per-epoch recall here.
     */
   def incrementalDedupCosineIndexedFrom(b: DataFrame, indexDir: String,
       threshold: Double = 0.99, excludeBatchIds: Boolean = false,
@@ -2998,12 +3017,13 @@ object LlmOps {
     // rationale): micro-batches keep the pinned broadcast shape; an
     // unbounded batch drops the hints and AQE decides. Cached-scan count:
     // the cell-footprint collect above materialized the caller's persist.
+    // one knob governs BOTH hints: the id frame is ~3 orders smaller
+    // than the vector frame, so sharing the vector bound is conservative
+    // for it — past the bound AQE still broadcasts the id frame off
+    // runtime stats, it just isn't forced
     val batchRows = b.count()
     def hintedV(df: DataFrame): DataFrame =
       if (broadcastMaxVecRows > 0 && batchRows <= broadcastMaxVecRows)
-        broadcast(df) else df
-    def hintedId(df: DataFrame): DataFrame =
-      if (broadcastMaxVecRows > 0 && batchRows <= GateBroadcastMaxRows)
         broadcast(df) else df
     val pruned0 =
       if (batchCells.isEmpty) cells.filter(lit(false))
@@ -3013,7 +3033,7 @@ object LlmOps {
     // batch-sized and broadcasts; the index side stays streamed
     val pruned =
       if (excludeBatchIds)
-        pruned0.join(hintedId(b.select("vec_id")), Seq("vec_id"), "left_anti")
+        pruned0.join(hintedV(b.select("vec_id")), Seq("vec_id"), "left_anti")
       else pruned0
     val dup = pruned.as("ob").join(hintedV(b.as("nb")),
         col("nb.label") === col("ob.label"))

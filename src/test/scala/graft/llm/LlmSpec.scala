@@ -1148,7 +1148,10 @@ class LlmSpec extends SparkSpec {
     val hintedOut = LlmOps.incrementalDedupMinHashIndexedFrom(bSig, bBands, dir)
     val unhinted = LlmOps.incrementalDedupMinHashIndexedFrom(bSig, bBands, dir,
       broadcastMaxRows = 0L)
-    assert(!unhinted.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+    // the negative check must read the ANALYZED plan: the optimizer's
+    // EliminateResolvedHint strips hint nodes from optimizedPlan even
+    // when present, which would make this assertion vacuous there
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "over the bound, no broadcast hint may survive in the plan")
     assert(hintedOut.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "under the bound, the batch-side hint must be present")
@@ -1170,7 +1173,7 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val vPlain = LlmOps.incrementalDedupCosineIndexedFrom(vb, adir,
       broadcastMaxVecRows = 0L)
-    assert(!vPlain.queryExecution.optimizedPlan.toString.contains("ResolvedHint"))
+    assert(!vPlain.queryExecution.analyzed.toString.contains("ResolvedHint"))
     assert(vPlain.collect().map(_.getLong(0)).toSet === vHint)
     assert(vHint === Set(11L), s"near-copy of a stored vector drops, got $vHint")
     vb.unpersist()
