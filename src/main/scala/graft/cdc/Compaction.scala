@@ -56,6 +56,33 @@ object Compaction {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  /** Replace `dir` with freshly-built content through the rename swap:
+    * run `build` against a sibling tmp path (the old directory stays
+    * readable throughout), then two renames put the result in place.
+    * Every crash window resolves mechanically via [[recoverDir]] (run
+    * here on entry, and by any reader that owns the directory at
+    * startup): a crash during the build leaves `dir` untouched, between
+    * the renames rolls BACK to the original, after the second rename
+    * rolls forward. Rollback is correct for any builder whose re-run
+    * converges (compaction trivially; an index REBUILD too — the old
+    * generation stays valid, the rebuild is just repaid later). Using
+    * one swap at the PARENT level is what makes a multi-table artifact
+    * (e.g. a PQ index's codebooks/ + codes/) change generation
+    * atomically — swapping the tables one by one could crash into a
+    * MIXED generation, which for codes encoded against a different
+    * codebook reads wrong, not stale.
+    */
+  def swapDir(dir: String)(build: String => Unit): Unit = {
+    recoverDir(dir)
+    val tmp = dir + ".compacted"
+    build(tmp)
+    val old = dir + ".pre-compaction"
+    val dirPath = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(dirPath, java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dirPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+  }
+
   /** Generic append-log compaction: rewrite the parquet directory `dir`
     * hash-clustered by `clusterCols` (restoring the locality layout an
     * `append`-mode writer erodes — new files never co-group with old
@@ -87,23 +114,18 @@ object Compaction {
       }
     val before = dataFiles(new java.io.File(dir)).size.toLong
 
-    val tmp = dir + ".compacted"
-    val read0 = spark.read.parquet(dir)
-    val read = if (dedupRows) read0.distinct() else read0
-    val clustered =
-      if (clusterCols.nonEmpty)
-        read.repartition(clusterCols.map(org.apache.spark.sql.functions.col): _*)
-      else read.coalesce(spark.sparkContext.defaultParallelism)
-    val writer = clustered.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp)
-
-    val old = dir + ".pre-compaction"
-    val dirPath = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.move(dirPath, java.nio.file.Paths.get(old))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dirPath)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    swapDir(dir) { tmp =>
+      val read0 = spark.read.parquet(dir)
+      val read = if (dedupRows) read0.distinct() else read0
+      val clustered =
+        if (clusterCols.nonEmpty)
+          read.repartition(clusterCols.map(org.apache.spark.sql.functions.col): _*)
+        else read.coalesce(spark.sparkContext.defaultParallelism)
+      val writer = clustered.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(tmp)
+    }
 
     (before, dataFiles(new java.io.File(dir)).size.toLong)
   }

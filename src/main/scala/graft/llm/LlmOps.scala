@@ -3105,6 +3105,30 @@ object LlmOps {
     graft.cdc.Compaction.compactDir(spark, s"$dir/codes",
       Seq("label"), Seq("label"), dedupRows = true)
 
+  /** The REBUILD leg of the PQ lifecycle — the step [[pqDrift]]'s gauge
+    * triggers: retrain the codebook on the CURRENT corpus and re-encode
+    * every vector against it, replacing the artifact through ONE
+    * parent-level rename swap ([[graft.cdc.Compaction.swapDir]]). The
+    * parent-level swap is the correctness point: `codebooks/` and
+    * `codes/` must change generation TOGETHER — swapping them one at a
+    * time could crash into a mixed state whose codes decode against the
+    * wrong codebook (wrong, not stale). Throughout the build the old
+    * generation stays in place and probe-readable; a crash at any window
+    * resolves via the standard recovery (rollback leaves the old index
+    * serving — drift repair is merely postponed, and re-running
+    * converges). Cost is one full encode pass over `emb` — the price
+    * [[appendPqIndex]]'s frozen-codebook appends amortize between
+    * rebuilds; at 100 TB this runs at retrain cadence (the drift gauge's
+    * policy line), never in the probe path.
+    */
+  def rebuildPqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      m: Int = PqSubspaces, kc: Int = PqCentroids, sub: Int = PqSubDim,
+      trainMod: Long = PqTrainSliceMod): Unit =
+    graft.cdc.Compaction.swapDir(dir) { tmp =>
+      buildPqIndex(emb, tmp, idCol, vecCol, labelCol, m, kc, sub, trainMod)
+    }
+
   /** Blocking-recall gauge for the cosine near-dup family — the
     * [[dedupRecall]] analog for [[dedupCosine]]'s sign-bucket LSH: over
     * the bounded %-`sampleMod` id subsample, TRUTH is all-pairs exact

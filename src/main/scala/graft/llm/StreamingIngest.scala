@@ -110,10 +110,17 @@ object StreamingIngest {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
     // startup recovery: a previous run may have died INSIDE a compaction
-    // swap, leaving an index directory renamed away. recoverDir rolls the
-    // swap back (or cleans up a completed one), so the first probe of
-    // this run never reads a half-swapped index — the one crash window
-    // the epoch-replay reasoning below doesn't cover on its own.
+    // swap (table level) or a PQ REBUILD swap (parent level — the whole
+    // artifact renamed away mid-generation-change), leaving an index
+    // directory missing or half-swapped. recoverDir rolls each back (or
+    // cleans up a completed one), so the first probe of this run never
+    // reads a half-swapped index — the one crash window the epoch-replay
+    // reasoning below doesn't cover on its own. Parent-level recovery
+    // runs FIRST: until the artifact root is back in place its
+    // subdirectories don't exist to recover.
+    graft.cdc.Compaction.recoverDir(indexDir)
+    annIndexDir.foreach(graft.cdc.Compaction.recoverDir)
+    pqIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
     annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))

@@ -1363,6 +1363,62 @@ class LlmSpec extends SparkSpec {
       "the healed index must probe identically")
   }
 
+  test("PQ rebuild: full retrain swaps in as one generation; every crash window leaves a servable index") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 8)
+    // the drifted steady state the rebuild repays: codebook frozen on an
+    // early slice, the rest of the corpus appended against it
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-reb").toString
+    val slice = emb.filter(col("vec_id") % LlmOps.PqTrainSliceMod === 0)
+    LlmOps.buildPqIndex(slice, dir)
+    LlmOps.appendPqIndex(
+      emb.filter(col("vec_id") % LlmOps.PqTrainSliceMod =!= 0), dir)
+    val probeBefore = LlmOps.annIvfPqIndexed(q, dir).collect().map(_.toSeq).toSet
+
+    // rebuild = a fresh full build, atomically: codebooks and codes must
+    // both be the new generation (a subdir-by-subdir swap could leave
+    // codes decoding against the WRONG codebook)
+    LlmOps.rebuildPqIndex(emb, dir)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-pq-fresh").toString
+    LlmOps.buildPqIndex(emb, fresh)
+    assert(spark.read.parquet(s"$dir/codebooks").collect().map(_.toSeq).toSet ===
+      spark.read.parquet(s"$fresh/codebooks").collect().map(_.toSeq).toSet,
+      "rebuilt codebook must equal a fresh full-corpus training")
+    assert(spark.read.parquet(s"$dir/codes").collect().map(_.toSeq).toSet ===
+      spark.read.parquet(s"$fresh/codes").collect().map(_.toSeq).toSet,
+      "rebuilt codes must equal a fresh full-corpus encode")
+    assert(LlmOps.annIvfPqIndexed(q, dir).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfPqIndexed(q, fresh).collect().map(_.toSeq).toSet)
+
+    // crash between the parent renames: the artifact root is ABSENT and
+    // .pre-compaction holds the old generation — recovery (what
+    // StreamingIngest.start runs on the parent dirs) rolls back to a
+    // fully servable old index, drift repair merely postponed
+    val crashed = java.nio.file.Files.createTempDirectory("graft-pq-crash").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(crashed))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(fresh), new java.io.File(crashed))
+    java.nio.file.Files.move(java.nio.file.Paths.get(crashed),
+      java.nio.file.Paths.get(crashed + ".pre-compaction"))
+    graft.cdc.Compaction.recoverDir(crashed)
+    assert(LlmOps.annIvfPqIndexed(q, crashed).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfPqIndexed(q, fresh).collect().map(_.toSeq).toSet,
+      "rolled-back index must serve the old generation whole")
+    assert(!new java.io.File(crashed + ".pre-compaction").exists())
+
+    // crash DURING the tmp build: dir intact, a partial .compacted left —
+    // recovery deletes the debris and the old generation keeps serving
+    val partial = new java.io.File(crashed + ".compacted")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "junk").toPath, "partial build")
+    graft.cdc.Compaction.recoverDir(crashed)
+    assert(!partial.exists(), "partial rebuild debris must be cleaned up")
+    assert(LlmOps.annIvfPqIndexed(q, crashed).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfPqIndexed(q, fresh).collect().map(_.toSeq).toSet)
+    assert(probeBefore.nonEmpty, "fixture sanity: the drifted index served probes")
+  }
+
   test("semantic ingest gate: stored-cell probe ≡ direct, drops near-dups, self-cancels on replay") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter(col("vec_id") < 400L)
