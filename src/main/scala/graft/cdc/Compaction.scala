@@ -78,7 +78,11 @@ object Compaction {
     build(tmp)
     val old = dir + ".pre-compaction"
     val dirPath = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.move(dirPath, java.nio.file.Paths.get(old))
+    // create-or-replace: on a bootstrap build there is no old generation
+    // to step aside (a crash before the move just leaves a tmp that
+    // recoverDir deletes — re-running converges, as always)
+    if (new java.io.File(dir).exists())
+      java.nio.file.Files.move(dirPath, java.nio.file.Paths.get(old))
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dirPath)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
   }

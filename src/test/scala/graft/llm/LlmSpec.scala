@@ -1390,6 +1390,14 @@ class LlmSpec extends SparkSpec {
     assert(LlmOps.annIvfPqIndexed(q, dir).collect().map(_.toSeq).toSet ===
       LlmOps.annIvfPqIndexed(q, fresh).collect().map(_.toSeq).toSet)
 
+    // bootstrap: rebuild into a path with no old generation is simply a
+    // build (create-or-replace — no rename of a missing directory)
+    val boot = java.nio.file.Files.createTempDirectory("graft-pq-boot").toString
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(boot))
+    LlmOps.rebuildPqIndex(emb, boot)
+    assert(LlmOps.annIvfPqIndexed(q, boot).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfPqIndexed(q, fresh).collect().map(_.toSeq).toSet)
+
     // crash between the parent renames: the artifact root is ABSENT and
     // .pre-compaction holds the old generation — recovery (what
     // StreamingIngest.start runs on the parent dirs) rolls back to a
