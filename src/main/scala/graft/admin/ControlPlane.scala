@@ -130,7 +130,10 @@ object ControlPlane {
     // J1 — clients ⟕ listener-status with missing-side default "stopped".
     "cp_status_left_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      c.join(broadcast(listenerStatus(c)), col("c_custkey") === col("client_id"), "left")
+      // no broadcast hint: the status side is |customer|/3 rows — grows
+      // with SF, so forcing it violates the bounded-by-construction hint
+      // policy (Relational.scala); AQE broadcasts it while it fits
+      c.join(listenerStatus(c), col("c_custkey") === col("client_id"), "left")
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("status"), lit("stopped")).as("status"),
           (coalesce(col("status"), lit("stopped")) === "running").as("running"))

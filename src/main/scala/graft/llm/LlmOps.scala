@@ -127,10 +127,19 @@ object LlmOps {
   /** Distinct word-3-shingles from space-tokenized text (≤2 tokens → the
     * whole doc is its one shingle).
     */
+  /** The raw word-trigram list over `toks` — one entry per POSITION;
+    * `array_distinct` of it is the shingle vocabulary. Single-sourced so
+    * the dedup family's shingles and the repetition family's total-gram
+    * list ([[TextAnalysis]] rep3) are the same formula by construction
+    * and cannot silently diverge when the shingle width or separator
+    * changes.
+    */
+  val TrigramListSql: String =
+    "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"
+
   def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .withColumn("shingles", expr(s"array_distinct($TrigramListSql)"))
 
   // single-sourced from the fused native expression so the Spark-side
   // loop and the oracle templates can never drift apart

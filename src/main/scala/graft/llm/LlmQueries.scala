@@ -629,7 +629,7 @@ object LlmQueries {
     s"WHEN $isMax THEN '$l'"
   }.mkString("\n      ")
 
-  private val enStops = inListDuck(TextAnalysis.Profiles(1)._2)
+  private val enStops = inListDuck(TextAnalysis.EnStops)
 
   def oracle: Map[String, String] = oracleBase +
     ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash")) +

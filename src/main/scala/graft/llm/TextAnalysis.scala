@@ -22,6 +22,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "bu", "wo", "ni"))
 
+  /** The English stopword list by KEY — positional indexing into
+    * [[Profiles]] would silently rebind `stop_ratio` to another
+    * language's stopwords if a profile is ever added or reordered.
+    */
+  val EnStops: Seq[String] = Profiles.toMap.apply("en")
+
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   /** Per-doc quality stats: token count, chars, avg token length, punct
@@ -38,7 +44,7 @@ object TextAnalysis {
         (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
           .as("avg_token_len"),
         expr("cast(regexp_count(text, '[^a-z0-9 ]') as bigint)").as("punct_n"),
-        expr(s"cast(size(filter(toks, t -> t in (${inList(Profiles(1)._2)}))) as double) / size(toks)")
+        expr(s"cast(size(filter(toks, t -> t in (${inList(EnStops)}))) as double) / size(toks)")
           .as("stop_ratio"))
       .withColumn("quality_score", expr(
         "least(cast(1.0 as double), n_tokens / cast(50.0 as double)) * cast(0.5 as double)" +
@@ -87,8 +93,7 @@ object TextAnalysis {
     */
   private def withRep3(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     LlmOps.withShingles(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-      .withColumn("all3", expr(
-        "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .withColumn("all3", expr(LlmOps.TrigramListSql))
       .withColumn("rep3_frac",
         lit(1.0) - size(col("shingles")).cast("double") / size(col("all3")))
 

@@ -129,7 +129,9 @@ object Relational {
     "q_setops" -> ((s, d) => {
       val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
-      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+      // no pre-distinct: INTERSECT/EXCEPT already have set semantics, so
+      // deduping the orders keys first would just add an exchange + agg
+      val withOrders = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
       building.intersect(withOrders).withColumn("op", lit("intersect"))
         .unionAll(building.except(withOrders).withColumn("op", lit("except")))
         .select(col("op"), col("custkey"))

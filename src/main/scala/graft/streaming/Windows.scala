@@ -31,7 +31,12 @@ object Windows {
     withEventTime(events)
       .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal sum: exact under any accumulation order, so the streaming
+      // run (incremental state per micro-batch) and its batch twin are
+      // bit-identical — a raw double sum would differ in ULPs with
+      // partial-aggregate merge order (the repo-wide determinism rule)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
