@@ -29,14 +29,27 @@ object Tables {
   /** Memoized per (session, dir, table): re-listing the file and re-reading
     * parquet footers/schema for every query costs ~100-200ms each — the
     * resolved relation (metadata only; scans still read the files) is
-    * reused across queries in a process.
+    * reused across queries in a process. Keyed on the SparkSession
+    * INSTANCE through a weak map: an identity-hash key could collide
+    * across sessions (handing one session a frame bound to another), and
+    * a strong key would pin every stopped session's relations forever —
+    * the weak entry goes away with the session.
     */
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val relCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     setup(spark)
-    relCache.computeIfAbsent((System.identityHashCode(spark), sfDir, table), _ => {
+    val perSession = relCache.synchronized {
+      var m = relCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        relCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((sfDir, table), _ => {
       val df = spark.read.parquet(s"$sfDir/$table.parquet")
       if (table == "events") normalizeTs(df) else df
     })
@@ -46,7 +59,7 @@ object Tables {
     * physical type (see the object doc). The NTZ→timestamp cast is exact
     * because [[setup]] pins the session time zone to UTC.
     */
-  private def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType => df
     case TimestampNTZType =>
       df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)

@@ -73,6 +73,11 @@ object ConnectionTest {
     val dir = new java.io.File(spec.sourceDir)
     if (!dir.exists())
       return sourceFail("PATH_NOT_FOUND", s"source dir ${spec.sourceDir} does not exist")
+    // the preflight must read under the same session conf the pipeline
+    // runs with: without setup, a TIMESTAMP(NANOS)-generation dir throws
+    // here while Streaming.routed (which calls setup) streams it fine —
+    // a preflight that contradicts runtime is worse than none
+    graft.Tables.setup(spark)
     val schema =
       try spark.read.parquet(spec.sourceDir).schema
       catch {
@@ -80,8 +85,15 @@ object ConnectionTest {
           return sourceFail(e.getClass.getSimpleName,
             Option(e.getMessage).getOrElse("unreadable source").linesIterator.next())
       }
+    // ts mirrors the runtime rule (Tables.normalizeTs): any of the three
+    // physical shapes the driver generations produce is streamable
+    val tsOk = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType)
     val missing = Streaming.eventsSchema.fields.filter { f =>
-      !schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType)
+      !schema.fields.exists(g => g.name == f.name &&
+        (g.dataType == f.dataType || (f.name == "ts" && tsOk(g.dataType))))
     }
     if (missing.nonEmpty)
       return sourceFail("SCHEMA_MISMATCH",
@@ -124,10 +136,13 @@ object ConnectionTest {
           }
         val validate = options.get("validateReplay").exists(_.toBoolean)
         lazy val avail = graft.sources.ReplayLogSource.countLines(path)
-        if (replay < 0L || (validate && replay > avail))
+        // mirror the source's own subscribe check EXACTLY
+        // (ReplayLogSource.initialOffset): without validateReplay the
+        // source is lenient — it clamps any numeric id — so the
+        // diagnostic must not fail a stream that would actually start
+        if (validate && (replay < 0L || replay > avail))
           sourceFail("INVALID_ARGUMENT",
-            s"requested replay id $replay is not valid for this stream" +
-              (if (validate) s" (valid range 0..$avail)" else ""))
+            s"requested replay id $replay is not valid for this stream (valid range 0..$avail)")
         else okResult()
     }
   }

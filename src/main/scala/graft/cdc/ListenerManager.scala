@@ -105,47 +105,77 @@ final class ListenerManager(
   /** The reference's `_runner` restart loop (`listener_manager.py:96-176`). */
   private def runnerLoop(m: Managed, subscribe: String => StreamingQuery): Unit = {
     var backoff = baseDelayMs
+    var healStreak = 0 // consecutive invalid-replay heals with no success between
     var continue = true
-    while (continue && !m.stopRequested) {
-      try {
-        val q = subscribe(m.clientId)
-        m.query = Some(q)
-        m.status = "running"
-        m.lastError = None
-        m.failCount = 0
-        backoff = baseDelayMs
-        q.awaitTermination()
-        continue = false // graceful completion or requested stop
-      } catch {
-        case _: InterruptedException =>
-          continue = false // force-cancel from stop() timeout
-        case e: Throwable
-            if invalidReplayHeal.isDefined && Recovery.isInvalidReplay(e) =>
-          // K3 self-heal inside the lifecycle loop: clear the stored offset
-          // and resubscribe immediately from earliest — not a failure, no
-          // backoff, no alert (the reference clears `_clear_saved_replay`
-          // and re-enters subscribe, sf_pubsub.py:886-891)
-          invalidReplayHeal.get.apply(m.clientId)
-        case e: Throwable if Reliability.isFatal(e) =>
-          m.status = "error"
-          m.lastError = Some(e.getMessage)
-          m.failCount += 1
-          fireAlert(m, fatal = true, e)
-          continue = false // never retried (listener_manager.py:122-146)
-        case _: Throwable if m.stopRequested =>
-          continue = false // failure induced by the stop itself
-        case e: Throwable =>
-          m.status = "error"
-          m.lastError = Some(e.getMessage)
-          m.failCount += 1
-          if (m.failCount == 1) fireAlert(m, fatal = false, e)
-          sleep(math.min(backoff, capMs))
-          backoff = math.min(backoff * 2, capMs)
+    try {
+      while (continue && !m.stopRequested) {
+        try {
+          val q = subscribe(m.clientId)
+          m.query = Some(q)
+          // close the stop() race: a stop that read the PREVIOUS (or no)
+          // query between subscribe() returning and the assignment above
+          // has set stopRequested but stopped nothing — stop the fresh
+          // query ourselves so it is never orphaned, still consuming the
+          // source unmanaged
+          if (m.stopRequested) { try q.stop() catch { case _: Throwable => () } }
+          m.status = "running"
+          m.lastError = None
+          m.failCount = 0
+          backoff = baseDelayMs
+          healStreak = 0
+          q.awaitTermination()
+          continue = false // graceful completion or requested stop
+        } catch {
+          case _: InterruptedException =>
+            continue = false // force-cancel from stop() timeout
+          case e: Throwable
+              if invalidReplayHeal.isDefined && Recovery.isInvalidReplay(e) =>
+            // K3 self-heal inside the lifecycle loop: clear the stored
+            // offset and resubscribe from earliest — not a failure, no
+            // alert (the reference clears `_clear_saved_replay` and
+            // re-enters subscribe, sf_pubsub.py:886-891). The FIRST heal
+            // re-enters immediately (the reference shape); a heal that
+            // does not cure the failure would otherwise spin the runner
+            // hot, so repeats back off like ordinary failures. A heal
+            // callback that itself throws is a FAILURE, not a heal — it
+            // must never kill the runner thread.
+            healStreak += 1
+            try invalidReplayHeal.get.apply(m.clientId)
+            catch {
+              case he: Throwable =>
+                m.status = "error"
+                m.lastError = Some(he.getMessage)
+                m.failCount += 1
+                if (m.failCount == 1) fireAlert(m, fatal = false, he)
+            }
+            if (healStreak > 1 || m.failCount > 0) {
+              sleep(math.min(backoff, capMs))
+              backoff = math.min(backoff * 2, capMs)
+            }
+          case e: Throwable if Reliability.isFatal(e) =>
+            m.status = "error"
+            m.lastError = Some(e.getMessage)
+            m.failCount += 1
+            fireAlert(m, fatal = true, e)
+            continue = false // never retried (listener_manager.py:122-146)
+          case _: Throwable if m.stopRequested =>
+            continue = false // failure induced by the stop itself
+          case e: Throwable =>
+            m.status = "error"
+            m.lastError = Some(e.getMessage)
+            m.failCount += 1
+            if (m.failCount == 1) fireAlert(m, fatal = false, e)
+            sleep(math.min(backoff, capMs))
+            backoff = math.min(backoff * 2, capMs)
+        }
       }
+    } finally {
+      // only fall to "stopped" when we didn't exit on a fatal error
+      // (listener_manager.py:174-176); the finally guarantees a runner
+      // killed by ANY escaping throwable still reports a terminal status
+      // instead of a permanent phantom "running"
+      if (m.status != "error") m.status = "stopped"
     }
-    // only fall to "stopped" when we didn't exit on a fatal error
-    // (listener_manager.py:174-176)
-    if (m.status != "error") m.status = "stopped"
   }
 
   private def fireAlert(m: Managed, fatal: Boolean, e: Throwable): Unit =

@@ -67,11 +67,19 @@ object StatusBoard {
     val live = clientStatusBoard(spark, clients, clientIdCol)
       .withColumnRenamed("status", "live_status")
       .withColumnRenamed("running", "live_running")
+    // the clientStatusBoard defense, extended to the manager-side extras:
+    // a clients frame already carrying fail_count/last_error (the
+    // reference's client rows expose status fields) keeps them under the
+    // client_ prefix, and the board's columns own the plain names —
+    // without this the post-join references are ambiguous
+    val liveSafe = Seq("fail_count", "last_error")
+      .filter(live.columns.contains)
+      .foldLeft(live)((d, c) => d.withColumnRenamed(c, s"client_$c"))
     val managed = manager.statusFrame(spark)
       .select(col("client_id").as("mgr_client_id"),
         col("status").as("mgr_status"),
         col("fail_count"), col("last_error"))
-    live.join(broadcast(managed), col(clientIdCol) === col("mgr_client_id"), "left")
+    liveSafe.join(broadcast(managed), col(clientIdCol) === col("mgr_client_id"), "left")
       .withColumn("status", coalesce(col("mgr_status"), col("live_status")))
       .withColumn("running", col("status") === "running")
       .drop("mgr_client_id", "mgr_status", "live_status", "live_running")

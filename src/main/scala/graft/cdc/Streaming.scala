@@ -64,13 +64,29 @@ object Streaming {
     * skew (a replayed event arrives close to its original, so dedup
     * itself needs only a short horizon); leave `dedupe = false` where
     * late data must never be lost.
+    *
+    * `sourceDir` must hold at least one file at plan time: the ts
+    * physical type is read off the existing files so any driver
+    * generation (raw-nanos Long or TIMESTAMP(MICROS)/NTZ) normalizes to
+    * the epoch-nanos Long the route expects — the [[graft.Tables.load]]
+    * rule, applied to the stream.
     */
   def routed(spark: SparkSession, spec: PipelineSpec): DataFrame = {
     graft.Tables.setup(spark)
-    val src = spark.readStream
-      .schema(eventsSchema)
+    // Declare ts with the SOURCE's physical type (read off the files
+    // already present — the StreamingIngest schema discipline), then
+    // normalize to the epoch-nanos Long the route expects, exactly the
+    // Tables.load rule. Forcing LongType onto a TIMESTAMP(MICROS) file
+    // would make the vectorized reader hand back RAW MICROS — commit_ms
+    // lands on the seconds scale, the since-filter drops 100% of events,
+    // and the stream silently delivers nothing.
+    val tsType = spark.read.parquet(spec.sourceDir).schema("ts").dataType
+    val srcSchema = org.apache.spark.sql.types.StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val src = graft.Tables.normalizeTs(spark.readStream
+      .schema(srcSchema)
       .option("maxFilesPerTrigger", spec.maxFilesPerTrigger)
-      .parquet(spec.sourceDir)
+      .parquet(spec.sourceDir))
     val ingest = if (spec.dedupe)
       graft.streaming.Windows.dedupStream(src, spec.dedupeDelay)
     else src

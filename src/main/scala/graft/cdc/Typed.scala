@@ -39,9 +39,20 @@ object Typed {
   def commitMs(raw: Option[Long]): Option[Long] =
     raw.map(graft.functions.NormalizeEpochMillis.normalize)
 
-  /** P4 — same truth table as Normalize.boolNorm. */
+  /** P4 — same truth table AND the same trim semantics as
+    * Normalize.boolNorm: Spark's `trim` strips SPACES only, so the typed
+    * mirror must too — Java String.trim also eats \t/\n/\r and would
+    * accept "\ttrue" here while the column path rejects it, a parity
+    * drift between two routes documented as mirrored exactly. ROOT-locale
+    * lowercase matches Spark's locale-independent `lower`.
+    */
   def boolNorm(raw: Option[String]): Option[Boolean] =
-    raw.map(_.trim.toLowerCase).flatMap {
+    raw.map { s =>
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+    }.flatMap {
       case "true" | "1" | "yes" | "y"      => Some(true)
       case "false" | "0" | "no" | "n" | "" => Some(false)
       case _                               => None

@@ -29,7 +29,9 @@ case class MinKAgg(k: Int)
   private def trim(b: Seq[(Long, Long)]): Seq[(Long, Long)] =
     b.sorted.take(k)
 
-  override def zero: Seq[(Long, Long)] = Seq.empty
+  // Vector: effectively-constant per-row append — a List `:+` would copy
+  // the whole (≤4k-1 entry) buffer on every input row
+  override def zero: Seq[(Long, Long)] = Vector.empty
 
   override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
     val nb = b :+ a

@@ -9,9 +9,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * points"). The built-in way to get top-k per group is a window
   * `row_number <= k`, which sort-shuffles EVERY row of the group; this
   * aggregator keeps a bounded buffer per group (amortized trim at 4k
-  * entries), combines map-side, and ships at most k entries per group and
-  * partition through the shuffle — the 100 TB form of "top products per
-  * category". Deterministic tie-break: (value desc, id asc), identical to
+  * entries — so at most 4k-1 entries per group and partition cross the
+  * shuffle, still O(k) vs every row), combines map-side, and returns
+  * exactly k. The buffer is a Vector: per-row append is effectively
+  * constant; a List `:+` would copy the whole buffer every row.
+  * Deterministic tie-break: (value desc, id asc), identical to
   * `row_number() OVER (ORDER BY v DESC, id)`.
   *
   * Input rows are (id, value); the result is the ordered top-k as
@@ -24,7 +26,7 @@ case class TopKAgg(k: Int)
   private def trim(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     b.sortBy { case (v, id) => (-v, id) }.take(k)
 
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def zero: Seq[(Double, Long)] = Vector.empty
 
   override def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
     val nb = b :+ ((a._2, a._1))

@@ -87,7 +87,15 @@ class ConnectionTestSpec extends SparkSpec {
       Map("startingReplay" -> "99", "validateReplay" -> "true"))
     assert(!expired.ok && expired.source_error_class === Some("INVALID_ARGUMENT"))
     assert(expired.source_error.exists(_.contains("0..10")))
+    // negative id without validation: the SOURCE is lenient (initialOffset
+    // only range-checks under validateReplay and otherwise clamps), so the
+    // preflight must not fail a stream that would actually start —
+    // the diagnostic mirrors subscribe behavior exactly
     val negative = ConnectionTest.testReplayLog(log.toString, Map("startingReplay" -> "-3"))
-    assert(!negative.ok && negative.source_error_class === Some("INVALID_ARGUMENT"))
+    assert(negative.ok, "lenient mode must accept what the source accepts")
+    val negativeStrict = ConnectionTest.testReplayLog(log.toString,
+      Map("startingReplay" -> "-3", "validateReplay" -> "true"))
+    assert(!negativeStrict.ok &&
+      negativeStrict.source_error_class === Some("INVALID_ARGUMENT"))
   }
 }

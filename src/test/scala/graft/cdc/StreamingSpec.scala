@@ -42,6 +42,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("routed streams a TIMESTAMP(MICROS) events generation — ts normalizes like the batch loader") {
+    // The driver's current events.parquet stores ts as timestamp[us]. A
+    // schema forced to LongType would hand the route RAW MICROS — every
+    // commit_ms lands on the seconds scale, the since-filter drops 100%
+    // of events, and the stream silently delivers nothing while the
+    // batch twin (Tables.load, which normalizes per physical type)
+    // delivers everything. routed must read the file's own ts type and
+    // apply the same normalization.
+    val src = tmp("graft-src-us"); val ckp = tmp("graft-ckp-us"); val out = tmp("graft-out-us")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 500)
+    ev.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .coalesce(1).write.parquet(s"$src/s1")
+    val d = new java.io.File(src)
+    for (f <- new java.io.File(d, "s1").listFiles() if f.getName.endsWith(".parquet"))
+      Files.move(f.toPath, new java.io.File(d, "s1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d, "s1"))
+    // fixture sanity: the written file really is timestamp-typed
+    assert(spark.read.parquet(src).schema("ts").dataType
+      === org.apache.spark.sql.types.TimestampNTZType)
+
+    val q = Streaming.startToParquet(spark,
+      Streaming.PipelineSpec("c1", src, ckp), out)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).drop("client_id")
+    val batch = Pipeline.deliveries(CdcView.fromEvents(ev))
+    assert(streamed.count() > 0, "a micros-generation source must deliver rows")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "micros-typed streaming must equal the nanos-Long batch twin row-for-row")
+  }
+
   test("gated commit: failing sink leaves offset uncommitted, batch replays on restart") {
     val src = tmp("graft-src2"); val ckp = tmp("graft-ckp2"); val out = tmp("graft-out2")
     writeSlices(src)
