@@ -31,7 +31,10 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+    // canonical-path compare: a trailing slash or symlink on SPARK_GRAFT_SF_DIR
+    // would defeat the different-SF warmup guarantee with a string compare
+    def canon(p: String) = try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    if (new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
       Seq("cdc_route", "q5_nation_revenue", "llm_dedup_minhash", "llm_ann_topk",
           "llm_dedup_cosine", "q_topk_parts", "cp_latest_per_key", "q_window_running")
         .foreach { q =>
@@ -98,9 +101,13 @@ object Bench {
     // over reps+1 lets a quiet re-measurement displace a loaded one) and
     // name them in `rerepped` so the artifact is self-explaining.
     val RerepDispBound = 1.3
-    val loopMedian = { val s = sentinelTimes.sorted; s((s.size - 1) / 2) }
+    // guard the empty selection (SPARK_GRAFT_QUERIES naming nothing):
+    // the run must still emit its JSON line, not die indexing an empty Seq
+    val loopMedian =
+      if (sentinelTimes.isEmpty) 0.0
+      else { val s = sentinelTimes.sorted; s((s.size - 1) / 2) }
     val rerepped = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (reps > 1) sentAfter.foreach { case (name, s) =>
+    if (reps > 1 && loopMedian > 0) sentAfter.foreach { case (name, s) =>
       if (s > RerepDispBound * loopMedian &&
           repTimes(name).exists(_._2)) {
         rerepped += name
@@ -154,7 +161,6 @@ object Bench {
     val streamN = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "100000").toInt
     def streamRun(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         log: java.nio.file.Path): (Double, Double) = {
-      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
       val t0 = System.nanoTime()
       val q = transform(spark.readStream
         .format(classOf[graft.sources.ReplayLogSourceProvider].getName)
@@ -164,34 +170,41 @@ object Bench {
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          seen.addAndGet(b.count()); ()
+          // count() forces full materialization; the metric is INPUT
+          // events/s through the stage (fan-out/drops make delivered-row
+          // counts a different number, deliberately not published)
+          b.count(); ()
         }
         .start()
       q.awaitTermination()
       val dt = (System.nanoTime() - t0) / 1e9
       (if (dt > 0) streamN / dt else 0.0, dt)
     }
-    val (streamRate, streamSec, routedRate) = try {
+    val (streamRate, streamSec, routedRate) = {
+      // the temp log is released in a finally: a throw mid-probe (swallowed
+      // into the zeroed metrics) must not leak the file on every invocation
       val log = java.nio.file.Files.createTempFile("graft-bench-replay", ".jsonl")
-      val w = java.nio.file.Files.newBufferedWriter(log)
-      var i = 0
-      while (i < streamN) {
-        if (i > 0) w.write("\n")
-        w.write(s"""{"entity":"E${i % 5}","change_type":"UPDATE","record_ids":["R$i"],"commit_raw":${1704067200000L + i},"flash_raw":"true"}""")
-        i += 1
-      }
-      w.close()
-      streamRun(identity, log) // warm pass: stream-start + codegen costs
-      val (raw, rawSec) = streamRun(identity, log)
-      val route = (df: org.apache.spark.sql.DataFrame) => df
-        .transform(graft.cdc.ops.Route.withCommitMs)
-        .transform(graft.cdc.ops.Route.nonEmptyIds)
-        .transform(graft.cdc.ops.Route.fanOut)
-        .transform(graft.cdc.ops.Route.flashGate)
-      val (routed, _) = streamRun(route, log)
-      java.nio.file.Files.deleteIfExists(log)
-      (raw, rawSec, routed)
-    } catch { case _: Throwable => (0.0, 0.0, 0.0) }
+      try {
+        val w = java.nio.file.Files.newBufferedWriter(log)
+        var i = 0
+        while (i < streamN) {
+          if (i > 0) w.write("\n")
+          w.write(s"""{"entity":"E${i % 5}","change_type":"UPDATE","record_ids":["R$i"],"commit_raw":${1704067200000L + i},"flash_raw":"true"}""")
+          i += 1
+        }
+        w.close()
+        streamRun(identity, log) // warm pass: stream-start + codegen costs
+        val (raw, rawSec) = streamRun(identity, log)
+        val route = (df: org.apache.spark.sql.DataFrame) => df
+          .transform(graft.cdc.ops.Route.withCommitMs)
+          .transform(graft.cdc.ops.Route.nonEmptyIds)
+          .transform(graft.cdc.ops.Route.fanOut)
+          .transform(graft.cdc.ops.Route.flashGate)
+        val (routed, _) = streamRun(route, log)
+        (raw, rawSec, routed)
+      } catch { case _: Throwable => (0.0, 0.0, 0.0) }
+      finally java.nio.file.Files.deleteIfExists(log)
+    }
 
     // ---- live ingest-gate throughput: the production loop end-to-end.
     // Half the documents table plays the already-ingested corpus (stored
@@ -205,51 +218,59 @@ object Bench {
     // capacity plan reads is ingest_epoch_sec — docs/s climbs with batch
     // size as that cost amortizes, exactly like the floor_* figures.
     val ingestBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "4").toInt
-    val (ingestRate, ingestN, ingestEpochSec) = try {
+    val (ingestRate, ingestN, ingestEpochSec) = {
       val root = java.nio.file.Files.createTempDirectory("graft-bench-ingest")
-      val docs = Tables.documents(spark, sfDir)
-      graft.llm.LlmOps.buildMinHashIndex(
-        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
-        s"$root/ix")
-      val arriving = docs
-        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
-      val nDocs = arriving.count()
-      (0 until ingestBatches).foreach { b =>
-        arriving.filter(org.apache.spark.sql.functions
-            .col("doc_id") % (2 * ingestBatches) === (2 * b + 1))
-          .coalesce(1).write.mode("append").parquet(s"$root/src")
-      }
-      val t0 = System.nanoTime()
-      graft.llm.StreamingIngest.start(spark, s"$root/src", s"$root/ix",
-        s"$root/out", s"$root/ckp").awaitTermination()
-      val dt = (System.nanoTime() - t0) / 1e9
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-      (if (dt > 0) nDocs / dt else 0.0, nDocs, dt / ingestBatches)
-    } catch { case _: Throwable => (0.0, 0L, 0.0) }
+      try {
+        val docs = Tables.documents(spark, sfDir)
+        graft.llm.LlmOps.buildMinHashIndex(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          s"$root/ix")
+        val arriving = docs
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+        val nDocs = arriving.count()
+        (0 until ingestBatches).foreach { b =>
+          arriving.filter(org.apache.spark.sql.functions
+              .col("doc_id") % (2 * ingestBatches) === (2 * b + 1))
+            .coalesce(1).write.mode("append").parquet(s"$root/src")
+        }
+        val t0 = System.nanoTime()
+        graft.llm.StreamingIngest.start(spark, s"$root/src", s"$root/ix",
+          s"$root/out", s"$root/ckp").awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (if (dt > 0) nDocs / dt else 0.0, nDocs, dt / ingestBatches)
+      } catch { case _: Throwable => (0.0, 0L, 0.0) }
+      // finally, not just the success path: a failed ingest probe must not
+      // leave half the documents corpus re-parqueted in /tmp every run
+      finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
 
     // ---- inline scale-up probe: q1 on the fact table replicated 5×
     // (shifted keys). ratio ≪ 5 ⇒ the per-query cost at this SF is
     // floor-dominated and amortizes with data size — the measured form of
     // the "gap closes at scale" claim. Full-suite version: graft.ScaleBench.
     val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP", "5").toInt
-    val (scaleBase, scaleScaled) = try {
+    val (scaleBase, scaleScaled) = {
       val out = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
-      (0 until scaleFactor).map { i =>
-        Tables.lineitem(spark, sfDir)
-          .withColumn("l_orderkey",
-            org.apache.spark.sql.functions.col("l_orderkey") + i * 1000000000L)
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      def t(dir: String): Double = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries("q1_agg")(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      t(out) // warm the scaled path once
-      ((1 to 3).map(_ => t(sfDir)).sorted.apply(1),
-        (1 to 3).map(_ => t(out)).sorted.apply(1))
-    } catch { case _: Throwable => (0.0, 0.0) }
+      try {
+        (0 until scaleFactor).map { i =>
+          Tables.lineitem(spark, sfDir)
+            .withColumn("l_orderkey",
+              org.apache.spark.sql.functions.col("l_orderkey") + i * 1000000000L)
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        def t(dir: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries("q1_agg")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        t(out) // warm the scaled path once
+        ((1 to 3).map(_ => t(sfDir)).sorted.apply(1),
+          (1 to 3).map(_ => t(out)).sorted.apply(1))
+      } catch { case _: Throwable => (0.0, 0.0) }
+      // the 5x fact replica is multi-GB at sf0.1 — never leave it in /tmp
+      finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
     val scaleRatio = if (scaleBase > 0) scaleScaled / scaleBase else 0.0
 
     // ---- output. The harness that collects this line keeps only the LAST

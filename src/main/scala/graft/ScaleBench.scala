@@ -60,6 +60,12 @@ object ScaleBench {
     // candidate-pair count) scales linearly with the corpus — the honest
     // shape of "10× more data, same dup rate".
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // the rotation has 26 distinct values: replica 26 would rotate like
+    // replica 0, making their texts verbatim-identical — cross-replica
+    // pairs then grow ~factor² and every dedup ratio silently measures
+    // dup-density blowup instead of corpus scale. Fail loudly instead.
+    require(factor <= 26,
+      s"SPARK_GRAFT_SCALE=$factor > 26 breaks the disjoint-shingle rotation")
     val docs = Tables.documents(spark, sfDir)
     (0 until factor).map { i =>
       val rot = alpha.drop(i % 26) + alpha.take(i % 26)
@@ -98,15 +104,23 @@ object ScaleBench {
       dt
     }
 
-    // warm both paths once (codegen/classload), then measure median of 3
-    headline.foreach { q => time(sfDir, q); time(out, q) }
+    // warm both paths once (codegen/classload), then measure median of 3.
+    // Per-query fault isolation: a single failing query records an error
+    // entry instead of losing the whole multi-probe run's measurements.
+    headline.foreach { q =>
+      try { time(sfDir, q); time(out, q) } catch { case _: Throwable => () }
+    }
     def median3(dir: String, q: String): Double =
       (1 to 3).map(_ => time(dir, q)).sorted.apply(1)
 
     val rows = headline.map { q =>
-      val base = median3(sfDir, q)
-      val scaled = median3(out, q)
-      (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}}""")
+      try {
+        val base = median3(sfDir, q)
+        val scaled = median3(out, q)
+        (q, s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":${scaled / base}}""")
+      } catch { case e: Throwable =>
+        (q, s""""$q":{"error":"${e.getClass.getSimpleName}"}""")
+      }
     }
 
     // CC convergence probe over the REAL minhash pair frames: the
@@ -404,6 +418,9 @@ object ScaleBench {
     println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
+    // the replicated corpus is multi-GB at factor 10 — repeated runs would
+    // otherwise fill /tmp until the host errors on disk space
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     spark.stop()
   }
 }

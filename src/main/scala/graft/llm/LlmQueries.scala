@@ -22,7 +22,16 @@ object LlmQueries {
     * production query stream sees. Correctness is unaffected (the stored
     * tables are deterministic in the corpus).
     */
-  private val indexCache = new scala.collection.concurrent.TrieMap[String, String]()
+  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate: the
+  // latter may evaluate the builder more than once under contention, and
+  // Verify's 4-way pool routinely races several index-backed queries —
+  // duplicate full index builds would eat the pool's wall-time win and
+  // litter loser temp dirs. computeIfAbsent runs the builder exactly once
+  // and blocks the racers on the result.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def memo(key: String)(build: => String): String =
+    indexCache.computeIfAbsent(key, _ => build)
 
   /** Cheap corpus fingerprint (file paths + sizes + mtimes) folded into
     * the memo key, so a harness that REGENERATES the parquet under the
@@ -53,52 +62,52 @@ object LlmQueries {
     * indexed ingest gate and the index-stats gauge).
     */
   private def mhIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"mh|$d|${fingerprint(d, "documents")}", {
+    memo(s"mh|$d|${fingerprint(d, "documents")}") {
       val dir = tempIndexDir("graft-mh-index")
       LlmOps.buildMinHashIndex(Tables.documents(s, d), dir)
       dir
-    })
+    }
 
   /** The stored ANN cell table for `d`'s embeddings. */
   private def annIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"ann|$d|${fingerprint(d, "embeddings")}", {
+    memo(s"ann|$d|${fingerprint(d, "embeddings")}") {
       val dir = tempIndexDir("graft-ann-index")
       LlmOps.buildAnnIndex(Tables.embeddings(s, d), dir)
       dir
-    })
+    }
 
   /** The stored IVF-PQ index (frozen codebook + cell-partitioned codes)
     * for `d`'s embeddings.
     */
   private def pqIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"pq|$d|${fingerprint(d, "embeddings")}", {
+    memo(s"pq|$d|${fingerprint(d, "embeddings")}") {
       val dir = tempIndexDir("graft-pq-index")
       LlmOps.buildPqIndex(Tables.embeddings(s, d), dir)
       dir
-    })
+    }
 
   /** The stored BPE tokenizer (rank-ordered merge table) trained on the
     * 5% doc_id slice — the same sample-train regime as `llm_bpe_apply`,
     * so the stored-vs-inline equivalence is exact.
     */
   private def bpeTokenizerDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"bpe|$d|${fingerprint(d, "documents")}", {
+    memo(s"bpe|$d|${fingerprint(d, "documents")}") {
       val dir = tempIndexDir("graft-bpe-tok")
       LlmOps.buildBpeTokenizer(
         Tables.documents(s, d).filter(col("doc_id") % 20 === 0), dir)
       dir
-    })
+    }
 
   /** The stored ANN cell table over the BASE slice (vec_id < 400) — the
     * "already-ingested corpus" the semantic ingest gate probes; the
     * remaining vec_ids play the arriving batch.
     */
   private def semAnnIndexDir(s: SparkSession, d: String): String =
-    indexCache.getOrElseUpdate(s"semann|$d|${fingerprint(d, "embeddings")}", {
+    memo(s"semann|$d|${fingerprint(d, "embeddings")}") {
       val dir = tempIndexDir("graft-semann-index")
       LlmOps.buildAnnIndex(Tables.embeddings(s, d).filter(col("vec_id") < 400L), dir)
       dir
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
