@@ -137,6 +137,15 @@ object LlmOps {
   val TrigramListSql: String =
     "transform(sequence(1, greatest(size(toks)-2, 1)), i -> concat_ws(' ', slice(toks, i, 3)))"
 
+  /** The shingle→56-bit-hash vocabulary (`gs`) over a `shingles` column —
+    * single-sourced like [[TrigramListSql]]: the stored index build
+    * ([[signaturesOf]]), in-query candidate generation, decontamination,
+    * and the in-query incremental gate must all state the same hash and
+    * modulus, or the gates silently diverge from the index they probe.
+    */
+  private def gsSql: String =
+    s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"
+
   def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(s"array_distinct($TrigramListSql)"))
@@ -244,10 +253,7 @@ object LlmOps {
     // persistHashed=false for callers (dedupEdit) that never re-read the
     // signature table — caching it would write the full (doc_id, gs)
     // frame to block storage once and leak it for the session
-    val hashed0 = withShingles(textCorpus(corpus, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
+    val hashed0 = signaturesOf(corpus, idCol, textCol)
     val hashed = if (persistHashed)
       hashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else hashed0
@@ -837,10 +843,7 @@ object LlmOps {
     // consumers), the three bucket slices here are narrow filters with no
     // common exchange — uncached, the md5-shingle fold (the dominant
     // cost) re-runs per consumer (measured 0.85 → 3.0 s without it)
-    val g = withShingles(textCorpus(corpus, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
-      .select("doc_id", "gs")
+    val g = signaturesOf(corpus, idCol, textCol)
       .withColumn("bucket",
         expr(s"${h56("concat('split|', cast(doc_id as string))")} % 100"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -964,7 +967,6 @@ object LlmOps {
     // equal on w1) and the whole count derivation costs one shuffle + two
     // sorts, with no count table ever joined back. Integer window sums
     // are exact, so v is bit-identical to the join form the oracle states.
-    import org.apache.spark.sql.expressions.Window
     bic
       .withColumn("c1", sum(col("n")).over(Window.partitionBy("w1")))
       .withColumn("c2", sum(col("n")).over(Window.partitionBy("w1", "w2")))
@@ -1062,6 +1064,10 @@ object LlmOps {
   def sampleStratified(corpus: DataFrame, perStratum: Int,
       stratumCol: String = "source", idCol: String = "doc_id",
       heapMaxK: Int = SamplerHeapMaxK): DataFrame = {
+    // both paths must agree on the degenerate quota: the window path
+    // returns empty for perStratum <= 0, but MinKAgg would throw its
+    // k > 0 require at plan time — fail identically, loudly, up front
+    require(perStratum > 0, "perStratum must be positive")
     val docs = ensureH56(corpus).filter(col(idCol).isNotNull)
       .withColumn("pri",
         expr(h56(s"concat('sample|', cast($idCol as string))")))
@@ -1353,7 +1359,12 @@ object LlmOps {
       }
       syms.length
     }
-    textCorpus(corpus, idCol, textCol).as[(Long, String)].mapPartitions { it =>
+    // null-safe like the SQL operators: a null-text (or null-id) doc
+    // emits no row — the typed decode would otherwise NPE in the task
+    // and kill the whole job on one bad row
+    textCorpus(corpus, idCol, textCol)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .as[(Long, String)].mapPartitions { it =>
       val memo = scala.collection.mutable.HashMap.empty[String, Int]
       it.map { case (id, text) =>
         val nToks = text.split(" ").filter(_.nonEmpty).iterator.map { w =>
@@ -1498,14 +1509,19 @@ object LlmOps {
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       keepUnchanged: Boolean = false): DataFrame = {
-    def fp(df: DataFrame, h: String) = textCorpus(df, idCol, textCol)
-      .select(col("doc_id"), md5(col("text")).as(h))
-    val joined = fp(oldSnap, "old_hash")
-      .join(fp(newSnap, "new_hash"), Seq("doc_id"), "full_outer")
+    // presence flags, not hash-nullness, decide added/removed: md5(NULL)
+    // is NULL, so a doc PRESENT with null text would otherwise be
+    // indistinguishable from an absent row and misclassify (present-null
+    // → 'x' must be 'changed', not 'added'); <=> makes null-vs-null
+    // compare as unchanged
+    def fp(df: DataFrame, h: String, p: String) = textCorpus(df, idCol, textCol)
+      .select(col("doc_id"), md5(col("text")).as(h), lit(true).as(p))
+    val joined = fp(oldSnap, "old_hash", "in_old")
+      .join(fp(newSnap, "new_hash", "in_new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         col("old_hash"), col("new_hash"))
     if (keepUnchanged) joined else joined.filter(col("status") =!= "unchanged")
@@ -1675,7 +1691,10 @@ object LlmOps {
     val bf = baseFp.stat.bloomFilter("content_hash",
       math.max(baseFp.count(), 1L), fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val might = udf((h: String) => bfB.value.mightContain(h))
+    // null-safe: a null content hash (null-text doc) is "definitely new",
+    // matching the exact variant (a null anti-join key never matches, so
+    // the row is kept there too); mightContain(null) would throw in-task
+    val might = udf((h: String) => h != null && bfB.value.mightContain(h))
     val batchFp = textCorpus(batch, idCol, textCol)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
     val definitelyNew = batchFp.filter(!might(col("content_hash")))
@@ -1751,8 +1770,7 @@ object LlmOps {
     val tagged = textCorpus(base, idCol, textCol).withColumn("side", lit(0))
       .unionByName(textCorpus(batch, idCol, textCol).withColumn("side", lit(1)))
     val hashed = withShingles(tagged)
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .withColumn("gs", expr(gsSql))
       .select("doc_id", "side", "gs")
       .persist(lvl)
     // NOT persisted, unlike dedupMinHash's band table: that one feeds a
@@ -1833,8 +1851,7 @@ object LlmOps {
   def signaturesOf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     withShingles(textCorpus(docs, idCol, textCol))
-      .withColumn("gs", expr(
-        s"array_distinct(transform(shingles, s -> ${h56("s")} % $MersenneP))"))
+      .withColumn("gs", expr(gsSql))
       .select("doc_id", "gs")
 
   /** The exploded (doc_id, band_idx, band_key, bk_bucket) LSH block-key
@@ -2371,7 +2388,11 @@ object LlmOps {
     */
   def chunkDocs(corpus: DataFrame, window: Int = 64, overlap: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(overlap < window, "overlap must be smaller than the window")
+    // negative overlap would make stride > window: token (window+1) of
+    // every long doc lands in NO chunk — silent data loss from an
+    // operator documented as full-coverage sliding windows
+    require(overlap >= 0 && overlap < window,
+      "overlap must be in [0, window)")
     val stride = window - overlap
     textCorpus(corpus, idCol, textCol)
       .withColumn("toks", split(col("text"), " "))
@@ -2664,6 +2685,23 @@ object LlmOps {
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
 
+  /** (vec_id, label, approx) — [[pqReconstruct]] for a PACKED stored
+    * codes table (one row per vector), the label carried through the
+    * groupBy so no second codes read or self-join recovers the cell.
+    * One definition: the serving probe and the drift gauge must decode
+    * with the same order-fixed reassembly or they diverge from the
+    * in-query operator they are spec'd identical to.
+    */
+  private def pqReconstructStored(packed: DataFrame, pivots: DataFrame,
+      sub: Int): DataFrame =
+    packed
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(pivots), Seq("cid"))
+      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
+      .groupBy("vec_id", "label")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+
   private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
       sub: Int, trainMod: Long): DataFrame = {
     val pivots = pqPivots(base, kc, trainMod)
@@ -2753,6 +2791,21 @@ object LlmOps {
     * the measurement is one left join + per-query count — at scale the
     * cost is the two index runs, the comparison is free.
     */
+  /** The one recall-measurement definition every ANN gauge shares: per
+    * query, |exact∩approx|/k off a left join — a fix to the measurement
+    * (tie handling, dedup) lands in every gauge at once.
+    */
+  private def recallAgainst(exact: DataFrame, approxFrame: DataFrame,
+      k: Int): DataFrame = {
+    val approx = approxFrame
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
+  }
+
   def annRecall(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       bucketBits: Int = 8, multiprobe: Boolean = false): DataFrame = {
@@ -2761,13 +2814,7 @@ object LlmOps {
     val approxFrame =
       if (multiprobe) annMultiprobe(emb, k, idCol, vecCol, nQueries, bucketBits)
       else annLsh(emb, k, idCol, vecCol, nQueries, bucketBits)
-    val approx = approxFrame
-      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
-    exact.join(approx,
-        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
-      .groupBy("qid")
-      .agg(count(col("avid")).as("n_hits"))
-      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
+    recallAgainst(exact, approxFrame, k)
   }
 
   /** Recall@k of the PQ asymmetric-distance ranking vs exact cosine —
@@ -2787,13 +2834,8 @@ object LlmOps {
       sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
     val exact = annTopK(emb, k, idCol, vecCol, nQueries)
       .select(col("qid"), col("vec_id"))
-    val approx = annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod)
-      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
-    exact.join(approx,
-        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
-      .groupBy("qid")
-      .agg(count(col("avid")).as("n_hits"))
-      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
+    recallAgainst(exact,
+      annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod), k)
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
@@ -3029,11 +3071,13 @@ object LlmOps {
     // one knob governs BOTH hints: the id frame is ~3 orders smaller
     // than the vector frame, so sharing the vector bound is conservative
     // for it — past the bound AQE still broadcasts the id frame off
-    // runtime stats, it just isn't forced
-    val batchRows = b.count()
+    // runtime stats, it just isn't forced. The count job (cheap — the
+    // footprint collect materialized the caller's persist) is skipped
+    // entirely when the knob disables the hints, like the minhash gate.
+    val smallBatch =
+      broadcastMaxVecRows > 0 && b.count() <= broadcastMaxVecRows
     def hintedV(df: DataFrame): DataFrame =
-      if (broadcastMaxVecRows > 0 && batchRows <= broadcastMaxVecRows)
-        broadcast(df) else df
+      if (smallBatch) broadcast(df) else df
     val pruned0 =
       if (batchCells.isEmpty) cells.filter(lit(false))
       else cells.filter(col("label").isin(batchCells: _*))
@@ -3206,16 +3250,7 @@ object LlmOps {
     val pruned =
       if (qCells.isEmpty) codes.filter(lit(false))
       else codes.filter(col("label").isin(qCells: _*))
-    // reconstruction carries label through the groupBy — no second codes
-    // read, no join to recover the cell (a self-join's build side would
-    // be probed-cells-sized, the thing the plan assertion forbids)
-    val approx = pruned
-      .select(col("vec_id"), col("label"),
-        posexplode(col("codes")).as(Seq("s", "cid")))
-      .join(broadcast(pivots), Seq("cid"))
-      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
-      .groupBy("vec_id", "label")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+    val approx = pqReconstructStored(pruned, pivots, sub)
     val scored = approx.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       .withColumn("adist", expr(ssdSql("qe", "approx")))
@@ -3251,13 +3286,7 @@ object LlmOps {
     val pivots = spark.read.parquet(s"$indexDir/codebooks")
     val codes = spark.read.parquet(s"$indexDir/codes")
     val base = embBase(emb.withColumn("label", col(labelCol)), idCol, vecCol)
-    val approx = codes
-      .select(col("vec_id"), col("label"),
-        posexplode(col("codes")).as(Seq("s", "cid")))
-      .join(broadcast(pivots), Seq("cid"))
-      .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
-      .groupBy("vec_id", "label")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
+    val approx = pqReconstructStored(codes, pivots, sub)
     approx.join(base.select("vec_id", "e"), Seq("vec_id"))
       .withColumn("err", expr(ssdSql("e", "approx")))
       .groupBy(col("label").cast("bigint").as("cell"))

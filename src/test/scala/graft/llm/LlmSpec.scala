@@ -1202,6 +1202,45 @@ class LlmSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bands").count() === sig.count() * LlmOps.Bands)
   }
 
+  test("degenerate inputs: null text never kills a job, bad knobs fail loudly") {
+    // the library contract the SQL operators already honor — a null-text
+    // doc contributes no row — extended to the typed/UDF paths that used
+    // to NPE in-task, and explicit requires where a silent wrong answer
+    // was possible
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, null))
+      .toDF("doc_id", "text")
+    // bpeApply: typed decode path must skip the null row, not throw
+    val enc = LlmOps.bpeApply(withNull, Seq(("a", "l"))).collect()
+    assert(enc.map(_.getLong(0)).toSet === Set(1L))
+    // bloom incremental: null hash = definitely new, matching the exact
+    // variant bit-for-bit (a null anti-join key never matches)
+    val base = Seq((10L, "base doc text")).toDF("doc_id", "text")
+    val bloomKept = LlmOps.incrementalDedupBloom(base, withNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKept = LlmOps.incrementalDedup(base, withNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomKept === exactKept,
+      s"bloom and exact gates must agree on null-text rows: $bloomKept vs $exactKept")
+    assert(bloomKept.contains(2L))
+    // corpusDiff: PRESENCE, not hash-nullness, decides the status — a doc
+    // whose text goes null is changed, not 'added'; null-vs-null is
+    // unchanged, not 'added'
+    val oldSnap = Seq((1L, "x"), (2L, null), (3L, null)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, null), (2L, null), (3L, "y")).toDF("doc_id", "text")
+    val st = LlmOps.corpusDiff(oldSnap, newSnap, keepUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "changed", 2L -> "unchanged", 3L -> "changed"),
+      s"null-text presence must classify correctly, got $st")
+    // knob guards: both sampler paths and the chunker reject the
+    // degenerate values that used to split behavior or silently drop data
+    intercept[IllegalArgumentException] {
+      LlmOps.sampleStratified(withNull, perStratum = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LlmOps.chunkDocs(withNull, window = 64, overlap = -1)
+    }
+  }
+
   test("chunking: stride windows overlap by exactly `overlap` tokens, short docs emit one chunk") {
     // 100 tokens, window 64, stride 48 → chunks at 0 and 48 (2 chunks)
     val toks = (1 to 100).map(i => s"t$i")
