@@ -224,6 +224,50 @@ class StreamingIngestSpec extends SparkSpec {
       "compaction collapses the replayed vector")
   }
 
+  test("ingest startup heals a rebuild crashed at the artifact parent — the stream starts and serves") {
+    // A PQ REBUILD that died between its parent-level renames leaves the
+    // whole artifact root missing, with .pre-compaction holding the old
+    // generation. StreamingIngest.start must roll that back BEFORE its
+    // first probe — a subdir-only recovery can't (the subdirs don't
+    // exist until the root is restored).
+    val idx = Files.createTempDirectory("graft-si7-idx").toString
+    val pq = Files.createTempDirectory("graft-si7-pq").toString
+    val src = Files.createTempDirectory("graft-si7-src").toString
+    val out = Files.createTempDirectory("graft-si7-out").toString
+    val ckp = Files.createTempDirectory("graft-si7-ckp").toString
+    def docsE(rows: (Long, String, Seq[Float], Int)*) =
+      rows.toDF("doc_id", "text", "embedding", "label")
+    val base = docsE((1L, mk("alpha"), Seq(1f, 0f), 7))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildPqIndex(base, pq, idCol = "doc_id", trainMod = 1L)
+    // simulate the crashed rebuild: artifact root renamed away whole
+    Files.move(java.nio.file.Paths.get(pq),
+      java.nio.file.Paths.get(pq + ".pre-compaction"))
+    assert(!new java.io.File(pq).exists())
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeSlice("s1", docsE((100L, mk("delta"), Seq(0.6f, 0.8f), 7)),
+      System.currentTimeMillis() - 60000)
+    StreamingIngest.start(spark, src, idx, out, ckp, pqIndexDir = Some(pq))
+      .awaitTermination()
+    // the rolled-back artifact served the epoch: survivor admitted, its
+    // codes appended to the RESTORED old generation
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(100L))
+    assert(spark.read.parquet(s"$pq/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 100L),
+      "survivor codes must land in the recovered old-generation index")
+    assert(!new java.io.File(pq + ".pre-compaction").exists())
+  }
+
   test("crash replay with two mutually-near survivors re-admits both — no permanent minhash absence") {
     // The case same-id exclusion alone gets WRONG: docs 100 and 101 are
     // admitted together (shingle-disjoint, so the minhash gate passes
