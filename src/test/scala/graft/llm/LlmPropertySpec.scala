@@ -218,6 +218,54 @@ class LlmPropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences: offsets are an exact gapless prefix sum — any corpus, any shard size") {
+    // the distributed two-level prefix sum must equal the single-node
+    // definition: docs laid end to end in doc_id order, no token gap, no
+    // overlap — an off-by-one anywhere misplaces every later document in
+    // the packed stream
+    val caseGen = Gen.zip(Gen.chooseNum(1, 40),
+      Gen.chooseNum(1L, 7L), Gen.chooseNum(2, 9))
+    samples(caseGen, 5).foreach { case (nDocs, shardSize, budget) =>
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong * 3, (0 to i % 5).map(j => s"w$j").mkString(" "))
+      }
+      val out = LlmOps.packSequences(docs.toDF("doc_id", "text"),
+          budget = budget, shardSize = shardSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val expected = docs.sortBy(_._1).map { case (id, t) =>
+        (id, t.split(" ").length.toLong)
+      }
+      var off = 0L
+      out.zip(expected).foreach { case ((id, n, start), (eid, en)) =>
+        assert(id === eid && n === en)
+        assert(start === off,
+          s"doc $id must start exactly where the previous ended (want $off, got $start)")
+        off += n
+      }
+    }
+  }
+
+  test("chunkDocs: chunks cover every token exactly once after overlap removal — any window/overlap") {
+    // the full-coverage contract the overlap guard protects: dropping the
+    // first `overlap` tokens of every chunk after the first and
+    // concatenating reconstructs the document token-for-token
+    val caseGen = Gen.zip(Gen.chooseNum(1, 120), Gen.chooseNum(2, 24))
+      .flatMap { case (n, w) => Gen.chooseNum(0, w - 1).map(o => (n, w, o)) }
+    samples(caseGen, 6).foreach { case (nToks, window, overlap) =>
+      val toks = (1 to nToks).map(i => s"t$i")
+      val out = LlmOps.chunkDocs(Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          window = window, overlap = overlap)
+        .collect().map(r => r.getLong(1) -> r.getString(2)).sortBy(_._1)
+      val rebuilt = out.zipWithIndex.flatMap { case ((_, chunk), i) =>
+        val ts = chunk.split(" ").toSeq
+        if (i == 0) ts else ts.drop(overlap)
+      }
+      assert(rebuilt === toks,
+        s"n=$nToks w=$window o=$overlap: chunks must reconstruct the doc exactly")
+    }
+  }
+
   test("bpeApply: empty merges = char count; any merges keep 1..chars per word") {
     val word = Gen.listOfN(4, Gen.oneOf("x", "y", "z")).map(_.mkString)
     samples(Gen.listOfN(5, word), 4).foreach { words =>
