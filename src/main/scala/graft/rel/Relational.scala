@@ -39,6 +39,39 @@ object Relational {
     */
   private def sumFx(c: Column): Column = sum(c.cast("decimal(38,0)"))
 
+  /** Generic as-of join by the union+window technique — the time-series
+    * operator Spark lacks natively, in its scale-correct form: tag both
+    * sides, ONE shuffle on the key, per-partition sort by (ts, tag) —
+    * builds before probes at equal ts gives `<=` tie semantics — and
+    * `last(ignoreNulls)` carries the latest at-or-before build row
+    * forward. No range join, no per-row subquery; linear at any SF.
+    * `build`'s non-key/ts columns surface as `asof_<c>`; probe rows
+    * before their key's first build row (or with no build side at all)
+    * carry nulls. The build side should be unique per (key, ts) for a
+    * deterministic match — pre-aggregate it like `q_asof_join` does.
+    * Shared by the q_asof_join query (oracle-pinned vs DuckDB ASOF LEFT
+    * JOIN) and AsofSpec's semantic fixtures, so the spec exercises the
+    * production operator, not a copy of the technique.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val payload = build.columns.toSeq.filterNot(c => c == key || c == ts)
+    val carry = probe.columns.toSeq.filterNot(c => c == key || c == ts)
+    val pSide = payload.foldLeft(probe.withColumn("tag", lit(1)))((d, c) =>
+      d.withColumn(s"b_$c", lit(null).cast(build.schema(c).dataType)))
+    val bSide = carry.foldLeft(
+        payload.foldLeft(build)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+          .withColumn("tag", lit(0)))((d, c) =>
+      d.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(pSide.unionByName(bSide))((d, c) =>
+        d.withColumn(s"asof_$c", last(col(s"b_$c"), ignoreNulls = true).over(w)))
+      .filter(col("tag") === 1)
+      .select((Seq(key, ts).map(col) ++ carry.map(col) ++
+        payload.map(c => col(s"asof_$c"))): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy grouped aggregation, fixed-point money
     // path — narrow long-cents projection feeds the two-phase hash agg;
@@ -285,23 +318,13 @@ object Relational {
       val evs = Tables.events(s, d)
       val probe = evs
         .select(col("user_id").as("k"), expr("ts div 1000000").as("t"), col("event_id"))
-        .withColumn("tag", lit(1))
-        .withColumn("b_snap_id", lit(null).cast("bigint"))
-        .withColumn("b_snap_value", lit(null).cast("double"))
       val build = evs.filter(col("event_id") % 20 === 0)
         .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
           col("event_id").as("snap_id"), col("value").as("snap_value"))
         .groupBy(col("k"), col("t"))
-        .agg(max(col("snap_id")).as("b_snap_id"),
-          max_by(col("snap_value"), col("snap_id")).as("b_snap_value"))
-        .withColumn("tag", lit(0))
-        .withColumn("event_id", lit(null).cast("bigint"))
-      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      probe.unionByName(build)
-        .withColumn("asof_snap_id", last(col("b_snap_id"), ignoreNulls = true).over(w))
-        .withColumn("asof_snap_value", last(col("b_snap_value"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+        .agg(max(col("snap_id")).as("snap_id"),
+          max_by(col("snap_value"), col("snap_id")).as("snap_value"))
+      asofJoin(probe, build, "k", "t")
         .select(col("event_id"), col("k").as("user_id"), col("t").as("event_ms"),
           col("asof_snap_id"), col("asof_snap_value"))
     }),

@@ -40,7 +40,15 @@ class AvroCodecSpec extends SparkSpec {
     val e = intercept[Exception] {
       AvroCodec.decode(spark, bad, registry).collect()
     }
-    assert(e.getMessage.contains("v9") || e.getCause != null)
+    // walk the wrap chain (Spark wraps task failures) and require the
+    // error to NAME the offending id — "some exception occurred" would
+    // pass a disjunction like `msg.contains("v9") || cause != null` for
+    // any unrelated crash, making the fails-loudly claim untestable
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10).toSeq
+    assert(chain.exists(c => Option(c.getMessage)
+        .exists(m => m.contains("unknown schema_id") && m.contains("v9"))),
+      s"failure must name the offending schema id, got: ${e.getMessage}")
   }
 
   test("permissive mode drops corrupt payloads, keeps the rest (per-event isolation)") {

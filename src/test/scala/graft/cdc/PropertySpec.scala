@@ -15,8 +15,14 @@ import org.scalacheck.rng.Seed
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val out = (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+    // a failed suchThat yields None — guard against a property running
+    // over zero cases and passing vacuously
+    assert(out.size >= (n + 1) / 2,
+      s"generator produced only ${out.size}/$n cases — property would be near-vacuous")
+    out
+  }
 
   test("P4 boolNorm is total over arbitrary strings: true/false/null only, no throw") {
     val ss = samples(Gen.oneOf(

@@ -13,8 +13,14 @@ import org.scalacheck.rng.Seed
 class LlmPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val out = (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    // Gen.apply returns None on a failed suchThat — silently dropping all
+    // trials would make every property pass vacuously over zero cases
+    assert(out.size >= (n + 1) / 2,
+      s"generator produced only ${out.size}/$n cases — property would be near-vacuous")
+    out
+  }
 
   test("globalShuffle: permutation, ±1 shard balance, hash order — any corpus size") {
     val sizes = samples(Gen.chooseNum(1, 120), 6)

@@ -577,6 +577,11 @@ class LlmSpec extends SparkSpec {
       assert(hits === want.toLong)
       assert(recall === want / 3.0)
     }
+    // the identity check alone would accept a DEAD index (0 === 0): the
+    // clustered fixture guarantees same-bucket near neighbors, so a
+    // working LSH must actually hit
+    assert(out.values.map(_._1).sum > 0L,
+      "a clustered fixture must yield nonzero LSH recall — the index is dead")
   }
 
   test("ivf-pq: candidates pruned to the coarse cell, ranked by code distance") {
@@ -586,7 +591,19 @@ class LlmSpec extends SparkSpec {
         (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
       (id, v.toSeq, c)
     }
-    val emb = rows.toDF("vec_id", "embedding", "label")
+    // two probes that make EACH property independently falsifiable (the
+    // clustered base alone passes with pruning removed OR ranking
+    // inverted, since globally-best candidates are in-cell anyway):
+    //   100: query-0's exact vector in a FOREIGN cell — without pruning
+    //        it would ADC-rank first; with pruning it must never appear.
+    //   102: a FAR vector (cluster-2's position) labeled into query-0's
+    //        OWN cell — it passes pruning but quantizes to distant codes,
+    //        so correct ADC ranking buries it while an inverted
+    //        (worst-first) ranking would crown it top-1.
+    val q0 = rows.find(_._1 == 0L).get._2
+    val far = rows.find(_._1 == 2L).get._2 // cluster-2 shape
+    val emb = (rows ++ Seq((100L, q0, 2), (102L, far, 0)))
+      .toDF("vec_id", "embedding", "label")
     // trainMod = 1: a 40-row fixture can't seat 8 centroids from a 5% slice
     val out = LlmOps.annIvfPq(emb, k = 3, nQueries = 2, m = 2, kc = 8, sub = 4,
         trainMod = 1)
@@ -597,6 +614,11 @@ class LlmSpec extends SparkSpec {
         "a candidate escaped the query's coarse cell")
       assert(r.getAs[Double]("adist") >= 0.0)
     }
+    val q0Top = out.filter(_.getAs[Long]("qid") == 0L).map(_.getAs[Long]("vec_id")).toSet
+    assert(!q0Top.contains(100L),
+      "the foreign-cell exact copy must be pruned away — pruning is not running")
+    assert(!q0Top.contains(102L),
+      "the far in-cell decoy must rank last — worst-first ranking would crown it")
   }
 
   test("pq ann: codes reconstruct cluster structure, top-k stays in-cluster") {
@@ -1357,6 +1379,11 @@ class LlmSpec extends SparkSpec {
     assert(nHit >= 0L && nHit <= nTrue)
     assert(recall >= 0.0 && recall <= 1.0)
     assert(recall === nHit.toDouble / nTrue)
+    // a dead hit-detection path (bucket equality broken) reports 0 and
+    // would pass every bound above; the injected copies are tiny
+    // perturbations whose sign projections overwhelmingly match, so a
+    // working blocker must land hits
+    assert(nHit > 0L, "injected near-copies must produce nonzero blocking hits")
   }
 
   test("stored IVF-PQ index: probe ≡ in-query, append encodes with the frozen codebook, compaction heals") {
@@ -1607,6 +1634,11 @@ class LlmSpec extends SparkSpec {
       assert(nHigh >= 0L && nHigh <= n)
       assert(maxErr >= 0.0)
     }
+    // quantization is LOSSY: far more vectors than centroids, so a
+    // correct reconstruction must show error somewhere — err ≡ 0 (a
+    // broken decode that returns the original vector) must fail here
+    assert(drift.values.exists(_._3 > 0.0),
+      "reconstruction error is identically zero — the decode is not measuring")
     // the budget partitions the same per-vector errors: an infinite
     // budget flags nothing, a negative one flags every vector
     val none = LlmOps.pqDrift(emb, dir, errBudget = Double.MaxValue).collect()
@@ -1625,6 +1657,21 @@ class LlmSpec extends SparkSpec {
       assert(hits >= 0L && hits <= k)
       assert(r === hits.toDouble / k)
     }
+    // pin the gauge to an INDEPENDENTLY computed overlap — the bounds
+    // and the hits/k identity alone would accept an always-zero gauge
+    val truthSets = LlmOps.annTopK(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val adcSets = LlmOps.annPq(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 8L).foreach { qid =>
+      val want = (truthSets(qid) intersect adcSets(qid)).size.toLong
+      assert(rec(qid)._1 === want,
+        s"qid=$qid: gauge hits must equal the hand-computed overlap $want")
+    }
+    assert(rec.values.map(_._1).sum > 0L,
+      "ADC recall must be nonzero on the harness embeddings")
     // dominance law: refine's top-k is the exact re-rank of the ADC
     // shortlist, so every truth member the shortlist contains makes the
     // refined top-k — refined recall ≥ raw ADC recall, per query

@@ -69,12 +69,15 @@ class ExtensionsSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan
     assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[NormalizeEpochMillis])),
       s"look-alike chain must be left alone:\n$optimized")
-    // and its semantics are intact end-to-end (ns inputs ÷ 1e3, not 1e6)
+    // and its semantics are intact end-to-end (ns inputs ÷ 1e3, not 1e6).
+    // The fixture-sanity assert keeps this half falsifiable: a data
+    // regeneration without ns-scale commits would otherwise silently skip
+    // the semantic check forever.
     val nsRow = df.filter(col("commit_raw") > lit(100000000000000L)).limit(1).collect()
-    if (nsRow.nonEmpty) {
-      val raw = nsRow(0).getLong(1)
-      assert(nsRow(0).getLong(2) === Math.floorDiv(raw, 1000L))
-    }
+    assert(nsRow.nonEmpty,
+      "fixture invalid: no ns-scale commit_raw row to exercise the look-alike semantics")
+    val raw = nsRow(0).getLong(1)
+    assert(nsRow(0).getLong(2) === Math.floorDiv(raw, 1000L))
   }
 
   test("h56 native expression equals the conv(substr(md5)) chain on arbitrary strings") {

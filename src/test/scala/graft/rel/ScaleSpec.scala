@@ -44,11 +44,19 @@ class ScaleSpec extends SparkSpec {
     val salted = Scale.saltedSum(df, col("k"), col("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === direct)
-    // the content-hash salt actually spreads the hot key over multiple
-    // partials (hot rows differ in v, so they hash apart)
-    val partials = df
-      .withColumn("salt", pmod(xxhash64(col("k"), col("v")), lit(16)))
-      .filter(col("k") === "hot").select("salt").distinct().count()
-    assert(partials > 1)
+    // the spreading claim must be asserted against saltedSum's OWN plan,
+    // not a re-statement of the salt formula inside the test (a salted
+    // sum that stopped salting still sums correctly, so the equality
+    // above can't catch the skew regression): the salt expression must
+    // content-hash the FULL row — a key-only (or constant) salt keeps
+    // every hot-key row on one reducer
+    // the ANALYZED plan: the optimizer constant-folds a local fixture
+    // into a LocalRelation, erasing the salt projection it evaluated
+    val saltedPlan = Scale.saltedSum(df, col("k"), col("v"))
+      .queryExecution.analyzed.toString
+    assert("""xxhash64\(k#\d+, v#\d+""".r.findFirstIn(saltedPlan).isDefined,
+      s"salt must hash key AND value columns:\n${saltedPlan.take(800)}")
+    assert(saltedPlan.sliding("Aggregate".length).count(_ == "Aggregate") >= 2,
+      "two-level (partial-per-salt, then per-key) aggregation expected")
   }
 }
