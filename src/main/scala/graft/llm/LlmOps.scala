@@ -953,13 +953,7 @@ object LlmOps {
     */
   def fluencyScore(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bic = textCorpus(corpus, idCol, textCol)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val bic = docBigrams(corpus, idCol, textCol)
     // the two corpus counts as WINDOWS over the reduced frame instead of
     // groupBy+join: c1 (prefix count) partitions by w1, c2 (bigram count)
     // by (w1, w2) — c1 planned first, so the single w1 hash exchange
@@ -979,6 +973,253 @@ object LlmOps {
       .select(col("doc_id"), col("n_bigrams"),
         (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
   }
+
+  /** The per-doc reduced bigram frame (doc_id, w1, w2, n) — the one
+    * derivation [[fluencyScore]], [[buildFluencyModel]] and
+    * [[fluencyStored]] all start from (single-sourced so the three can
+    * never drift on tokenization or windowing). Occurrences reduce to
+    * distinct doc-bigrams in the first aggregation; docs with fewer than
+    * two tokens have no bigrams and are absent by construction.
+    */
+  def docBigrams(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    textCorpus(corpus, idCol, textCol)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+
+  /** [[docBigrams]] computed entirely WITHIN each document's row — same
+    * (doc_id, w1, w2, n) multiset, no shuffle: a doc's bigrams all live
+    * in its own text, so the reduce is a per-row sort + run-length
+    * encode (linear after the sort) instead of a corpus-wide groupBy
+    * exchange. The probe path uses this so a batch's bigram derivation
+    * is a pure scan-stage projection, the [[signaturesOf]] discipline;
+    * the corpus-as-its-own-model [[fluencyScore]] keeps the groupBy
+    * form, whose exchange doubles as the clustering its window sums
+    * reuse.
+    */
+  def docBigramsNarrow(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    textCorpus(corpus, idCol, textCol)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .withColumn("bgs", expr(
+        "array_sort(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2)))"))
+      // 1-based end positions of equal runs, then run lengths by
+      // differencing consecutive ends — the classic RLE, linear per doc
+      .withColumn("ends", expr(
+        "filter(sequence(1, size(bgs)), i -> i = size(bgs) or not (element_at(bgs, i) = element_at(bgs, i + 1)))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(ends, (e, j) -> struct(element_at(bgs, e).w1 as w1, element_at(bgs, e).w2 as w2, cast(e - if(j = 0, 0, element_at(ends, j)) as bigint) as n))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"), col("bg.n").as("n"))
+
+  // ----------------------------------------------- stored fluency model
+
+  /** Directory-partition fan-out of the stored LM's bigram table, and the
+    * shared bucket derivation (build writes with it, the probe prunes
+    * with it — single-sourced like sigBucket/bandBucket so the two can
+    * never disagree on a row's directory).
+    */
+  val LmBuckets = 64
+  def lmBucket(w1: Column): Column = pmod(hash(w1), lit(LmBuckets))
+
+  /** Materialize the corpus bigram LM under `dir` — the REFERENCE model a
+    * production fluency filter actually scores against (CCNet-style: the
+    * LM is trained once on a trusted corpus generation, then every crawl
+    * batch scores against that frozen artifact; [[fluencyScore]]'s
+    * corpus-as-its-own-model form is the in-query special case). One
+    * denormalized table `bigrams/` holds (w1, w2, c2, c1): the bigram
+    * count and its prefix total on the same row, so the probe pays ONE
+    * join instead of two. Directory-partitioned by `wb = [[lmBucket]]`
+    * so a probe prunes to its batch's bucket footprint.
+    *
+    * `minCount` prunes rare bigrams (the classic KenLM size control —
+    * the hapax tail dominates table size under Zipf) AFTER the prefix
+    * totals are taken, so c1 keeps the full mass and surviving
+    * probabilities stay exact: a pruned bigram scores 0 at probe time,
+    * it does not inflate its siblings. Pruning is what bounds the
+    * artifact at 100 TB — model size tracks the KEPT vocabulary, not the
+    * corpus.
+    *
+    * The write goes through [[graft.cdc.Compaction.swapDir]] at the
+    * artifact parent: create-or-REPLACE is atomic-by-rename (the old
+    * generation serves readers throughout a rebuild, every crash window
+    * rolls back to it), the [[rebuildPqIndex]] discipline. Like the BPE
+    * tokenizer there is deliberately NO append path: counts are
+    * mergeable in principle, but every merge changes the c1 denominators
+    * and therefore every stored probability's meaning — the model is a
+    * generation artifact, retrained per corpus drop, not an accumulator.
+    */
+  def buildFluencyModel(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Long = 1L): Unit = {
+    val bg = docBigrams(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum(col("n")).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+      .filter(col("c2") >= minCount)
+      .withColumn("wb", lmBucket(col("w1")))
+    graft.cdc.Compaction.swapDir(dir) { tmp =>
+      bg.repartition(col("wb")).write.mode("overwrite")
+        .partitionBy("wb").parquet(s"$tmp/bigrams")
+    }
+  }
+
+  /** Score `docs` against a STORED [[buildFluencyModel]] artifact — the
+    * production fluency probe: the model is never re-derived, the batch
+    * joins one-sidedly against the frozen table. Bit-identical to
+    * [[fluencyScore]] when the model was built (unpruned) on the scored
+    * corpus itself — same integers, same value-sorted fold (spec'd); on
+    * NEW text, a bigram the model never saw contributes probability 0
+    * (folding zeros first leaves the partial sum bit-unchanged, so
+    * coverage differences never perturb the seen terms), and a doc with
+    * no modeled bigram scores 0.0 — unseen transitions are evidence of
+    * disfluency under the reference corpus, which is the filter's
+    * semantics.
+    *
+    * 100 TB shape: the batch's bucket footprint (≤ [[LmBuckets]] values,
+    * driver-safe at any batch size) pins a static partition filter on the
+    * model scan — the stored-LSH-probe discipline — and the batch side
+    * carries a size-gated broadcast hint ([[GateBroadcastMaxRows]]), so
+    * an ingest micro-batch streams the pruned model directories with no
+    * model-side shuffle, while a corpus-sized backfill drops the hint and
+    * AQE decides. The unmatched side is recovered without any outer join
+    * (a left join would need the model as the build side of an outer
+    * join — unsupported broadcast-left shape): matched probability terms
+    * union with the batch's own mass rows and ONE per-doc aggregation
+    * folds both; the mass rows are a plain `size(t)-1` projection, so
+    * only the probability join ever pays the bigram encode
+    * ([[docBigramsNarrow]] — in-row RLE, no reduce shuffle). Model cost
+    * is bounded by `minCount` pruning at build time, and the artifact is
+    * generation-frozen: probe cost tracks model size and batch
+    * footprint, never the (growing) ingested corpus.
+    *
+    * Harness-scale note (measured at sf0.1, 500-doc batch, REPS=5
+    * medians): ~0.95 s vs the oracle's ~0.1 s is chained-stage fixed
+    * latency — the footprint action plus a main job whose stages are all
+    * ≤ 250 ms over sub-megabyte frames — not volume. Measured-and-
+    * rejected alternatives: per-doc outer join (1.3 s), persisted batch
+    * bigrams (1.6 s — the cache write dominates, the llm_keywords
+    * lesson), driver-localized batch via limit-guarded collect (1.9 s —
+    * Row decode + 32-slice local relations). The shape here is the one
+    * that holds at corpus scale: per-batch work is the batch's own
+    * narrow derivation plus a pruned streamed model scan.
+    */
+  def fluencyStored(docs: DataFrame, modelDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    // ONE light eager job derives the bucket footprint and the size gate
+    // from the batch's raw TOKENS (map-side partial agg over ≤ LmBuckets
+    // groups — no bigram shuffle, nothing cached): every w1 is a token,
+    // so token buckets are a superset of prefix buckets (pruning stays
+    // sound, at most one extra directory opens), and the token count
+    // bounds the bigram-row count from above (the gate only ever
+    // degrades toward the safe, unhinted side). The bigram frame itself
+    // is NOT persisted: its two consumers (probability join, mass rows)
+    // share the one shuffle through exchange reuse — the llm_keywords
+    // lesson, where the cache write of the narrow shuffled table WAS the
+    // dominant cost.
+    // ONE light eager job (a single-row aggregate) derives the bucket
+    // footprint and the size gate from in-row projections — per-doc
+    // bucket sets deduped inside the row (≤ LmBuckets elements each)
+    // before the tiny collect_list merge, token totals as a plain sum;
+    // no occurrence-level explode, no bigram shuffle, nothing cached.
+    // Every w1 is a token, so token buckets are a superset of prefix
+    // buckets (pruning stays sound, at most one extra directory opens),
+    // and the token count bounds the bigram-row count from above (the
+    // gate only ever degrades toward the safe, unhinted side).
+    val fp = textCorpus(docs, idCol, textCol)
+      .select(size(split(col("text"), " ")).cast("bigint").as("k"),
+        expr(s"array_distinct(transform(split(text, ' '), w -> pmod(hash(w), $LmBuckets)))").as("bs"))
+      .agg(sum(col("k")).as("toks"),
+        expr("array_distinct(flatten(collect_list(bs)))").as("buckets"))
+      .collect()(0)
+    // per-doc totals need NO bigram encode: a doc's bigram mass is
+    // size(t)-1, read straight off its own row
+    val mass = textCorpus(docs, idCol, textCol)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), lit(null).cast("double").as("v"),
+        (size(col("t")) - 1).cast("bigint").as("nn"))
+    probeStored(docBigramsNarrow(docs, idCol, textCol), mass, modelDir,
+      Option(fp.getSeq[Int](1)).getOrElse(Seq.empty).toArray,
+      broadcastMaxRows > 0 &&
+        (if (fp.isNullAt(0)) 0L else fp.getLong(0)) <= broadcastMaxRows)
+  }
+
+  /** [[fluencyStored]] over a caller-derived (caller-persisted,
+    * caller-released) [[docBigrams]] frame — the form the ingest gate
+    * uses when the epoch already owns a shared bigram cache. The
+    * footprint job here reads `bg` itself (materializing the caller's
+    * cache as a side effect).
+    */
+  def fluencyStoredFrom(bg: DataFrame, modelDir: String,
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    // static partition pruning off the batch's bounded bucket footprint
+    // (≤ LmBuckets values — the incrementalDedupMinHashIndexedFrom
+    // rationale: an IN over the partition column lands in the scan's
+    // PartitionFilters regardless of size-estimate heuristics). ONE
+    // eager job derives the footprint AND the size-gate row count.
+    val bucketCounts = bg.groupBy(lmBucket(col("w1")).as("wb"))
+      .agg(count(lit(1)).as("c")).collect()
+    probeStored(bg,
+      bg.select(col("doc_id"), lit(null).cast("double").as("v"),
+        col("n").as("nn")),
+      modelDir, bucketCounts.map(_.getInt(0)),
+      broadcastMaxRows > 0 &&
+        bucketCounts.map(_.getLong(1)).sum <= broadcastMaxRows)
+  }
+
+  /** The probe's shared tail: `bg` the batch's reduced (doc_id, w1, w2,
+    * n) bigram rows (fed to the probability join), `mass` the per-doc
+    * totals as (doc_id, v=null, nn) rows — the [[fluencyStored]] path
+    * derives them as a plain `size(t)-1` projection (no bigram encode at
+    * all), the From variant re-reads its caller's cached frame.
+    */
+  private def probeStored(bg: DataFrame, mass: DataFrame, modelDir: String,
+      buckets: Array[Int], small: Boolean): DataFrame = {
+    val spark = bg.sparkSession
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val model = spark.read.parquet(s"$modelDir/bigrams")
+      .filter(col("wb").isin(buckets.map(Integer.valueOf): _*))
+    // ONE aggregation serves both outputs: matched rows carry their
+    // probability term (and 0 bigram mass), each mass row its doc's
+    // bigram total (and a null term that collect_list skips) — so the
+    // fold sees exactly the matched multiset, n_bigrams sums the batch's
+    // own counts, and a doc with no modeled transition folds an empty
+    // list to 0.0. No per-doc outer join, no coalesce: the union is the
+    // unmatched-recovery.
+    val matched = model.join(hinted(bg), Seq("w1", "w2"))
+      .select(col("doc_id"),
+        (col("n").cast("double") *
+          (col("c2").cast("double") / col("c1").cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    matched.unionByName(mass)
+      .groupBy("doc_id")
+      .agg(sum(col("nn")).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("f_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
+  }
+
+  /** Health gauge for a stored [[buildFluencyModel]] artifact — size and
+    * mass in one row: distinct prefixes (vocabulary), stored bigram rows
+    * (what `minCount` pruning is bounding), total transition mass, and
+    * the hottest prefix's mass (a skew early-warning: one w1 owning a
+    * huge share means its bucket's directories dominate probe cost).
+    * Maintenance-cadence read of the stored table, never in the probe
+    * path.
+    */
+  def lmStats(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/bigrams")
+      .agg(countDistinct(col("w1")).as("n_prefixes"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("total_mass"),
+        max(col("c1")).as("max_prefix_mass"))
 
   // --------------------------------------------------- keyword extraction
 

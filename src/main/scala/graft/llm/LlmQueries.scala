@@ -109,6 +109,19 @@ object LlmQueries {
       dir
     }
 
+  /** The stored bigram LM ([[LlmOps.buildFluencyModel]], unpruned) over
+    * `d`'s documents — scored by the stored fluency probe and read by the
+    * LM health gauge. Built on the FULL corpus so the stored probe of the
+    * same corpus is bit-identical to the in-query form and the two share
+    * one oracle.
+    */
+  private def lmDir(s: SparkSession, d: String): String =
+    memo(s"lm|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-lm")
+      LlmOps.buildFluencyModel(Tables.documents(s, d), dir)
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -283,6 +296,14 @@ object LlmQueries {
     // probability under the corpus' own bigram counts — rational
     // arithmetic only, value-sorted fold for cross-engine bit-exactness
     "llm_fluency"       -> ((s, d) => LlmOps.fluencyScore(Tables.documents(s, d))),
+    // the stored-LM probe in its production shape: a BATCH (the %10 doc
+    // slice — the incrementalNearBatch discipline) scores against the
+    // full-corpus model. Slice ⊆ model corpus ⇒ full coverage, same
+    // integers, same sorted fold — bit-identical to the in-query scoring
+    // restricted to the slice, which is what the oracle states
+    "llm_fluency_idx"   -> ((s, d) => LlmOps.fluencyStored(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), lmDir(s, d))),
+    "llm_lm_stats"      -> ((s, d) => LlmOps.lmStats(s, lmDir(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -378,6 +399,7 @@ object LlmQueries {
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
     "llm_fluency"       -> Seq(col("doc_id")),
+    "llm_fluency_idx"   -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -876,6 +898,42 @@ object LlmQueries {
         |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
         |FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // stored-LM batch probe: the model (c2/c1) derives from the FULL
+    // corpus on both engines; only the scored rows restrict to the %5
+    // slice — the one WHERE is the entire difference from llm_fluency
+    "llm_fluency_idx" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |       WHERE len(t) >= 2),
+        |bic AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bic GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
+        |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
+        |FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |WHERE doc_id % 10 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // stored-LM health gauge: the oracle re-derives the unpruned model's
+    // table (the harness artifact) from the corpus and states the same
+    // four aggregates the Spark side reads off the stored parquet
+    "llm_lm_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |       WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT CAST(count(DISTINCT w1) AS BIGINT) AS n_prefixes,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(c2) AS BIGINT) AS total_mass,
+        |  CAST(MAX(c1) AS BIGINT) AS max_prefix_mass
+        |FROM c2 JOIN c1 USING (w1)""".stripMargin,
 
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -85,6 +85,18 @@ object StreamingIngest {
     * The epoch derives (vec_id, e, label, nrm) ONCE, shared between the
     * semantic probe and the ANN append ([[LlmOps.appendAnnIndexFrom]]).
     *
+    * `fluencyThreshold` (requires `lmDir`, a stored
+    * [[LlmOps.buildFluencyModel]] artifact) adds a STATELESS quality
+    * gate between the minhash and semantic probes: each minhash survivor
+    * scores against the frozen reference LM
+    * ([[LlmOps.fluencyStoredFrom]]) and is dropped below the bar —
+    * the CCNet-style perplexity filter, composed from the same stored
+    * artifact the `llm_fluency_idx` query probes. The gate touches no
+    * index and appends nothing, so it adds NO crash window: a replayed
+    * epoch scores identically against the generation-frozen model.
+    * Short docs (< 2 tokens, no transition evidence) drop with the
+    * disfluent ones.
+    *
     * `pqIndexDir` keeps a stored [[LlmOps.buildPqIndex]] serving index in
     * lockstep as well: survivors' vectors are encoded against the FROZEN
     * codebook ([[LlmOps.appendPqIndex]]) and their packed codes land in
@@ -106,9 +118,13 @@ object StreamingIngest {
       vecCol: String = "embedding", cellCol: String = "label",
       semanticThreshold: Option[Double] = None,
       pqIndexDir: Option[String] = None,
+      lmDir: Option[String] = None,
+      fluencyThreshold: Option[Double] = None,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
+    require(fluencyThreshold.isEmpty || lmDir.nonEmpty,
+      "fluencyThreshold needs lmDir: the fluency gate scores against the stored bigram LM")
     // startup recovery: a previous run may have died INSIDE a compaction
     // swap (table level) or a PQ REBUILD swap (parent level — the whole
     // artifact renamed away mid-generation-change), leaving an index
@@ -121,6 +137,10 @@ object StreamingIngest {
     graft.cdc.Compaction.recoverDir(indexDir)
     annIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     pqIndexDir.foreach(graft.cdc.Compaction.recoverDir)
+    // the LM is read-only in the loop (generation artifact, no append),
+    // but a REBUILD that crashed mid-swap leaves the parent renamed away
+    // — same recovery as the PQ artifact parent
+    lmDir.foreach(graft.cdc.Compaction.recoverDir)
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
     annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))
@@ -143,17 +163,37 @@ object StreamingIngest {
         val survivors = LlmOps
           .incrementalDedupMinHashIndexedFrom(sig, bands, indexDir, threshold)
           .withColumnRenamed("doc_id", idCol)
-        // with the semantic gate on, kept0 feeds TWO materializations
-        // (the semantic probe's footprint collect and the corpus write) —
-        // persisted so the minhash probe joins run once per epoch
+        // with a downstream gate on, kept0 feeds more than one
+        // materialization (a gate's footprint collect and the corpus
+        // write) — persisted so the minhash probe joins run once per epoch
         val kept0raw = batch.join(survivors, Seq(idCol), "left_semi")
-        val kept0 =
-          if (semanticThreshold.isDefined) kept0raw.persist(lvl) else kept0raw
-        // the optional SECOND gate: minhash survivors probe the stored
-        // cell table; the (vec_id, e, label, nrm) frame is derived once
-        // and reused by the ANN append below
+        val moreGates =
+          semanticThreshold.isDefined || fluencyThreshold.isDefined
+        val kept0 = if (moreGates) kept0raw.persist(lvl) else kept0raw
+        // the optional STATELESS quality gate: minhash survivors score
+        // against the stored bigram LM and must clear the fluency bar.
+        // Runs before the semantic probe (a pure filter shrinks that
+        // probe's work and touches no index), and replay-safety is free:
+        // the model is a frozen generation artifact, so a replayed epoch
+        // scores identically. Docs with fewer than two tokens have no
+        // transition evidence and drop with the disfluent ones — the
+        // short-doc discipline of a production LM filter.
+        val bgF = fluencyThreshold.map { _ =>
+          LlmOps.docBigrams(kept0, idCol, textCol).persist(lvl)
+        }
+        val kept1 = (fluencyThreshold, bgF) match {
+          case (Some(ft), Some(bgf)) =>
+            val fluent = LlmOps.fluencyStoredFrom(bgf, lmDir.get)
+              .filter(col("fluency") >= ft)
+              .select(col("doc_id").as(idCol))
+            kept0.join(fluent, Seq(idCol), "left_semi")
+          case _ => kept0
+        }
+        // the optional SECOND index gate: fluency survivors probe the
+        // stored cell table; the (vec_id, e, label, nrm) frame is derived
+        // once and reused by the ANN append below
         val bVec = semanticThreshold.map { _ =>
-          kept0.select(col(idCol).as("vec_id"),
+          kept1.select(col(idCol).as("vec_id"),
               col(vecCol).cast("array<double>").as("e"),
               col(cellCol).as("label"))
             .withColumn("nrm",
@@ -166,8 +206,8 @@ object StreamingIngest {
               .incrementalDedupCosineIndexedFrom(bv, annIndexDir.get, t,
                 excludeBatchIds = true)
               .withColumnRenamed("vec_id", idCol)
-            kept0.join(semOk, Seq(idCol), "left_semi").persist(lvl)
-          case _ => kept0.persist(lvl)
+            kept1.join(semOk, Seq(idCol), "left_semi").persist(lvl)
+          case _ => kept1.persist(lvl)
         }
         // effectively-once corpus: epoch-keyed dynamic partition overwrite
         // (the cdc.Streaming.startToParquetIdempotent discipline) — a
@@ -203,7 +243,8 @@ object StreamingIngest {
           sig.join(keptIds, Seq("doc_id"), "left_semi"),
           bands.join(keptIds, Seq("doc_id"), "left_semi"), indexDir)
         kept.unpersist()
-        if (semanticThreshold.isDefined) kept0.unpersist()
+        if (moreGates) kept0.unpersist()
+        bgF.foreach(_.unpersist())
         bVec.foreach(_.unpersist())
         bands.unpersist()
         sig.unpersist()

@@ -1368,6 +1368,63 @@ class LlmSpec extends SparkSpec {
       "the doc whose transitions the corpus has seen twice must outscore the rare one")
   }
 
+  test("stored fluency model: probe ≡ in-query on the model corpus; unseen transitions score zero on new text") {
+    val d = docs(1L -> "a b a b", 3L -> "a c", 5L -> "x", 7L -> "")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-spec").toString
+    LlmOps.buildFluencyModel(d, dir)
+    // full coverage ⇒ same integers, same value-sorted fold, bit-identical
+    val inline = LlmOps.fluencyScore(d).collect().map(_.toSeq).toSet
+    val stored = LlmOps.fluencyStored(d, dir).collect().map(_.toSeq).toSet
+    assert(stored === inline,
+      "stored probe of the model corpus must be bit-identical to the in-query form")
+    // cross-corpus scoring against the FROZEN model: c(a,b)=2, c(a·)=3
+    val out = LlmOps.fluencyStored(
+      docs(11L -> "a b c", 13L -> "z z z", 15L -> "q"), dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 15 is short (no bigrams) — absent, like the in-query form
+    assert(out.keySet === Set(11L, 13L))
+    // doc 11: (a,b) seen with p=2/3, (b,c) unseen → 0; mean over BOTH
+    assert(out(11L) === ((2L, (0.0 + 2.0 / 3.0) / 2.0)))
+    // doc 13: every transition unseen → present with fluency exactly 0
+    assert(out(13L) === ((2L, 0.0)))
+  }
+
+  test("fluency model minCount pruning drops rare bigrams but keeps full prefix mass; lmStats reads the stored table") {
+    // bigrams: (a,b)×2, (b,a)×2, (a,c)×1 ⇒ c(a·)=3, c(b·)=2
+    val d = docs(1L -> "a b a b a c")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-prune").toString
+    LlmOps.buildFluencyModel(d, dir, minCount = 2L)
+    // the hapax (a,c) is pruned from the table...
+    val stats = LlmOps.lmStats(spark, dir).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+      === ((2L, 2L, 4L, 3L)),
+      "stats must see 2 prefixes, 2 stored bigrams, mass 4, hottest prefix 3")
+    val scored = LlmOps.fluencyStored(
+      docs(21L -> "a c", 23L -> "a b"), dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ...so it scores 0 at probe time...
+    assert(scored(21L) === 0.0, "a pruned bigram must score like an unseen one")
+    // ...while survivors keep the FULL denominator: p(b|a) = 2/3, not 2/2
+    assert(scored(23L) === 2.0 / 3.0,
+      "pruning must not inflate surviving probabilities (c1 keeps full mass)")
+  }
+
+  test("fluency model rebuild is create-or-replace through the swap: new generation serves, no stale table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-gen").toString
+    LlmOps.buildFluencyModel(docs(1L -> "a b"), dir)
+    // a RETRAIN on the next corpus generation replaces the artifact in
+    // place (swapDir create-or-replace) — the probe sees only the new
+    // generation's counts
+    LlmOps.buildFluencyModel(docs(1L -> "c d c d"), dir)
+    val out = LlmOps.fluencyStored(docs(31L -> "a b", 33L -> "c d"), dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(31L) === 0.0, "old-generation bigrams must be gone after the rebuild")
+    assert(out(33L) > 0.0, "new-generation bigrams must score")
+    assert(!new java.io.File(dir + ".pre-compaction").exists() &&
+      !new java.io.File(dir + ".compacted").exists(),
+      "the swap must leave no step-aside directories behind")
+  }
+
   test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))

@@ -72,6 +72,57 @@ class StreamingIngestSpec extends SparkSpec {
       s"post-ingest corpus and index must reconcile exactly, got $cov")
   }
 
+  test("fluency gate composes: gibberish and short docs drop against the stored LM, fluent novel text passes") {
+    val idx = Files.createTempDirectory("graft-sif-idx").toString
+    val lm = Files.createTempDirectory("graft-sif-lm").toString
+    val src = Files.createTempDirectory("graft-sif-src").toString
+    val out = Files.createTempDirectory("graft-sif-out").toString
+    val ckp = Files.createTempDirectory("graft-sif-ckp").toString
+
+    val base = docs(1L -> mk("alpha"), 2L -> mk("beta"))
+    LlmOps.buildMinHashIndex(base, idx)
+    LlmOps.buildFluencyModel(base, lm)
+
+    def writeSlice(name: String, d: org.apache.spark.sql.DataFrame, ts: Long): Unit = {
+      val tmp = s"$src/_$name"
+      d.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(ts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    // 100: near-copy of base doc 1 → minhash gate drops it before the LM
+    //      is ever consulted
+    // 101: novel under LSH (a short subrange of base doc 2's tokens) but
+    //      every transition is in the LM with p=1 → fluency 1.0, admitted
+    // 102: novel AND gibberish — no transition the reference corpus has
+    //      seen → fluency 0, dropped by the LM gate
+    // 103: one token — no transition evidence, dropped (short-doc policy)
+    val fluent = (3 to 12).map(i => s"beta$i").mkString(" ")
+    writeSlice("s1", docs(
+      100L -> (mk("alpha") + " tail27"),
+      101L -> fluent,
+      102L -> mk("qqzz"),
+      103L -> "solo"), System.currentTimeMillis() - 60000)
+
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      lmDir = Some(lm), fluencyThreshold = Some(0.5))
+      .awaitTermination()
+
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(101L),
+      s"only the fluent novel doc passes both gates, got $admitted")
+    // the index grew by exactly the composed survivors — the dropped
+    // docs' signatures never landed
+    assert(spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 101L),
+      "index must grow by the fluency-gate survivors only")
+  }
+
   test("ANN index rides the gate: an epoch-0 survivor's vector is probe-visible post-drain") {
     val idx = Files.createTempDirectory("graft-si3-idx").toString
     val ann = Files.createTempDirectory("graft-si3-ann").toString

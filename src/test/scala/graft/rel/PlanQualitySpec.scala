@@ -246,6 +246,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("fluency: both corpus-count windows share one w1 exchange, no count-table join") {
+    // the stored-LM probe (built by the global sweep above) PERSISTS its
+    // batch-bigram frame, and the cache manager substitutes that
+    // InMemoryRelation into any later plan-matching fragment — including
+    // this query's bigram reduce, whose cached-plan text then inflates
+    // the exchange count. Clear it: this test asserts the query's OWN
+    // shape, not what a co-resident cache happens to cover.
+    spark.sqlContext.clearCache()
     val p = plan("llm_fluency")
     assert(!p.contains("Join"), s"window form must not join a count table back:\n${p.take(1200)}")
     assert(p.contains("Window"), "expected window-sum corpus counts")
@@ -255,6 +262,33 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 3,
       s"expected 3 exchanges (reduce, shared window shuffle, fold), got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("stored-LM fluency probe: model scan bucket-pruned and streamed, never the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_fluency_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the model scan carries the batch's STATIC bucket footprint as a
+    // partition filter — unprobed wb directories are never opened
+    val at = p.indexOf("/bigrams], PartitionFilters: [")
+    assert(at >= 0, s"model scan missing partition filters:\n${p.take(1500)}")
+    assert(p.substring(at, math.min(p.length, at + 160)).contains("wb"),
+      s"model partition filter must pin the batch's bucket set")
+    // the stored model must never be the broadcast build side (the
+    // stored-index rule: an all-model-leaf build subtree = the whole
+    // vocabulary-sized table broadcast, the shape that dies at scale)
+    val phys = df.queryExecution.sparkPlan
+    for (j <- phys.collect { case jj: BroadcastHashJoinExec => jj }) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("/bigrams"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored LM table is the broadcast build side:\n${j.toString.take(800)}")
+    }
   }
 
   test("partitioned delivery log prunes partitions on entity filters") {
