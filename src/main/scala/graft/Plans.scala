@@ -36,8 +36,8 @@ object Plans {
       "llm_ann_ivf_idx"   -> "ANN off the STORED cell table: broadcast query set probes the label-partitioned parquet (norms precomputed at build), cosine only over probed cells",
       "llm_dedup_sem_idx" -> "the EMBEDDING-side ingest gate off the stored cell index: batch's cell footprint pinned as a static partition filter on the cells scan, batch broadcast into the cosine verify, survivors by anti-join — unprobed cells never opened",
       "llm_ann_ivfpq_idx" -> "IVF-PQ off the STORED serving index: query cells pinned as a static partition filter on the packed-codes scan, K-row codebook broadcast into the reconstruction, ADC rank — raw vectors never read",
-      "llm_fluency"       -> "corpus-as-LM bigram fluency: occurrences reduce to (doc,w1,w2,n) in the FIRST aggregate, both corpus counts are window sums sharing ONE w1 exchange (c1 plans first; (w1,w2) clustering satisfied) — no count table, no join, three exchanges total",
-      "llm_fluency_idx"   -> "fluency off the STORED reference LM: the batch's wb bucket footprint pinned as a static partition filter on the model scan, batch bigrams broadcast into the probability join (size-gated), unmatched transitions recovered per-DOC by a batch-sized left join — the model is streamed, pruned, and never a build side",
+      "llm_fluency"       -> "corpus-as-LM bigram fluency: occurrences reduce to (doc,w1,w2,n) INSIDE each doc's row (sort+RLE — no reduce shuffle), both corpus counts are window sums sharing ONE w1 exchange (c1 plans first; (w1,w2) clustering satisfied) — no count table, no join, two exchanges total",
+      "llm_fluency_idx"   -> "fluency off the STORED reference LM: the batch's wb bucket footprint pinned as a static partition filter on the model scan, batch bigrams (in-row RLE encode, no reduce shuffle) broadcast into the probability join (size-gated), unmatched transitions recovered by unioning plain size(t)-1 mass rows into ONE per-doc fold — the model is streamed, pruned, and never a build side",
       "llm_curate_funnel" -> "the composed curation pipeline as one DAG: quality ids persisted once for two consumers, survivor sets chained as id-only semi joins, minhash+CC over the stage-2 survivors, four stage counts unioned — nothing collected to the driver",
       "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan")
     val sb = new StringBuilder

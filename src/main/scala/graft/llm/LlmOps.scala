@@ -928,14 +928,16 @@ object LlmOps {
     * hashes); the per-doc sum folds the value-sorted list so the result
     * is bit-exact against the oracle stating the same fold.
     *
-    * 100 TB shape: occurrences reduce to (doc, w1, w2, n) in the first
-    * aggregation and the weighted fold (n·c2/c1 per DISTINCT doc-bigram)
-    * never re-expands them — the [[tokenFreqScore]] discipline. Both
-    * corpus counts derive as window sums over that reduced frame (no
-    * count table is ever materialized or joined back): c1 partitions by
-    * w1 and plans first, so the one w1 hash exchange satisfies the
-    * (w1, w2) window's clustering too — the whole query is three
-    * exchanges (doc-bigram reduce, w1 windows, per-doc fold). The window
+    * 100 TB shape: occurrences reduce to (doc, w1, w2, n) WITHIN each
+    * document's own row ([[docBigrams]] — a doc's bigrams all
+    * live in its text, so the reduce is a per-row sort + run-length
+    * encode, no shuffle) and the weighted fold (n·c2/c1 per DISTINCT
+    * doc-bigram) never re-expands them — the [[tokenFreqScore]]
+    * discipline. Both corpus counts derive as window sums over that
+    * reduced frame (no count table is ever materialized or joined
+    * back): c1 partitions by w1 and plans first, so the one w1 hash
+    * exchange satisfies the (w1, w2) window's clustering too — the
+    * whole query is TWO exchanges (w1 windows, per-doc fold). The window
     * route also sidesteps the broadcast question entirely: nothing
     * vocabulary-sized ever sits on a build side, and a hot prefix (one
     * w1 owning a huge bigram fan-out) costs a partition-local sort, not
@@ -953,6 +955,11 @@ object LlmOps {
     */
   def fluencyScore(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // in-row bigram reduce ([[docBigrams]]): the (doc,w1,w2)
+    // groupBy exchange the reduce used to pay never satisfied the w1
+    // windows' clustering anyway, so dropping it removes a full shuffle
+    // from the plan (3 → 2 exchanges; same rows, same integer sums,
+    // same sorted fold — bit-identical, re-verified)
     val bic = docBigrams(corpus, idCol, textCol)
     // the two corpus counts as WINDOWS over the reduced frame instead of
     // groupBy+join: c1 (prefix count) partitions by w1, c2 (bigram count)
@@ -977,31 +984,15 @@ object LlmOps {
   /** The per-doc reduced bigram frame (doc_id, w1, w2, n) — the one
     * derivation [[fluencyScore]], [[buildFluencyModel]] and
     * [[fluencyStored]] all start from (single-sourced so the three can
-    * never drift on tokenization or windowing). Occurrences reduce to
-    * distinct doc-bigrams in the first aggregation; docs with fewer than
-    * two tokens have no bigrams and are absent by construction.
+    * never drift on tokenization or windowing). The reduce happens
+    * entirely WITHIN each document's row: a doc's bigrams all live in
+    * its own text, so a per-row sort + run-length encode (linear after
+    * the sort) replaces a corpus-wide groupBy — the derivation is a
+    * pure scan-stage projection with no exchange, the [[signaturesOf]]
+    * discipline. Docs with fewer than two tokens have no bigrams and
+    * are absent by construction.
     */
   def docBigrams(corpus: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    textCorpus(corpus, idCol, textCol)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-
-  /** [[docBigrams]] computed entirely WITHIN each document's row — same
-    * (doc_id, w1, w2, n) multiset, no shuffle: a doc's bigrams all live
-    * in its own text, so the reduce is a per-row sort + run-length
-    * encode (linear after the sort) instead of a corpus-wide groupBy
-    * exchange. The probe path uses this so a batch's bigram derivation
-    * is a pure scan-stage projection, the [[signaturesOf]] discipline;
-    * the corpus-as-its-own-model [[fluencyScore]] keeps the groupBy
-    * form, whose exchange doubles as the clustering its window sums
-    * reuse.
-    */
-  def docBigramsNarrow(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     textCorpus(corpus, idCol, textCol)
       .withColumn("t", split(col("text"), " "))
@@ -1092,7 +1083,7 @@ object LlmOps {
     * union with the batch's own mass rows and ONE per-doc aggregation
     * folds both; the mass rows are a plain `size(t)-1` projection, so
     * only the probability join ever pays the bigram encode
-    * ([[docBigramsNarrow]] — in-row RLE, no reduce shuffle). Model cost
+    * ([[docBigrams]] — in-row RLE, no reduce shuffle). Model cost
     * is bounded by `minCount` pruning at build time, and the artifact is
     * generation-frozen: probe cost tracks model size and batch
     * footprint, never the (growing) ingested corpus.
@@ -1144,7 +1135,7 @@ object LlmOps {
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), lit(null).cast("double").as("v"),
         (size(col("t")) - 1).cast("bigint").as("nn"))
-    probeStored(docBigramsNarrow(docs, idCol, textCol), mass, modelDir,
+    probeStored(docBigrams(docs, idCol, textCol), mass, modelDir,
       Option(fp.getSeq[Int](1)).getOrElse(Seq.empty).toArray,
       broadcastMaxRows > 0 &&
         (if (fp.isNullAt(0)) 0L else fp.getLong(0)) <= broadcastMaxRows)

@@ -256,12 +256,14 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("llm_fluency")
     assert(!p.contains("Join"), s"window form must not join a count table back:\n${p.take(1200)}")
     assert(p.contains("Window"), "expected window-sum corpus counts")
-    // exactly three exchanges: doc-bigram reduce, the shared w1 window
-    // shuffle, the per-doc fold — a fourth means the (w1, w2) window
-    // stopped reusing the w1 partitioning
+    // exactly two exchanges: the shared w1 window shuffle and the
+    // per-doc fold — the bigram reduce happens inside each doc's own row
+    // (docBigrams' in-row RLE), and a third exchange means either that reduce
+    // regressed to a groupBy or the (w1, w2) window stopped reusing the
+    // w1 partitioning
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 3,
-      s"expected 3 exchanges (reduce, shared window shuffle, fold), got $exchanges:\n${p.take(1500)}")
+    assert(exchanges == 2,
+      s"expected 2 exchanges (shared window shuffle, fold), got $exchanges:\n${p.take(1500)}")
   }
 
   test("stored-LM fluency probe: model scan bucket-pruned and streamed, never the broadcast build side") {
