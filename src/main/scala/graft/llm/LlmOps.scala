@@ -1726,6 +1726,39 @@ object LlmOps {
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }
 
+  /** [[curationFunnel]] extended with the REFERENCE-LM stage — the full
+    * CCNet-shaped pipeline (heuristic quality gate → exact dedup → near
+    * dedup → LM fluency bar) as one declarative plan: near-dedup
+    * survivors score against a stored [[buildFluencyModel]] artifact
+    * ([[fluencyStored]] — the same frozen model the streaming ingest
+    * gate probes) and must clear `threshold`. Reported as five stage
+    * counts. The LM runs LAST deliberately: it is the only stage that
+    * touches a stored artifact, and every earlier stage shrinks the
+    * batch it has to score. Survivor sets still pass between stages as
+    * id-only semi joins; the stage-3 survivor corpus is persisted
+    * because the LM probe reads it three ways (footprint job,
+    * probability join, mass rows) — released at the caller's
+    * clearCache, the funnel's existing cache discipline.
+    */
+  def curationFunnelLm(corpus: DataFrame, lmDir: String,
+      threshold: Double = 0.0333, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (raw, qIds, eCorpus) = funnelStages(corpus, idCol, textCol,
+      persistQIds = true)
+    val kept = dedupApply(eCorpus, dedupMinHash(eCorpus))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fluent = fluencyStored(kept, lmDir)
+      .filter(col("fluency") >= threshold).select("doc_id")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_raw", raw)
+      .unionByName(stage("1_quality", qIds))
+      .unionByName(stage("2_exact_dedup", eCorpus))
+      .unionByName(stage("3_near_dedup", kept))
+      .unionByName(stage("4_fluent", fluent))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit run between two
     * crawl generations before a retrain: per doc_id, `added` (only in
     * the new snapshot), `removed` (only in the old), `changed` (both,
@@ -1778,6 +1811,21 @@ object LlmOps {
       |FROM documents WHERE doc_id % 11 <> 0
       |UNION ALL
       |SELECT doc_id + 70000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** [[snapshotNext]]'s embedding-corpus twin — the next vector
+    * generation for the ANN/PQ coverage audits: every 11th vector
+    * removed, every 13th re-embedded under a new id (arrivals the stored
+    * cell/code tables have never seen).
+    */
+  def vecSnapshotNext(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 11 =!= 0)
+      .unionByName(emb.filter(col("vec_id") % 13 === 0)
+        .withColumn("vec_id", col("vec_id") + 700000L))
+
+  val VecSnapshotNextSql: String =
+    """SELECT * FROM embeddings WHERE vec_id % 11 <> 0
+      |UNION ALL
+      |SELECT * REPLACE (vec_id + 700000 AS vec_id) FROM embeddings WHERE vec_id % 13 = 0""".stripMargin
 
   /** Harness fixture for [[curateDelta]]: [[snapshotNext]] plus a slice of
     * NEAR-duplicate arrivals — every 17th doc re-crawled under a new id
@@ -2313,17 +2361,26 @@ object LlmOps {
     * Complements [[corpusDiff]] (content-level, corpus-vs-corpus) at the
     * id level, corpus-vs-index.
     *
-    * 100 TB shape: the index side reads ONLY the signature table's doc_id
-    * column (columnar prune — signatures' gs arrays never leave the
-    * scan), the corpus side only its id column; the decision is a
-    * full-outer join of 8-byte keys reduced to three counts —
-    * map-side-combinable aggs, nothing driver-sized. Cheap enough to run
-    * at every maintenance window alongside [[minHashIndexStats]].
+    * `indexTable`/`indexIdCol` point the audit at ANY of the stored
+    * artifacts' id-bearing tables — `signatures`/doc_id (LSH, the
+    * default), `cells`/vec_id ([[buildAnnIndex]]), `codes`/vec_id
+    * ([[buildPqIndex]]) — so every index in the lifecycle gets the same
+    * reconciliation (the distinct() also makes the audit robust to
+    * not-yet-compacted replay duplicates in an append-log table).
+    *
+    * 100 TB shape: the index side reads ONLY the stored table's id
+    * column (columnar prune — signature arrays / vectors / packed codes
+    * never leave the scan), the corpus side only its id column; the
+    * decision is a full-outer join of 8-byte keys reduced to three
+    * counts — map-side-combinable aggs, nothing driver-sized. Cheap
+    * enough to run at every maintenance window alongside
+    * [[minHashIndexStats]] / [[annIndexStats]] / [[pqIndexStats]].
     */
   def indexCoverage(corpus: DataFrame, indexDir: String,
-      idCol: String = "doc_id"): DataFrame = {
-    val idx = corpus.sparkSession.read.parquet(s"$indexDir/signatures")
-      .select(col("doc_id").as("idx_id")).distinct()
+      idCol: String = "doc_id", indexTable: String = "signatures",
+      indexIdCol: String = "doc_id"): DataFrame = {
+    val idx = corpus.sparkSession.read.parquet(s"$indexDir/$indexTable")
+      .select(col(indexIdCol).as("idx_id")).distinct()
     val cur = corpus.select(col(idCol).as("cur_id")).distinct()
     idx.join(cur, col("idx_id") === col("cur_id"), "full_outer")
       .select(when(col("idx_id").isNull, lit("unindexed"))

@@ -205,6 +205,11 @@ object LlmQueries {
     // (kept doc ids + a content witness)
     "llm_curate_apply" -> ((s, d) =>
       LlmOps.curationApply(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
+    // the full CCNet-shaped pipeline: funnel stages + the stored-LM
+    // fluency bar over the near-dedup survivors (the model is the
+    // memoized full-documents artifact the other LM queries probe)
+    "llm_curate_lm" -> ((s, d) => LlmOps.curationFunnelLm(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d))),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -357,6 +362,15 @@ object LlmQueries {
     // removed ids orphaned
     "llm_index_coverage" -> ((s, d) => LlmOps.indexCoverage(
       LlmOps.snapshotNext(Tables.documents(s, d)), mhIndexDir(s, d))),
+    // the same reconciliation for the embedding-side artifacts: the
+    // stored cell table (ANN) and packed-code table (PQ) audit against
+    // the next vector generation — arrivals unindexed, removals orphaned
+    "llm_ann_coverage" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.vecSnapshotNext(Tables.embeddings(s, d)), annIndexDir(s, d),
+      idCol = "vec_id", indexTable = "cells", indexIdCol = "vec_id")),
+    "llm_pq_coverage" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.vecSnapshotNext(Tables.embeddings(s, d)), pqIndexDir(s, d),
+      idCol = "vec_id", indexTable = "codes", indexIdCol = "vec_id")),
     // codebook-drift gauge over the stored PQ index: per cell, vectors
     // over the quantization-error budget + worst error — the retrain dial
     "llm_pq_drift" -> ((s, d) =>
@@ -377,9 +391,12 @@ object LlmQueries {
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_index_coverage" -> Seq(col("status")),
+    "llm_ann_coverage"  -> Seq(col("status")),
+    "llm_pq_coverage"   -> Seq(col("status")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
+    "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
@@ -1333,6 +1350,43 @@ object LlmQueries {
          |   WHERE doc_id NOT IN (SELECT node FROM dropped))
          |ORDER BY stage""".stripMargin,
 
+    // the funnel + the reference-LM bar: stages 0-3 restate the funnel
+    // oracle; the model counts (mc2/mc1) derive from the PLAIN documents
+    // table (the stored artifact's training corpus), survivors score
+    // with the SAME matched-only value-sorted fold the Spark probe
+    // states (unmatched transitions contribute 0 through the per-doc
+    // left join), and stage 4 counts the docs clearing the bar
+    "llm_curate_lm" ->
+      s"""WITH RECURSIVE $funnelCcCte,
+         |mtk AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |mbi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+         |        FROM mtk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+         |        WHERE len(t) >= 2),
+         |mc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM mbi GROUP BY 1, 2),
+         |mc1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM mc2 GROUP BY 1),
+         |surv AS (SELECT c.doc_id, c.text FROM corpus c
+         |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
+         |stk AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+         |sbi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+         |        FROM stk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+         |        WHERE len(t) >= 2),
+         |sbic AS (SELECT doc_id, w1, w2, count(*) AS n FROM sbi GROUP BY 1, 2, 3),
+         |fm AS (SELECT s.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_sort(list(CAST(s.n AS DOUBLE) * (CAST(mc2.c2 AS DOUBLE) / CAST(mc1.c1 AS DOUBLE))))),
+         |         (a, v) -> a + v) AS fs
+         |       FROM sbic s JOIN mc2 USING (w1, w2) JOIN mc1 USING (w1) GROUP BY s.doc_id),
+         |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
+         |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
+         |       FROM nb LEFT JOIN fm USING (doc_id))
+         |SELECT '0_raw' AS stage,
+         |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
+         |UNION ALL SELECT '1_quality',
+         |  (SELECT count(*) FROM (${qualityKeepIdsSql(LlmOps.NearCorpusSql)}) r1)
+         |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM corpus)
+         |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM surv)
+         |UNION ALL SELECT '4_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
+         |ORDER BY stage""".stripMargin,
+
     // the funnel's terminal corpus: every stage-2 survivor that is not a
     // non-keeper near-dup cluster member
     "llm_curate_apply" ->
@@ -1607,6 +1661,29 @@ object LlmQueries {
          |            ELSE 'indexed' END AS status,
          |  count(*) AS n_docs
          |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // the ANN cell table and the PQ code table each hold one row per
+    // base-generation vector, so both coverage audits reduce to the same
+    // id-set reconciliation against the next vector generation
+    "llm_ann_coverage" ->
+      s"""WITH cur AS (SELECT vec_id FROM (${LlmOps.VecSnapshotNextSql}) sn),
+         |idx AS (SELECT vec_id FROM embeddings)
+         |SELECT CASE WHEN i.vec_id IS NULL THEN 'unindexed'
+         |            WHEN c.vec_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.vec_id = c.vec_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "llm_pq_coverage" ->
+      s"""WITH cur AS (SELECT vec_id FROM (${LlmOps.VecSnapshotNextSql}) sn),
+         |idx AS (SELECT vec_id FROM embeddings)
+         |SELECT CASE WHEN i.vec_id IS NULL THEN 'unindexed'
+         |            WHEN c.vec_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.vec_id = c.vec_id
          |GROUP BY 1 ORDER BY status""".stripMargin,
 
     // incremental curation: delta = fingerprint-diff churn, quality =

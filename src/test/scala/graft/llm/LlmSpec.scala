@@ -1425,6 +1425,24 @@ class LlmSpec extends SparkSpec {
       "the swap must leave no step-aside directories behind")
   }
 
+  test("LM-staged funnel: each doc drops at exactly its own gate, fluent survivors clear the stored bar") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-funnel-lm").toString
+    LlmOps.buildFluencyModel(docs(1L -> mk("alpha"), 2L -> mk("beta")), lmDir)
+    // 10: fluent (a subrange of the LM corpus' transitions, every p=1)
+    // 11: exact copy of 10 → drops at the exact-dedup stage
+    // 12: quality-passing junk (unseen transitions) → drops ONLY at the
+    //     LM bar — the stage the other four gates cannot express
+    val fluent = (5 to 20).map(i => s"alpha$i").mkString(" ")
+    val junk = (1 to 16).map(i => s"qqzz$i").mkString(" ")
+    val out = LlmOps.curationFunnelLm(
+        docs(10L -> fluent, 11L -> fluent, 12L -> junk), lmDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("0_raw" -> 3L, "1_quality" -> 3L,
+      "2_exact_dedup" -> 2L, "3_near_dedup" -> 2L, "4_fluent" -> 1L),
+      s"got $out")
+  }
+
   test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))
@@ -1675,6 +1693,34 @@ class LlmSpec extends SparkSpec {
     val self = LlmOps.indexCoverage(base, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(self === Map("indexed" -> 3L))
+  }
+
+  test("index coverage generalizes to the ANN cell and PQ code tables, replay duplicates don't double-count") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ann = java.nio.file.Files.createTempDirectory("graft-ann-cov").toString
+    val pq = java.nio.file.Files.createTempDirectory("graft-pq-cov").toString
+    LlmOps.buildAnnIndex(emb, ann)
+    LlmOps.buildPqIndex(emb, pq)
+    // a REPLAYED append leaves duplicate rows until compaction — the
+    // audit's distinct() must still count each id once
+    LlmOps.appendAnnIndex(emb.filter(col("vec_id") % 17 === 0), ann)
+    // expectations derived from the fixture's own arithmetic: survivors
+    // are indexed, the %11 removals orphaned, the shifted %13 arrivals
+    // unindexed
+    val n = emb.count()
+    val removed = emb.filter(col("vec_id") % 11 === 0).count()
+    val arrived = emb.filter(col("vec_id") % 13 === 0).count()
+    val expected = Map("indexed" -> (n - removed),
+      "orphaned" -> removed, "unindexed" -> arrived)
+    val cur = LlmOps.vecSnapshotNext(emb)
+    val annCov = LlmOps.indexCoverage(cur, ann, idCol = "vec_id",
+        indexTable = "cells", indexIdCol = "vec_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(annCov === expected, s"ANN cell audit: $annCov")
+    val pqCov = LlmOps.indexCoverage(cur, pq, idCol = "vec_id",
+        indexTable = "codes", indexIdCol = "vec_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pqCov === expected, s"PQ code audit: $pqCov")
   }
 
   test("PQ drift gauge: per-cell counts mirror the codes table; budget bounds the high-err split") {
