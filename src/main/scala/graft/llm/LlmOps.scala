@@ -1124,6 +1124,10 @@ object LlmOps {
     // gate only ever degrades toward the safe, unhinted side).
     val fp = textCorpus(docs, idCol, textCol)
       .select(size(split(col("text"), " ")).cast("bigint").as("k"),
+        // the lambda restates [[lmBucket]] in SQL text (a lambda body
+        // can't call the Column form): `hash` is the same Murmur3
+        // expression in both dialects, and LmBuckets is interpolated —
+        // keep the two in lockstep
         expr(s"array_distinct(transform(split(text, ' '), w -> pmod(hash(w), $LmBuckets)))").as("bs"))
       .agg(sum(col("k")).as("toks"),
         expr("array_distinct(flatten(collect_list(bs)))").as("buckets"))
@@ -1876,7 +1880,9 @@ object LlmOps {
     */
   def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      lmDir: Option[String] = None,
+      fluencyThreshold: Double = 0.0333): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val oldC = textCorpus(oldSnap, idCol, textCol)
     val newC = textCorpus(newSnap, idCol, textCol)
@@ -1903,10 +1909,26 @@ object LlmOps {
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_delta", delta)
+    val base = stage("0_delta", delta)
       .unionByName(stage("1_quality", qIds))
       .unionByName(stage("2_exact", eC))
-      .unionByName(stage("3_near", kept))
+    lmDir match {
+      // the optional NIGHTLY LM bar — the same frozen reference model
+      // the streaming gate and the full funnel probe, scored over the
+      // near-gate survivors only (churn-proportional work, like every
+      // other stage here). Survivor text comes from the persisted eC
+      // semi-joined to the gate's kept ids; persisted because the LM
+      // probe reads it three ways plus the stage count.
+      case Some(lm) =>
+        val survivors = eC.join(kept, Seq("doc_id"), "left_semi")
+          .persist(lvl)
+        val fluent = fluencyStored(survivors, lm)
+          .filter(col("fluency") >= fluencyThreshold).select("doc_id")
+        base.unionByName(stage("3_near", survivors))
+          .unionByName(stage("4_fluent", fluent))
+      case None =>
+        base.unionByName(stage("3_near", kept))
+    }
   }
 
   /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —

@@ -224,6 +224,15 @@ object LlmQueries {
       val base = Tables.documents(s, d)
       LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d))
     }),
+    // the nightly delta run with the LM bar composed in: churn-only
+    // gates as above, then the near-gate survivors score against the
+    // stored reference model — every curation surface (batch funnel,
+    // streaming ingest, nightly delta) now offers the same fluency gate
+    "llm_curate_delta_lm" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d),
+        lmDir = Some(lmDir(s, d)))
+    }),
     // the near-dup ingest gate: tailed copies survive the EXACT
     // incremental check above but are dropped here; reversed-word docs
     // (shingle-disjoint) survive both
@@ -395,6 +404,7 @@ object LlmQueries {
     "llm_pq_coverage"   -> Seq(col("status")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
+    "llm_curate_delta_lm" -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
@@ -574,6 +584,34 @@ object LlmQueries {
        |) qf WHERE NOT (n_tokens < 10)
        |  AND NOT (avg_token_len < CAST(3.0 AS DOUBLE) OR avg_token_len > CAST(12.0 AS DOUBLE))
        |  AND NOT (rep3_frac > CAST(0.2 AS DOUBLE)) AND NOT (punct_ratio > CAST(0.3 AS DOUBLE))""".stripMargin
+
+  /** The stored-LM scoring chain as a reusable CTE fragment: model
+    * counts (mc2/mc1) from the plain documents table (the memoized
+    * artifact's training corpus), per-doc fluency over `survivorsSql`
+    * with the matched-only value-sorted fold the Spark probe states
+    * (unmatched transitions contribute 0 through the per-doc left
+    * join). Ends with `fl(doc_id, f)` — shared by the funnel-LM and
+    * delta-LM oracles so the two can never drift on the arithmetic.
+    */
+  private def lmScoreCtes(survivorsSql: String): String =
+    s"""mtk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |mbi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+       |        FROM mtk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+       |        WHERE len(t) >= 2),
+       |mc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM mbi GROUP BY 1, 2),
+       |mc1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM mc2 GROUP BY 1),
+       |stk AS (SELECT doc_id, string_split(text, ' ') AS t FROM ($survivorsSql) sv),
+       |sbi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+       |        FROM stk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+       |        WHERE len(t) >= 2),
+       |sbic AS (SELECT doc_id, w1, w2, count(*) AS n FROM sbi GROUP BY 1, 2, 3),
+       |fm AS (SELECT s.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_sort(list(CAST(s.n AS DOUBLE) * (CAST(mc2.c2 AS DOUBLE) / CAST(mc1.c1 AS DOUBLE))))),
+       |         (a, v) -> a + v) AS fs
+       |       FROM sbic s JOIN mc2 USING (w1, w2) JOIN mc1 USING (w1) GROUP BY s.doc_id),
+       |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
+       |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
+       |       FROM nb LEFT JOIN fm USING (doc_id))""".stripMargin
 
   /** The funnel's stage-2 survivor corpus (quality keepers ∩ exact-dedup
     * keepers over the near-dup harness corpus) — the corpus the near-dup
@@ -1358,26 +1396,9 @@ object LlmQueries {
     // left join), and stage 4 counts the docs clearing the bar
     "llm_curate_lm" ->
       s"""WITH RECURSIVE $funnelCcCte,
-         |mtk AS (SELECT string_split(text, ' ') AS t FROM documents),
-         |mbi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
-         |        FROM mtk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
-         |        WHERE len(t) >= 2),
-         |mc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM mbi GROUP BY 1, 2),
-         |mc1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM mc2 GROUP BY 1),
          |surv AS (SELECT c.doc_id, c.text FROM corpus c
          |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
-         |stk AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
-         |sbi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
-         |        FROM stk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
-         |        WHERE len(t) >= 2),
-         |sbic AS (SELECT doc_id, w1, w2, count(*) AS n FROM sbi GROUP BY 1, 2, 3),
-         |fm AS (SELECT s.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |         list_sort(list(CAST(s.n AS DOUBLE) * (CAST(mc2.c2 AS DOUBLE) / CAST(mc1.c1 AS DOUBLE))))),
-         |         (a, v) -> a + v) AS fs
-         |       FROM sbic s JOIN mc2 USING (w1, w2) JOIN mc1 USING (w1) GROUP BY s.doc_id),
-         |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
-         |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
-         |       FROM nb LEFT JOIN fm USING (doc_id))
+         |${lmScoreCtes("SELECT doc_id, text FROM surv")}
          |SELECT '0_raw' AS stage,
          |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
          |UNION ALL SELECT '1_quality',
@@ -1708,6 +1729,33 @@ object LlmQueries {
          |UNION ALL SELECT '2_exact', count(*) FROM batch
          |UNION ALL SELECT '3_near', count(*) FROM batch b
          |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
+         |ORDER BY stage""".stripMargin,
+
+    // the delta run + the reference-LM bar: stages 0-3 restate the delta
+    // oracle, stage 4 scores the near-gate survivors with the shared
+    // lmScoreCtes chain (identical arithmetic to llm_curate_lm's stage)
+    "llm_curate_delta_lm" ->
+      s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
+         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         |delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
+         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+         |q AS (SELECT doc_id, text FROM delta
+         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+         |batch AS (SELECT doc_id, text FROM q
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+         |${incGateCtes("batch", "documents", selfExcl = true)},
+         |nearkept AS (SELECT b.doc_id, b.text FROM batch b
+         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)),
+         |${lmScoreCtes("SELECT doc_id, text FROM nearkept")}
+         |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_exact', count(*) FROM batch
+         |UNION ALL SELECT '3_near', count(*) FROM nearkept
+         |UNION ALL SELECT '4_fluent',
+         |  (SELECT count(*) FROM fl WHERE f >= CAST(0.0333 AS DOUBLE))
          |ORDER BY stage""".stripMargin,
 
     // drift gauge: the PQ chain's reconstructions (codes assigned against

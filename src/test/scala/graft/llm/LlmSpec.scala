@@ -1810,5 +1810,18 @@ class LlmSpec extends SparkSpec {
     assert(out === Map("0_delta" -> 5L, "1_quality" -> 4L,
       "2_exact" -> 3L, "3_near" -> 2L),
       s"each gate drops exactly its own case, got $out")
+    // with the LM bar composed in: the model knows only the base
+    // corpus' transitions, so the survivor whose text is base-derived
+    // (doc 2, beta + tail) clears the bar while the genuinely-new doc 7
+    // (transitions the reference corpus has never seen) drops — the
+    // quality signal the first four gates cannot express
+    val lm = java.nio.file.Files.createTempDirectory("graft-curdelta-lm").toString
+    LlmOps.buildFluencyModel(base, lm)
+    val outLm = LlmOps.curateDelta(base, next, dir, lmDir = Some(lm),
+        fluencyThreshold = 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outLm === Map("0_delta" -> 5L, "1_quality" -> 4L,
+      "2_exact" -> 3L, "3_near" -> 2L, "4_fluent" -> 1L),
+      s"the LM bar drops exactly the unseen-transition survivor, got $outLm")
   }
 }
