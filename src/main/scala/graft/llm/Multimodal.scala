@@ -166,6 +166,180 @@ object Multimodal {
       .select(col("doc_id"),
         octet_length(col("payload")).cast("bigint").as("n_bytes"))
 
+  // ------------------------------------------- stored payload-simhash index
+
+  /** Directory fan-out of the stored payload index ([[buildPayloadIndex]]):
+    * chunk values bucket into [[PayloadChunkBuckets]] directories per
+    * chunk_idx, the (band_idx, bk_bucket) discipline of
+    * [[graft.llm.LlmOps.buildMinHashIndex]] applied to Hamming space — a
+    * probe's footprint is ≤ [[PayloadSimChunks]] × buckets = 64 directory
+    * pairs, so the static partition filter stays driver-bounded no matter
+    * the batch or index size. At 100 TB only this constant grows.
+    */
+  val PayloadChunkBuckets: Int = 16
+
+  /** The (doc_id, simhash) signature frame for a media corpus — the one
+    * derivation every stored-payload-index operation starts from
+    * ([[graft.llm.LlmOps.signaturesOf]]'s payload twin). The fused
+    * [[graft.functions.PayloadSimHash]] expression derives the signature
+    * inside the scan; the payload never crosses a shuffle.
+    */
+  def payloadSims(mediaDf: DataFrame): DataFrame =
+    ensurePayloadSimHash(mediaDf)
+      .select(col("doc_id"), expr("payload_simhash(payload)").as("simhash"))
+
+  /** The exploded (doc_id, simhash, chunk_idx, chunk_val, ck_bucket) block
+    * rows over a [[payloadSims]] frame — the stored chunk table's row
+    * shape. The full simhash rides along in every chunk row, so the probe
+    * verifies Hamming distance directly on the joined rows: unlike the
+    * MinHash index there is NO second signature table and no verify join.
+    */
+  def payloadChunks(sims: DataFrame): DataFrame = {
+    val chunkBits = PayloadSimBits / PayloadSimChunks
+    sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until PayloadSimChunks).map(c =>
+        expr(s"(simhash div ${1L << (c * chunkBits)}) % ${1L << chunkBits}")): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("ck_bucket", pmod(col("chunk_val"), lit(PayloadChunkBuckets)))
+  }
+
+  /** Materialize the payload near-dup index for a media corpus under
+    * `dir`: ONE `chunks/` table ([[payloadChunks]] rows, 4 per payload),
+    * directory-partitioned by (chunk_idx, ck_bucket) so an ingest batch's
+    * probe prunes to the directories its own chunk values land in. Written
+    * through [[graft.cdc.Compaction.swapDir]] — atomic create-or-replace,
+    * a crashed rebuild leaves the old generation serving. The corpus'
+    * payload bytes are read ONCE here and never again: every later batch
+    * gates against 4 longs per indexed payload.
+    */
+  def buildPayloadIndex(mediaDf: DataFrame, dir: String): Unit =
+    graft.cdc.Compaction.swapDir(s"$dir/chunks") { tmp =>
+      payloadChunks(payloadSims(mediaDf))
+        .repartition(col("chunk_idx"), col("ck_bucket"))
+        .write.mode("overwrite").partitionBy("chunk_idx", "ck_bucket")
+        .parquet(tmp)
+    }
+
+  /** The steady-state media ingest gate over a STORED payload index —
+    * [[graft.llm.LlmOps.incrementalDedupMinHashIndexed]]'s multimodal
+    * twin: batch payloads whose simhash lands within `maxHamming` of any
+    * indexed payload drop; the genuinely-new survive. The batch's bounded
+    * (chunk_idx, ck_bucket) footprint pins a STATIC partition filter on
+    * the chunk scan (≤ 4 × [[PayloadChunkBuckets]] = 64 literal pairs —
+    * driver-safe regardless of batch size), the batch side carries a
+    * size-gated broadcast hint, and the Hamming verify runs directly on
+    * the joined chunk rows — the index is pruned, streamed, and never a
+    * broadcast build side (PlanQualitySpec pins the shape). Per-batch
+    * cost tracks the batch's chunk-value set, not the index size.
+    *
+    * Like the text gate, the call is eager about one small thing: the
+    * footprint collect materializes the persisted batch signature/chunk
+    * caches, which back the returned lazy frame until the caller's
+    * post-materialization cache clear.
+    */
+  def incrementalPayloadDedupIndexed(batch: DataFrame, indexDir: String,
+      maxHamming: Int = PayloadMaxHamming,
+      broadcastMaxRows: Long = graft.llm.LlmOps.GateBroadcastMaxRows): DataFrame = {
+    val spark = batch.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bSims = payloadSims(batch).persist(lvl)
+    val bChunks = payloadChunks(bSims).persist(lvl)
+    val footprint = bChunks.select(col("chunk_idx"), col("ck_bucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+    val smallBatch = broadcastMaxRows > 0 && bChunks.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
+    val pruned = spark.read.parquet(s"$indexDir/chunks").filter(
+      footprint.map { case (ci, ck) =>
+        col("chunk_idx") === ci && col("ck_bucket") === ck
+      }.reduceOption(_ || _).getOrElse(lit(false)))
+    val dup = pruned.as("ox").join(hinted(bChunks.as("nx")),
+        col("nx.chunk_idx") === col("ox.chunk_idx") &&
+          col("nx.ck_bucket") === col("ox.ck_bucket") &&
+          col("nx.chunk_val") === col("ox.chunk_val"))
+      .select(col("nx.doc_id").as("batch_id"),
+        col("nx.simhash").as("sh_n"), col("ox.simhash").as("sh_o"))
+      .filter(expr("bit_count(sh_n ^ sh_o)") <= maxHamming)
+      .select(col("batch_id")).distinct()
+    bSims.select("doc_id")
+      .join(dup, col("doc_id") === col("batch_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** Index maintenance: append a batch's chunk rows (survivors of the
+    * gate, in a production loop) into the stored index — parquet `append`
+    * inside the builder's (chunk_idx, ck_bucket) directories, so pruning
+    * holds across generations and each ingest adds files ∝ batch size.
+    */
+  def appendPayloadIndex(mediaDf: DataFrame, dir: String): Unit =
+    payloadChunks(payloadSims(mediaDf))
+      .repartition(col("chunk_idx"), col("ck_bucket"))
+      .write.mode("append").partitionBy("chunk_idx", "ck_bucket")
+      .parquet(s"$dir/chunks")
+
+  /** Fold the small files [[appendPayloadIndex]] accumulates —
+    * [[graft.llm.LlmOps.compactMinHashIndex]]'s twin: rewrite through the
+    * compaction swap keeping the directory partitioning; `dedupRows`
+    * collapses exact duplicate rows, which here can only be a REPLAYED
+    * append (chunk rows are deterministic in the payload), so the
+    * at-least-once append loop self-heals at maintenance cadence.
+    * Returns (before, after) file counts.
+    */
+  def compactPayloadIndex(spark: SparkSession, dir: String): (Long, Long) =
+    graft.cdc.Compaction.compactDir(spark, s"$dir/chunks",
+      Seq("chunk_idx", "ck_bucket"), Seq("chunk_idx", "ck_bucket"),
+      dedupRows = true)
+
+  /** Index-health gauge over a stored [[buildPayloadIndex]] artifact —
+    * per chunk position: distinct chunk values, the hottest bucket, total
+    * rows. `max_bucket` is the number that pages someone: probe cost is ∝
+    * bucket overlap, and same-domain media correlate heavily on byte
+    * grams, so a collapsing chunk (half the corpus sharing one value)
+    * turns the one-sided probe quadratic — the stop-list signal. Reads
+    * only the chunk-value columns (simhash/doc_id pruned); cheap enough
+    * to run after every append.
+    */
+  def payloadIndexStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/chunks")
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket"))
+      .groupBy(col("chunk_idx").cast("bigint").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_vals"),
+        max(col("bucket")).as("max_bucket"),
+        sum(col("bucket")).cast("bigint").as("n_rows"))
+
+  /** Harness fixture for the stored-payload-index gate: the arriving
+    * media batch — exact byte copies of every 10th payload (+70000000,
+    * Hamming 0 against the index), the near-dup corpus' one-byte edits of
+    * every 13th (+80000000), and genuinely-new synthetic payloads
+    * (+90000000) whose byte 4-grams are disjoint from the text corpus.
+    * Id offsets match [[payloadDupCorpus]] where the content matches.
+    */
+  def payloadIngestBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 70000000L).as("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 80000000L).as("doc_id"),
+          encode(concat(substring(col("text"), 1, 10), lit("x"),
+            expr("substr(text, 12)")), "UTF-8").as("payload")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          encode(concat(lit("npay-"), col("doc_id").cast("string"),
+            expr("repeat(' zqx', 40)")), "UTF-8").as("payload")))
+
+  /** The media corpus one crawl generation later — the coverage-audit
+    * fixture ([[graft.llm.LlmOps.vecSnapshotNext]]'s media twin): every
+    * 11th payload removed (index rows turn `orphaned`), new arrivals at
+    * +90000000 (corpus rows the index has never seen — `unindexed`).
+    */
+  def mediaSnapshotNext(docs: DataFrame): DataFrame =
+    media(docs).select("doc_id", "payload")
+      .filter(col("doc_id") % 11 =!= 0)
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          encode(concat(lit("npay-"), col("doc_id").cast("string"),
+            expr("repeat(' zqx', 40)")), "UTF-8").as("payload")))
+
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
     * is STUBBED with a deterministic fake (byte-sum "luma" over the first
