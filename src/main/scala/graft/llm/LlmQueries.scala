@@ -955,7 +955,7 @@ object LlmQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // stored-LM batch probe: the model (c2/c1) derives from the FULL
-    // corpus on both engines; only the scored rows restrict to the %5
+    // corpus on both engines; only the scored rows restrict to the %10
     // slice — the one WHERE is the entire difference from llm_fluency
     "llm_fluency_idx" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
