@@ -2483,6 +2483,132 @@ object LlmOps {
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Rewrite the parquet table at `path` keeping only rows whose
+    * `idxIdCol` appears in `curIds` ("cur_id" rows) — the shared tail of
+    * every `prune*IndexTo` repair and the corpus GC. Same
+    * [[graft.cdc.Compaction.swapDir]] mechanics as compaction (the old
+    * generation serves readers throughout, every crash window rolls back
+    * or re-runs to convergence — a prune re-run over an already-pruned
+    * table is a no-op rewrite), and the builder's cluster/partition
+    * layout is restated so probe-side pruning survives the repair.
+    * Returns (rows before, rows after) — the difference IS the orphan
+    * count, the repair metric an operator logs.
+    *
+    * 100 TB shape: the decision is a left-semi join of the table against
+    * an id-only projection — the table's payload columns ride the
+    * rewrite but never the join build side, and the id frame (even a
+    * corpus-sized one) is ~3 orders smaller than its corpus; no
+    * broadcast hint, AQE picks the join strategy from runtime stats.
+    * Cost is one table rewrite — maintenance cadence, the same bill
+    * compaction already pays, never the probe path.
+    */
+  private def pruneTable(spark: SparkSession, path: String,
+      idxIdCol: String, curIds: DataFrame,
+      clusterCols: Seq[String], partitionCols: Seq[String]): (Long, Long) = {
+    graft.cdc.Compaction.recoverDir(path)
+    // parquet row-count metadata makes both counts footer-reads, not scans
+    val before = spark.read.parquet(path).count()
+    graft.cdc.Compaction.swapDir(path) { tmp =>
+      val kept = spark.read.parquet(path)
+        .join(curIds, col(idxIdCol) === col("cur_id"), "left_semi")
+      val clustered =
+        if (clusterCols.nonEmpty) kept.repartition(clusterCols.map(col): _*)
+        else kept.coalesce(spark.sparkContext.defaultParallelism)
+      val w = clustered.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp)
+    }
+    (before, spark.read.parquet(path).count())
+  }
+
+  /** The REPAIR [[indexCoverage]]'s `orphaned` class calls for — drop
+    * every stored-LSH row whose doc has left the corpus. Detection
+    * without this is worse than cosmetic: an orphaned signature keeps
+    * VETOING re-ingest of content that no longer exists, so a
+    * removed-then-revised document is permanently blocked by its own
+    * ghost (spec'd: the revision gates through after the prune).
+    * Both tables rewrite through the compaction swap with the builder's
+    * directory partitioning restated; probes over surviving ids are
+    * output-identical (equivalence spec). Returns the signature and band
+    * (before, after) row counts.
+    */
+  def pruneMinHashIndexTo(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id"): ((Long, Long), (Long, Long)) = {
+    val spark = corpus.sparkSession
+    // id-only projection persisted: both table rewrites consume it
+    val cur = corpus.select(col(idCol).as("cur_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (
+      pruneTable(spark, s"$dir/signatures", "doc_id", cur,
+        Seq("sig_bucket"), Seq("sig_bucket")),
+      pruneTable(spark, s"$dir/bands", "doc_id", cur,
+        Seq("band_idx", "bk_bucket"), Seq("band_idx", "bk_bucket")))
+    finally { cur.unpersist(); () }
+  }
+
+  /** [[pruneMinHashIndexTo]] for the stored ANN cell table. */
+  def pruneAnnIndexTo(emb: DataFrame, dir: String,
+      idCol: String = "vec_id"): (Long, Long) =
+    pruneTable(emb.sparkSession, s"$dir/cells", "vec_id",
+      emb.select(col(idCol).as("cur_id")).distinct(),
+      Seq("label"), Seq("label"))
+
+  /** [[pruneMinHashIndexTo]] for the stored PQ codes table. The frozen
+    * codebook is untouched: it is a trained artifact, not per-vector
+    * state — only [[rebuildPqIndex]] replaces it.
+    */
+  def prunePqIndexTo(emb: DataFrame, dir: String,
+      idCol: String = "vec_id"): (Long, Long) =
+    pruneTable(emb.sparkSession, s"$dir/codes", "vec_id",
+      emb.select(col(idCol).as("cur_id")).distinct(),
+      Seq("label"), Seq("label"))
+
+  /** Apply [[corpusDiff]]'s `removed` class to a STORED corpus — the
+    * dataset-versioning maintenance pass (takedowns, recrawl shrinkage)
+    * that round 11 could only detect: rewrite the admitted-corpus
+    * parquet keeping exactly the rows whose id is still in `current`.
+    * The decision is id-level (a changed doc is an update, handled by
+    * ingest — only ABSENCE removes). An epoch-partitioned corpus (the
+    * [[StreamingIngest]] sink layout) keeps its epoch directories:
+    * partition columns are discovered from the stored schema and
+    * restated on the rewrite. Returns (rows before, rows after).
+    */
+  def applyCorpusRemovals(spark: SparkSession, corpusDir: String,
+      current: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
+    // recovery before the schema read: a GC re-run after a crash inside
+    // the previous swap must see the rolled-back (or rolled-forward)
+    // directory, not the absent mid-swap state
+    graft.cdc.Compaction.recoverDir(corpusDir)
+    val parts =
+      if (spark.read.parquet(corpusDir).columns.contains("epoch"))
+        Seq("epoch")
+      else Seq.empty
+    pruneTable(spark, corpusDir, idCol,
+      current.select(col(idCol).as("cur_id")).distinct(), parts, parts)
+  }
+
+  /** The composed GC pass a nightly pipeline runs after [[corpusDiff]]
+    * reports removals: delete the removed ids from the stored corpus,
+    * then prune every stored index to the surviving generation so the
+    * audits read clean and no ghost can veto a re-ingest. Corpus first,
+    * deliberately: a crash between the steps leaves index orphans the
+    * coverage audits still DETECT (over-report), and a re-run converges
+    * — the reverse order could leave a corpus row whose index rows are
+    * gone, which the audits read as `unindexed` (a gate blind spot)
+    * rather than the harmless `orphaned`. Every step is individually
+    * crash-recoverable via the swap mechanics.
+    */
+  def corpusGc(spark: SparkSession, current: DataFrame, corpusDir: String,
+      mhIndexDir: Option[String] = None, annIndexDir: Option[String] = None,
+      pqIndexDir: Option[String] = None,
+      idCol: String = "doc_id"): (Long, Long) = {
+    val res = applyCorpusRemovals(spark, corpusDir, current, idCol)
+    mhIndexDir.foreach(pruneMinHashIndexTo(current, _, idCol))
+    annIndexDir.foreach(pruneAnnIndexTo(current, _, idCol))
+    pqIndexDir.foreach(prunePqIndexTo(current, _, idCol))
+    res
+  }
+
   /** Blocking-recall gauge for the banded-LSH dedup family — the
     * [[annRecall]] pattern applied to near-dup detection: on a
     * deterministic id-subsample (`doc_id % sampleMod = 0`, small enough

@@ -122,6 +122,58 @@ object LlmQueries {
       dir
     }
 
+  /** A stored LSH index built over the BASE documents generation, then
+    * PRUNED to the next crawl snapshot — the detect→repair lifecycle
+    * under audit: the base build leaves the %11 removals as orphans,
+    * [[LlmOps.pruneMinHashIndexTo]] drops them, and the registered query
+    * audits the repaired artifact (a clean audit has NO orphaned row).
+    * Its own dir (never the shared [[mhIndexDir]]): the prune MUTATES
+    * the artifact, and the coverage/gate queries must keep seeing the
+    * unpruned generation.
+    */
+  private def mhPrunedDir(s: SparkSession, d: String): String =
+    memo(s"mhprune|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-mh-pruned")
+      val docs = Tables.documents(s, d)
+      LlmOps.buildMinHashIndex(docs, dir)
+      LlmOps.pruneMinHashIndexTo(LlmOps.snapshotNext(docs), dir)
+      dir
+    }
+
+  /** [[mhPrunedDir]]'s embedding-side twin: ANN cell and PQ code tables
+    * built over the base vectors, pruned to the next vector generation.
+    */
+  private def vecPrunedDir(s: SparkSession, d: String): String =
+    memo(s"vecprune|$d|${fingerprint(d, "embeddings")}") {
+      val dir = tempIndexDir("graft-vec-pruned")
+      val emb = Tables.embeddings(s, d)
+      LlmOps.buildAnnIndex(emb, s"$dir/ann")
+      LlmOps.buildPqIndex(emb, s"$dir/pq")
+      val cur = LlmOps.vecSnapshotNext(emb)
+      LlmOps.pruneAnnIndexTo(cur, s"$dir/ann")
+      LlmOps.prunePqIndexTo(cur, s"$dir/pq")
+      dir
+    }
+
+  /** A stored (epoch-partitioned, the [[graft.llm.StreamingIngest]] sink
+    * layout) corpus materialized from the base documents, then GC'd
+    * against the next crawl snapshot via
+    * [[LlmOps.applyCorpusRemovals]] — the %11 removals' rows deleted,
+    * everything else (changed docs included — removal is id-level)
+    * byte-identical.
+    */
+  private def gcCorpusDir(s: SparkSession, d: String): String =
+    memo(s"gc|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-corpus-gc")
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(4L)).as("epoch"))
+        .repartition(col("epoch"))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/corpus")
+      LlmOps.applyCorpusRemovals(s, s"$dir/corpus", LlmOps.snapshotNext(docs))
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -383,7 +435,28 @@ object LlmQueries {
     // codebook-drift gauge over the stored PQ index: per cell, vectors
     // over the quantization-error budget + worst error — the retrain dial
     "llm_pq_drift" -> ((s, d) =>
-      LlmOps.pqDrift(Tables.embeddings(s, d), pqIndexDir(s, d)))
+      LlmOps.pqDrift(Tables.embeddings(s, d), pqIndexDir(s, d))),
+    // the detect→repair close of the coverage loop: the same audit as
+    // llm_index_coverage, but over an index PRUNED to the snapshot —
+    // the orphaned class is gone (no ghost can veto a re-ingest),
+    // indexed/unindexed unchanged
+    "llm_index_prune" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.snapshotNext(Tables.documents(s, d)), mhPrunedDir(s, d))),
+    "llm_ann_prune" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.vecSnapshotNext(Tables.embeddings(s, d)),
+      s"${vecPrunedDir(s, d)}/ann",
+      idCol = "vec_id", indexTable = "cells", indexIdCol = "vec_id")),
+    "llm_pq_prune" -> ((s, d) => LlmOps.indexCoverage(
+      LlmOps.vecSnapshotNext(Tables.embeddings(s, d)),
+      s"${vecPrunedDir(s, d)}/pq",
+      idCol = "vec_id", indexTable = "codes", indexIdCol = "vec_id")),
+    // corpus GC: the stored (epoch-partitioned) corpus after
+    // applyCorpusRemovals — removed ids gone, survivors byte-identical,
+    // dumped as (doc_id, n_chars), the dedup-apply witness convention
+    "llm_corpus_gc" -> ((s, d) =>
+      s.read.parquet(s"${gcCorpusDir(s, d)}/corpus")
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars")))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -402,6 +475,10 @@ object LlmQueries {
     "llm_index_coverage" -> Seq(col("status")),
     "llm_ann_coverage"  -> Seq(col("status")),
     "llm_pq_coverage"   -> Seq(col("status")),
+    "llm_index_prune"   -> Seq(col("status")),
+    "llm_ann_prune"     -> Seq(col("status")),
+    "llm_pq_prune"      -> Seq(col("status")),
+    "llm_corpus_gc"     -> Seq(col("doc_id")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
@@ -1706,6 +1783,51 @@ object LlmQueries {
          |  count(*) AS n_docs
          |FROM idx i FULL OUTER JOIN cur c ON i.vec_id = c.vec_id
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // post-prune audits: the index id set is the base generation
+    // INTERSECTED with the snapshot (the prune's semi-join), so the
+    // orphaned class is structurally impossible — two rows out
+    "llm_index_prune" ->
+      s"""WITH cur AS (SELECT doc_id FROM (${LlmOps.SnapshotNextSql}) sn),
+         |idx AS (SELECT doc_id FROM documents
+         |        WHERE doc_id IN (SELECT doc_id FROM cur))
+         |SELECT CASE WHEN i.doc_id IS NULL THEN 'unindexed'
+         |            WHEN c.doc_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "llm_ann_prune" ->
+      s"""WITH cur AS (SELECT vec_id FROM (${LlmOps.VecSnapshotNextSql}) sn),
+         |idx AS (SELECT vec_id FROM embeddings
+         |        WHERE vec_id IN (SELECT vec_id FROM cur))
+         |SELECT CASE WHEN i.vec_id IS NULL THEN 'unindexed'
+         |            WHEN c.vec_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.vec_id = c.vec_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "llm_pq_prune" ->
+      s"""WITH cur AS (SELECT vec_id FROM (${LlmOps.VecSnapshotNextSql}) sn),
+         |idx AS (SELECT vec_id FROM embeddings
+         |        WHERE vec_id IN (SELECT vec_id FROM cur))
+         |SELECT CASE WHEN i.vec_id IS NULL THEN 'unindexed'
+         |            WHEN c.vec_id IS NULL THEN 'orphaned'
+         |            ELSE 'indexed' END AS status,
+         |  count(*) AS n_docs
+         |FROM idx i FULL OUTER JOIN cur c ON i.vec_id = c.vec_id
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // corpus GC: exactly the base rows whose id survives into the next
+    // snapshot (removal is id-level — a changed doc keeps its BASE text
+    // until ingest updates it, so n_chars reads from documents)
+    "llm_corpus_gc" ->
+      s"""WITH cur AS (SELECT doc_id FROM (${LlmOps.SnapshotNextSql}) sn)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)
+         |ORDER BY doc_id""".stripMargin,
 
     // incremental curation: delta = fingerprint-diff churn, quality =
     // the shared keep-predicate fragment, exact = hash anti-membership

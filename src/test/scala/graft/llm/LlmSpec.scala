@@ -1723,6 +1723,101 @@ class LlmSpec extends SparkSpec {
     assert(pqCov === expected, s"PQ code audit: $pqCov")
   }
 
+  test("pruneMinHashIndexTo: orphans dropped, surviving probes identical, a removed-then-revised doc re-ingests") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(1L -> mk("alpha"), 2L -> mk("beta"), 9L -> mk("gamma"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhix-prune").toString
+    LlmOps.buildMinHashIndex(base, dir)
+    // next generation: doc 1 removed (a takedown), 2 and 9 survive
+    val cur = docs(2L -> mk("beta"), 9L -> mk("gamma"))
+    // BEFORE the prune, doc 1's ghost vetoes its own revision — the
+    // permanent-block failure mode the repair exists for
+    val revised = docs(100L -> (mk("alpha") + " rev2"))
+    val vetoed = LlmOps.incrementalDedupMinHashIndexed(revised, dir)
+      .collect().map(_.getLong(0))
+    assert(vetoed.isEmpty, "the orphaned signature still vetoes the revision")
+    val ((sigB, sigA), (bandB, bandA)) = LlmOps.pruneMinHashIndexTo(cur, dir)
+    assert((sigB, sigA) === ((3L, 2L)), "one orphaned signature row dropped")
+    assert(bandB === 3L * LlmOps.Bands && bandA === 2L * LlmOps.Bands)
+    // audit reads clean: no orphaned class left
+    val cov = LlmOps.indexCoverage(cur, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cov === Map("indexed" -> 2L))
+    // the revision now gates through
+    val admitted = LlmOps.incrementalDedupMinHashIndexed(revised, dir)
+      .collect().map(_.getLong(0))
+    assert(admitted.toSeq === Seq(100L), "after the prune the ghost is gone")
+    // probes over SURVIVING content are output-identical to an index
+    // built fresh over the surviving corpus
+    val fresh = java.nio.file.Files.createTempDirectory("graft-mhix-fresh").toString
+    LlmOps.buildMinHashIndex(cur, fresh)
+    val batch = docs(50L -> (mk("beta") + " tail"), 60L -> mk("epsilon"))
+    val viaPruned = LlmOps.incrementalDedupMinHashIndexed(batch, dir)
+      .collect().map(_.getLong(0)).toSet
+    val viaFresh = LlmOps.incrementalDedupMinHashIndexed(batch, fresh)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPruned === viaFresh, "pruned-index probe ≡ fresh-index probe")
+  }
+
+  test("pruneAnnIndexTo / prunePqIndexTo: vector ghosts dropped, pruned probes match fresh builds") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ann = java.nio.file.Files.createTempDirectory("graft-ann-prune").toString
+    val pq = java.nio.file.Files.createTempDirectory("graft-pq-prune").toString
+    LlmOps.buildAnnIndex(emb, ann)
+    LlmOps.buildPqIndex(emb, pq)
+    val cur = LlmOps.vecSnapshotNext(emb)
+    val n = emb.count()
+    val removed = emb.filter(col("vec_id") % 11 === 0).count()
+    val (cb, ca) = LlmOps.pruneAnnIndexTo(cur, ann)
+    assert((cb, ca) === ((n, n - removed)), "cells: one row per surviving vector")
+    val (kb, ka) = LlmOps.prunePqIndexTo(cur, pq)
+    assert((kb, ka) === ((n, n - removed)), "codes: one row per surviving vector")
+    val annCov = LlmOps.indexCoverage(cur, ann, idCol = "vec_id",
+        indexTable = "cells", indexIdCol = "vec_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!annCov.contains("orphaned"), s"ANN audit clean after prune: $annCov")
+    // probe equivalence: the pruned stored index answers like one built
+    // fresh over the surviving vectors (codebook untouched by design —
+    // same generation, so codes reconstruct identically)
+    val qs = emb.filter(col("vec_id") < 8)
+    val viaPruned = LlmOps.annIvfIndexed(qs, ann).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ann-fresh").toString
+    LlmOps.buildAnnIndex(emb.join(cur.select("vec_id"), Seq("vec_id"), "left_semi"), fresh)
+    val viaFresh = LlmOps.annIvfIndexed(qs, fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPruned === viaFresh, "pruned ANN probe ≡ fresh-build probe")
+  }
+
+  test("applyCorpusRemovals + corpusGc: removed ids leave the stored corpus, epoch layout survives, indexes follow") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val all = docs(1L -> mk("alpha"), 2L -> mk("beta"),
+      9L -> mk("gamma"), 14L -> mk("delta"))
+    val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    all.select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(3L)).as("epoch"))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$root/corpus")
+    val idx = java.nio.file.Files.createTempDirectory("graft-gc-mh").toString
+    LlmOps.buildMinHashIndex(all, idx)
+    // docs 9 and 14 removed by the next snapshot
+    val cur = docs(1L -> mk("alpha"), 2L -> mk("beta rev")) // 2 changed: stays (id-level)
+    val (b, a) = LlmOps.corpusGc(spark, cur, s"$root/corpus",
+      mhIndexDir = Some(idx))
+    assert((b, a) === ((4L, 2L)))
+    val after = spark.read.parquet(s"$root/corpus")
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the changed doc's STORED text is untouched — GC is id-level only
+    assert(after.filter(col("doc_id") === 2L).select("text")
+      .collect()(0).getString(0) === mk("beta"))
+    // epoch partition directories survive the rewrite
+    assert(new java.io.File(s"$root/corpus").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("epoch=")))
+    // and the chained index prune leaves the audit clean
+    val cov = LlmOps.indexCoverage(cur, idx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cov === Map("indexed" -> 2L))
+  }
+
   test("PQ drift gauge: per-cell counts mirror the codes table; budget bounds the high-err split") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
