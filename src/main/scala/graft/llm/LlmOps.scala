@@ -2502,7 +2502,7 @@ object LlmOps {
     * Cost is one table rewrite — maintenance cadence, the same bill
     * compaction already pays, never the probe path.
     */
-  private def pruneTable(spark: SparkSession, path: String,
+  private[llm] def pruneIndexTable(spark: SparkSession, path: String,
       idxIdCol: String, curIds: DataFrame,
       clusterCols: Seq[String], partitionCols: Seq[String]): (Long, Long) = {
     graft.cdc.Compaction.recoverDir(path)
@@ -2539,9 +2539,9 @@ object LlmOps {
     val cur = corpus.select(col(idCol).as("cur_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try (
-      pruneTable(spark, s"$dir/signatures", "doc_id", cur,
+      pruneIndexTable(spark, s"$dir/signatures", "doc_id", cur,
         Seq("sig_bucket"), Seq("sig_bucket")),
-      pruneTable(spark, s"$dir/bands", "doc_id", cur,
+      pruneIndexTable(spark, s"$dir/bands", "doc_id", cur,
         Seq("band_idx", "bk_bucket"), Seq("band_idx", "bk_bucket")))
     finally { cur.unpersist(); () }
   }
@@ -2549,7 +2549,7 @@ object LlmOps {
   /** [[pruneMinHashIndexTo]] for the stored ANN cell table. */
   def pruneAnnIndexTo(emb: DataFrame, dir: String,
       idCol: String = "vec_id"): (Long, Long) =
-    pruneTable(emb.sparkSession, s"$dir/cells", "vec_id",
+    pruneIndexTable(emb.sparkSession, s"$dir/cells", "vec_id",
       emb.select(col(idCol).as("cur_id")).distinct(),
       Seq("label"), Seq("label"))
 
@@ -2559,7 +2559,7 @@ object LlmOps {
     */
   def prunePqIndexTo(emb: DataFrame, dir: String,
       idCol: String = "vec_id"): (Long, Long) =
-    pruneTable(emb.sparkSession, s"$dir/codes", "vec_id",
+    pruneIndexTable(emb.sparkSession, s"$dir/codes", "vec_id",
       emb.select(col(idCol).as("cur_id")).distinct(),
       Seq("label"), Seq("label"))
 
@@ -2583,7 +2583,7 @@ object LlmOps {
       if (spark.read.parquet(corpusDir).columns.contains("epoch"))
         Seq("epoch")
       else Seq.empty
-    pruneTable(spark, corpusDir, idCol,
+    pruneIndexTable(spark, corpusDir, idCol,
       current.select(col(idCol).as("cur_id")).distinct(), parts, parts)
   }
 

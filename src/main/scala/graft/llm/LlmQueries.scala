@@ -174,6 +174,28 @@ object LlmQueries {
       dir
     }
 
+  /** The stored payload-simhash index over `d`'s media corpus (probed by
+    * the media ingest gate, read by the stats gauge and coverage audit).
+    */
+  private def payIndexDir(s: SparkSession, d: String): String =
+    memo(s"pay|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-pay-index")
+      Multimodal.buildPayloadIndex(Multimodal.media(Tables.documents(s, d)), dir)
+      dir
+    }
+
+  /** [[payIndexDir]]'s [[mhPrunedDir]] twin: built over the base media
+    * corpus, pruned to the next media generation.
+    */
+  private def payPrunedDir(s: SparkSession, d: String): String =
+    memo(s"payprune|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-pay-pruned")
+      val docs = Tables.documents(s, d)
+      Multimodal.buildPayloadIndex(Multimodal.media(docs), dir)
+      Multimodal.prunePayloadIndexTo(Multimodal.mediaSnapshotNext(docs), dir)
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> ((s, d) => LlmOps.dedupExact(LlmOps.exactDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_minhash" -> ((s, d) => LlmOps.dedupMinHash(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -456,7 +478,30 @@ object LlmQueries {
     "llm_corpus_gc" -> ((s, d) =>
       s.read.parquet(s"${gcCorpusDir(s, d)}/corpus")
         .select(col("doc_id"),
-          length(col("text")).cast("bigint").as("n_chars")))
+          length(col("text")).cast("bigint").as("n_chars"))),
+    // the media ingest gate over the STORED payload-simhash index:
+    // exact byte copies (Hamming 0) and one-byte re-encodes (≤3) drop
+    // against the indexed base corpus, genuinely-new payloads survive —
+    // llm_dedup_inc_mh_idx's multimodal twin, probing pruned chunk dirs
+    "mm_payload_inc_idx" -> ((s, d) =>
+      Multimodal.incrementalPayloadDedupIndexed(
+        Multimodal.payloadIngestBatch(Tables.documents(s, d)),
+        payIndexDir(s, d))),
+    // per-chunk index health off the stored chunk table: distinct chunk
+    // values, hottest bucket, total rows — the stop-list signal for
+    // correlated byte-gram media
+    "mm_payload_index_stats" -> ((s, d) =>
+      Multimodal.payloadIndexStats(s, payIndexDir(s, d))),
+    // id-level reconciliation of the stored payload index against the
+    // next media generation (chunks table, 4 rows/payload — distinct'd)
+    "mm_payload_coverage" -> ((s, d) => LlmOps.indexCoverage(
+      Multimodal.mediaSnapshotNext(Tables.documents(s, d)),
+      payIndexDir(s, d), indexTable = "chunks")),
+    // the repaired artifact's audit: after prunePayloadIndexTo no
+    // orphaned class remains
+    "mm_payload_prune" -> ((s, d) => LlmOps.indexCoverage(
+      Multimodal.mediaSnapshotNext(Tables.documents(s, d)),
+      payPrunedDir(s, d), indexTable = "chunks"))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -479,6 +524,10 @@ object LlmQueries {
     "llm_ann_prune"     -> Seq(col("status")),
     "llm_pq_prune"      -> Seq(col("status")),
     "llm_corpus_gc"     -> Seq(col("doc_id")),
+    "mm_payload_inc_idx" -> Seq(col("doc_id")),
+    "mm_payload_index_stats" -> Seq(col("chunk_idx")),
+    "mm_payload_coverage" -> Seq(col("status")),
+    "mm_payload_prune"  -> Seq(col("status")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
@@ -1829,6 +1878,56 @@ object LlmQueries {
          |FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)
          |ORDER BY doc_id""".stripMargin,
 
+    // stored payload gate: two simhash chains (indexed base media vs the
+    // arriving batch), batch payloads within Hamming 3 of a base payload
+    // sharing a chunk value drop; joining on chunk_val alone is the
+    // Spark join minus the redundant ck_bucket key (a pure function of
+    // chunk_val) — same pairs
+    "mm_payload_inc_idx" ->
+      s"""WITH ${paySimsCtes("SELECT doc_id, text FROM documents", "b")},
+         |${paySimsCtes(PayloadIngestBatchSql, "n")},
+         |dup AS (SELECT DISTINCT n.doc_id
+         |        FROM nch n JOIN bch b
+         |          ON n.chunk_idx = b.chunk_idx AND n.chunk_val = b.chunk_val
+         |        WHERE bit_count(xor(n.simhash, b.simhash)) <= ${Multimodal.PayloadMaxHamming})
+         |SELECT doc_id FROM nsims
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+
+    // per-chunk health gauge: the stored chunk table re-derived from the
+    // media corpus, reduced to the same three aggregates
+    "mm_payload_index_stats" ->
+      s"""WITH ${paySimsCtes("SELECT doc_id, text FROM documents", "")},
+         |bk AS (SELECT chunk_idx, chunk_val, count(*) AS bucket
+         |       FROM ch GROUP BY 1, 2)
+         |SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx, count(*) AS n_vals,
+         |  max(bucket) AS max_bucket, CAST(sum(bucket) AS BIGINT) AS n_rows
+         |FROM bk GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
+
+    // payload-index coverage: the chunk table holds the base media ids,
+    // the next media generation removes %11 and adds +90000000 arrivals
+    "mm_payload_coverage" ->
+      """WITH cur AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0
+        |             UNION ALL SELECT doc_id + 90000000 FROM documents WHERE doc_id % 13 = 0),
+        |idx AS (SELECT doc_id FROM documents)
+        |SELECT CASE WHEN i.doc_id IS NULL THEN 'unindexed'
+        |            WHEN c.doc_id IS NULL THEN 'orphaned'
+        |            ELSE 'indexed' END AS status,
+        |  count(*) AS n_docs
+        |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "mm_payload_prune" ->
+      """WITH cur AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0
+        |             UNION ALL SELECT doc_id + 90000000 FROM documents WHERE doc_id % 13 = 0),
+        |idx AS (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT CASE WHEN i.doc_id IS NULL THEN 'unindexed'
+        |            WHEN c.doc_id IS NULL THEN 'orphaned'
+        |            ELSE 'indexed' END AS status,
+        |  count(*) AS n_docs
+        |FROM idx i FULL OUTER JOIN cur c ON i.doc_id = c.doc_id
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
     // incremental curation: delta = fingerprint-diff churn, quality =
     // the shared keep-predicate fragment, exact = hash anti-membership
     // against the base corpus, near = the shared ingest-gate chain with
@@ -1901,22 +2000,30 @@ object LlmQueries {
     */
   private lazy val payNearChainCte: String =
     s"""corpus AS ($PayloadCorpusSql),
-       |hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM corpus),
-       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, greatest(length(hx)//2 - 3, 1)+1), i -> substr(hx, 2*i-1, 8)))) AS g
-       |  FROM hx),
-       |th AS (SELECT doc_id, ${h56Duck("g")} AS h FROM g),
-       |bitsums AS (SELECT doc_id,
-       |    $paySimBitSums
-       |  FROM th GROUP BY doc_id),
-       |sims AS (SELECT doc_id, CAST($paySimAssemble AS BIGINT) AS simhash FROM bitsums),
-       |ch AS (
-       |  $payChunkUnion
-       |),
+       |${paySimsCtes("SELECT doc_id, text FROM corpus", "")},
        |p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sh_a, y.simhash AS sh_b
        |      FROM ch x JOIN ch y
        |        ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
        |h AS (SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM p)""".stripMargin
+
+  /** The payload-simhash derivation chain (hex windows → byte 4-grams →
+    * h56 → ±1 bit votes → simhash → chunk rows) over `src`, every CTE
+    * name prefixed with `p` so two chains (base corpus vs arriving
+    * batch, the stored-gate oracle) can coexist in one query.
+    */
+  private def paySimsCtes(src: String, p: String): String =
+    s"""${p}hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM ($src)),
+       |${p}g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(length(hx)//2 - 3, 1)+1), i -> substr(hx, 2*i-1, 8)))) AS g
+       |  FROM ${p}hx),
+       |${p}th AS (SELECT doc_id, ${h56Duck("g")} AS h FROM ${p}g),
+       |${p}bitsums AS (SELECT doc_id,
+       |    $paySimBitSums
+       |  FROM ${p}th GROUP BY doc_id),
+       |${p}sims AS (SELECT doc_id, CAST($paySimAssemble AS BIGINT) AS simhash FROM ${p}bitsums),
+       |${p}ch AS (
+       |  ${payChunkUnion(p)}
+       |)""".stripMargin
 
   /** The payload-copy corpus in DuckDB SQL (mirrors
     * [[Multimodal.payloadDupCorpus]] — text stands in for the payload
@@ -1931,10 +2038,18 @@ object LlmQueries {
     s"SUM(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
   private val paySimAssemble = (0 until Multimodal.PayloadSimBits).map(j =>
     s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-  private val payChunkUnion = {
+  private def payChunkUnion(p: String): String = {
     val chunkBits = Multimodal.PayloadSimBits / Multimodal.PayloadSimChunks
     (0 until Multimodal.PayloadSimChunks).map(c =>
-      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash // ${1L << (c * chunkBits)}) % ${1L << chunkBits} AS chunk_val FROM sims")
+      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash // ${1L << (c * chunkBits)}) % ${1L << chunkBits} AS chunk_val FROM ${p}sims")
       .mkString("\n  UNION ALL ")
   }
+
+  /** [[Multimodal.payloadIngestBatch]] in DuckDB SQL (payload = UTF-8 of
+    * the text expression, the mm_payload_dedup convention).
+    */
+  private val PayloadIngestBatchSql: String =
+    """SELECT doc_id + 70000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 80000000, substr(text,1,10) || 'x' || substr(text,12) FROM documents WHERE doc_id % 13 = 0
+      |UNION ALL SELECT doc_id + 90000000, 'npay-' || CAST(doc_id AS VARCHAR) || repeat(' zqx', 40) FROM documents WHERE doc_id % 17 = 0""".stripMargin
 }

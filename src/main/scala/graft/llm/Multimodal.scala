@@ -229,13 +229,15 @@ object Multimodal {
     * driver-safe regardless of batch size), the batch side carries a
     * size-gated broadcast hint, and the Hamming verify runs directly on
     * the joined chunk rows — the index is pruned, streamed, and never a
-    * broadcast build side (PlanQualitySpec pins the shape). Per-batch
-    * cost tracks the batch's chunk-value set, not the index size.
+    * broadcast build side (PlanQualitySpec "stored payload index probe"
+    * pins the shape). Per-batch cost tracks the batch's chunk-value set,
+    * not the index size.
     *
-    * Like the text gate, the call is eager about one small thing: the
-    * footprint collect materializes the persisted batch signature/chunk
-    * caches, which back the returned lazy frame until the caller's
-    * post-materialization cache clear.
+    * Like the text gate, the call is eager about one small thing: ONE
+    * fused single-row aggregate (footprint + size-gate row count, the
+    * [[graft.llm.LlmOps.mhFpAgg]] discipline) that materializes the
+    * persisted batch signature/chunk caches, which back the returned
+    * lazy frame until the caller's post-materialization cache clear.
     */
   def incrementalPayloadDedupIndexed(batch: DataFrame, indexDir: String,
       maxHamming: Int = PayloadMaxHamming,
@@ -244,9 +246,16 @@ object Multimodal {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bSims = payloadSims(batch).persist(lvl)
     val bChunks = payloadChunks(bSims).persist(lvl)
-    val footprint = bChunks.select(col("chunk_idx"), col("ck_bucket"))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
-    val smallBatch = broadcastMaxRows > 0 && bChunks.count() <= broadcastMaxRows
+    val fpRow = bChunks
+      .agg(collect_set(struct(col("chunk_idx"), col("ck_bucket"))).as("fp"),
+        count(lit(1)).as("n")).collect()(0)
+    // chunk_idx is the posexplode Int; ck_bucket is a pmod over a Long
+    // chunk value, so it collects as Long
+    val footprint = fpRow
+      .getSeq[org.apache.spark.sql.Row](fpRow.fieldIndex("fp"))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val smallBatch = broadcastMaxRows > 0 &&
+      fpRow.getLong(fpRow.fieldIndex("n")) <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     val pruned = spark.read.parquet(s"$indexDir/chunks").filter(
       footprint.map { case (ci, ck) =>
@@ -306,6 +315,18 @@ object Multimodal {
       .agg(count(lit(1)).as("n_vals"),
         max(col("bucket")).as("max_bucket"),
         sum(col("bucket")).cast("bigint").as("n_rows"))
+
+  /** [[graft.llm.LlmOps.pruneMinHashIndexTo]] for the stored payload
+    * index: drop the chunk rows of payloads no longer in the media
+    * corpus, so a taken-down asset's ghost can't veto a re-encode of its
+    * successor. Same swap mechanics, same restated (chunk_idx,
+    * ck_bucket) layout; returns (rows before, rows after).
+    */
+  def prunePayloadIndexTo(mediaDf: DataFrame, dir: String,
+      idCol: String = "doc_id"): (Long, Long) =
+    graft.llm.LlmOps.pruneIndexTable(mediaDf.sparkSession, s"$dir/chunks",
+      "doc_id", mediaDf.select(col(idCol).as("cur_id")).distinct(),
+      Seq("chunk_idx", "ck_bucket"), Seq("chunk_idx", "ck_bucket"))
 
   /** Harness fixture for the stored-payload-index gate: the arriving
     * media batch — exact byte copies of every 10th payload (+70000000,

@@ -1818,6 +1818,55 @@ class LlmSpec extends SparkSpec {
     assert(cov === Map("indexed" -> 2L))
   }
 
+  test("stored payload index lifecycle: gate drops copies and near-re-encodes, append extends, compact heals replays, prune repairs") {
+    import org.apache.spark.sql.functions.{col => c}
+    val mk = (seed: String) => (1 to 60).map(i => s"$seed$i").mkString(" ")
+    def mediaOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(c("doc_id"), org.apache.spark.sql.functions.encode(c("text"), "UTF-8").as("payload"))
+    val base = mediaOf(1L -> mk("alpha"), 2L -> mk("beta"), 9L -> mk("gamma"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pay-lc").toString
+    Multimodal.buildPayloadIndex(base, dir)
+    // batch: an exact byte copy (Hamming 0), a one-char edit (small
+    // Hamming), and a byte-disjoint arrival
+    val edited = mk("beta").updated(10, 'x')
+    val batch = mediaOf(71L -> mk("alpha"), 81L -> edited,
+      91L -> (1 to 60).map(i => s"zqx$i").mkString(" "))
+    val kept = Multimodal.incrementalPayloadDedupIndexed(batch, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(71L), "exact byte copy must drop at Hamming 0")
+    assert(!kept.contains(81L), "one-byte re-encode must drop within the Hamming budget")
+    assert(kept.contains(91L), "byte-disjoint payload must survive")
+    // append the survivor; a SECOND identical batch now self-cancels
+    Multimodal.appendPayloadIndex(
+      batch.join(Seq(91L).toDF("doc_id"), Seq("doc_id"), "left_semi"), dir)
+    val replay = mediaOf(191L -> (1 to 60).map(i => s"zqx$i").mkString(" "))
+    assert(Multimodal.incrementalPayloadDedupIndexed(replay, dir)
+      .collect().isEmpty, "appended survivor vetoes its own re-arrival")
+    // a replayed append leaves duplicate rows; compaction collapses them
+    Multimodal.appendPayloadIndex(
+      batch.join(Seq(91L).toDF("doc_id"), Seq("doc_id"), "left_semi"), dir)
+    val statsDup = Multimodal.payloadIndexStats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).collect()(0).getLong(0)
+    Multimodal.compactPayloadIndex(spark, dir)
+    val statsClean = Multimodal.payloadIndexStats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).collect()(0).getLong(0)
+    assert(statsDup === 5L * Multimodal.PayloadSimChunks &&
+      statsClean === 4L * Multimodal.PayloadSimChunks,
+      s"dedupRows collapses the replayed append: $statsDup -> $statsClean")
+    // prune to a generation without doc 1: its ghost stops vetoing
+    val cur = mediaOf(2L -> mk("beta"), 9L -> mk("gamma"),
+      91L -> (1 to 60).map(i => s"zqx$i").mkString(" "))
+    val (pb, pa) = Multimodal.prunePayloadIndexTo(cur, dir)
+    assert((pb, pa) === ((4L * Multimodal.PayloadSimChunks, 3L * Multimodal.PayloadSimChunks)))
+    val revived = Multimodal.incrementalPayloadDedupIndexed(
+      mediaOf(100L -> mk("alpha")), dir).collect().map(_.getLong(0))
+    assert(revived.toSeq === Seq(100L), "after the prune the removed payload re-ingests")
+    val cov = LlmOps.indexCoverage(cur, dir, indexTable = "chunks").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cov === Map("indexed" -> 3L), s"audit clean after prune: $cov")
+  }
+
   test("PQ drift gauge: per-cell counts mirror the codes table; budget bounds the high-err split") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString

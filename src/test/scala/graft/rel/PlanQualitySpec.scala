@@ -266,6 +266,34 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 2 exchanges (shared window shuffle, fold), got $exchanges:\n${p.take(1500)}")
   }
 
+  test("stored payload index probe: chunk scan pruned to the batch footprint, index never the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("mm_payload_inc_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the chunk scan carries the batch's STATIC (chunk_idx, ck_bucket)
+    // disjunction as a partition filter — unprobed directories never open
+    val chunksAt = p.indexOf("/chunks], PartitionFilters: [")
+    assert(chunksAt >= 0, s"chunks scan missing partition filters:\n${p.take(1500)}")
+    val chunksFilter = p.substring(chunksAt, math.min(p.length, chunksAt + 160))
+    assert(chunksFilter.contains("chunk_idx"),
+      s"chunks partition filter must pin the batch's footprint: $chunksFilter")
+    // the stored chunk table must never be the broadcast build side
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "probe must plan broadcast joins")
+    for (j <- joins) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("/chunks"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored chunk table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
   test("stored-LM fluency probe: model scan bucket-pruned and streamed, never the broadcast build side") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
