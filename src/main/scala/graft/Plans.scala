@@ -40,7 +40,10 @@ object Plans {
       "llm_fluency_idx"   -> "fluency off the STORED reference LM: the batch's wb bucket footprint pinned as a static partition filter on the model scan, batch bigrams (in-row RLE encode, no reduce shuffle) broadcast into the probability join (size-gated), unmatched transitions recovered by unioning plain size(t)-1 mass rows into ONE per-doc fold — the model is streamed, pruned, and never a build side",
       "llm_curate_funnel" -> "the composed curation pipeline as one DAG: quality ids persisted once for two consumers, survivor sets chained as id-only semi joins, minhash+CC over the stage-2 survivors, four stage counts unioned — nothing collected to the driver",
       "llm_curate_lm"     -> "the CCNet-shaped funnel: quality → exact → near → stored-LM fluency bar in ONE plan — the LM stage probes the frozen bigram artifact exactly like llm_fluency_idx (bucket-pruned streamed model scan, survivor bigrams broadcast), and runs last so every earlier gate shrinks what it scores",
-      "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan")
+      "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan",
+      "llm_curate_apply"  -> "the funnel's terminal materialization: stage chain identical to llm_curate_funnel but ending in the kept rows themselves — corpus anti-joined against resolved non-keepers (ids only on the drop side), dumped as (doc_id, n_chars), text never in a build-side shuffle",
+      "llm_curate_delta_lm" -> "the composed nightly with the LM bar: ONE fused eager footprint job (LSH band footprint × LM bucket footprint crossJoined into a single collected row), then ONE final job where the stored-index probe chain and the LM chain run CONCURRENTLY off the shared exact-survivor cache (the LM scores stage-2 survivors and intersects with the kept ids — same counts, no serial barrier behind the probe); model scan bucket-pruned and streamed, bands scan statically partition-pruned",
+      "mm_payload_inc_idx" -> "the media ingest gate off the STORED payload-simhash index: batch chunk footprint pinned as a static (chunk_idx, ck_bucket) partition filter on the chunk scan, batch chunk rows broadcast into the Hamming verify (bit_count over the joined simhashes — no second table, no verify join), survivors by anti-join — unprobed chunk directories never opened")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `runMain graft.Plans`, sf0.1)\n")
     sb.append("\nRegenerate after plan-shape changes; the judge-visible evidence for the\nscale claims in README.\n")

@@ -104,6 +104,15 @@ object StreamingIngest {
     * ANN append (before minhash) so every crash window replays into a
     * compaction-healable duplicate, never an absence.
     *
+    * `qualityGate` composes [[TextAnalysis.qualityFilter]] as the
+    * LEADING stage — funnel parity: with every option on, the live loop
+    * runs exactly [[LlmOps.curationFunnel]]'s order (quality → near
+    * dedup → fluency → semantic), so the streaming and batch surfaces
+    * agree on stage 1. It runs BEFORE the shingling deliberately: a
+    * pure per-doc predicate shrinks every downstream derivation
+    * (signatures, bands, bigrams, vectors), touches no stored artifact,
+    * and is replay-deterministic — zero added crash windows.
+    *
     * Per-epoch work discipline: the batch is shingled ONCE
     * ([[LlmOps.signaturesOf]]/[[LlmOps.bandsOf]], persisted) and the
     * cached frames feed both the probe and the survivor append; every
@@ -120,6 +129,7 @@ object StreamingIngest {
       pqIndexDir: Option[String] = None,
       lmDir: Option[String] = None,
       fluencyThreshold: Option[Double] = None,
+      qualityGate: Boolean = false,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
@@ -155,9 +165,22 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // the LEADING stateless gate — funnel parity with
+        // [[LlmOps.curationFunnel]]'s stage 1: the heuristic quality
+        // filter runs FIRST, before the shingling, because it is a pure
+        // per-doc predicate (no stored artifact, no crash window,
+        // replay-deterministic for free) and every downstream
+        // derivation — signatures, bands, bigrams, vectors — shrinks by
+        // whatever it drops
+        val admitted =
+          if (!qualityGate) batch
+          else batch.join(
+            TextAnalysis.qualityFilter(batch, idCol, textCol)
+              .filter(col("keep")).select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_semi")
         // ONE shingling job per epoch: the persisted signature/band pair
         // feeds the probe AND the survivor append below
-        val sig = LlmOps.signaturesOf(batch, idCol, textCol).persist(lvl)
+        val sig = LlmOps.signaturesOf(admitted, idCol, textCol).persist(lvl)
         val bands = LlmOps.bandsOf(sig).persist(lvl)
         // the gate returns canonical doc_id — rename back for the semi join
         val survivors = LlmOps
@@ -166,7 +189,7 @@ object StreamingIngest {
         // with a downstream gate on, kept0 feeds more than one
         // materialization (a gate's footprint collect and the corpus
         // write) — persisted so the minhash probe joins run once per epoch
-        val kept0raw = batch.join(survivors, Seq(idCol), "left_semi")
+        val kept0raw = admitted.join(survivors, Seq(idCol), "left_semi")
         val moreGates =
           semanticThreshold.isDefined || fluencyThreshold.isDefined
         val kept0 = if (moreGates) kept0raw.persist(lvl) else kept0raw

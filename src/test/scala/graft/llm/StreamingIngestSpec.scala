@@ -72,6 +72,36 @@ class StreamingIngestSpec extends SparkSpec {
       s"post-ingest corpus and index must reconcile exactly, got $cov")
   }
 
+  test("quality gate leads: a heuristic-failing doc drops before shingling, never reaching corpus or index") {
+    val idx = Files.createTempDirectory("graft-sq-idx").toString
+    val src = Files.createTempDirectory("graft-sq-src").toString
+    val out = Files.createTempDirectory("graft-sq-out").toString
+    val ckp = Files.createTempDirectory("graft-sq-ckp").toString
+    val base = docs(1L -> mk("alpha"))
+    LlmOps.buildMinHashIndex(base, idx)
+    // doc 300 is NOVEL text (the minhash gate would admit it) but fails
+    // the heuristic bar (7 tokens < minTokens=10) — only the leading
+    // quality stage can drop it; doc 301 passes every gate
+    val d = docs(300L -> "too short to pass quality bar", 301L -> mk("delta"))
+    val tmp = s"$src/_b1"
+    d.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(src, "b1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    StreamingIngest.start(spark, src, idx, out, ckp, qualityGate = true)
+      .awaitTermination()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(301L),
+      s"quality-failing doc must drop at stage 1, got $admitted")
+    // and it never reached the index either — the stage runs before
+    // any derivation, so nothing of doc 300 was shingled or appended
+    val indexed = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 301L), s"index must not carry the dropped doc: $indexed")
+  }
+
   test("fluency gate composes: gibberish and short docs drop against the stored LM, fluent novel text passes") {
     val idx = Files.createTempDirectory("graft-sif-idx").toString
     val lm = Files.createTempDirectory("graft-sif-lm").toString
