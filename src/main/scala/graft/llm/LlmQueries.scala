@@ -174,6 +174,20 @@ object LlmQueries {
       dir
     }
 
+  /** The stored benchmark-gram decontamination artifact: the harness
+    * "evaluation suite" is the ≥95 split-bucket slice of documents (the
+    * same deterministic split [[LlmOps.decontaminate]] uses), frozen
+    * into a distinct gram-hash table probed by the training-side gate.
+    */
+  private def decontamIndexDir(s: SparkSession, d: String): String =
+    memo(s"decontam|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-decontam-index")
+      val docs = Tables.documents(s, d)
+      LlmOps.buildDecontamIndex(docs.filter(
+        expr(s"${LlmOps.h56("concat('split|', cast(doc_id as string))")} % 100") >= 95), dir)
+      dir
+    }
+
   /** The stored payload-simhash index over `d`'s media corpus (probed by
     * the media ingest gate, read by the stats gauge and coverage audit).
     */
@@ -501,7 +515,15 @@ object LlmQueries {
     // orphaned class remains
     "mm_payload_prune" -> ((s, d) => LlmOps.indexCoverage(
       Multimodal.mediaSnapshotNext(Tables.documents(s, d)),
-      payPrunedDir(s, d), indexTable = "chunks"))
+      payPrunedDir(s, d), indexTable = "chunks")),
+    // the production-direction decontamination gate: training candidates
+    // (bucket < 90) probe the STORED benchmark gram set (bucket ≥ 95,
+    // frozen into the artifact) — llm_decontaminate's roles inverted
+    // into the stored-artifact lifecycle
+    "llm_decontam_idx" -> ((s, d) => LlmOps.decontaminateStored(
+      Tables.documents(s, d).filter(
+        expr(s"${LlmOps.h56("concat('split|', cast(doc_id as string))")} % 100") < 90),
+      decontamIndexDir(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -528,6 +550,7 @@ object LlmQueries {
     "mm_payload_index_stats" -> Seq(col("chunk_idx")),
     "mm_payload_coverage" -> Seq(col("status")),
     "mm_payload_prune"  -> Seq(col("status")),
+    "llm_decontam_idx"  -> Seq(col("doc_id")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
@@ -1877,6 +1900,25 @@ object LlmQueries {
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)
          |ORDER BY doc_id""".stripMargin,
+
+    // the stored decontamination gate: same shingle chain as
+    // llm_decontaminate with the roles inverted — benchmark (≥95 slice)
+    // is the membership set, training candidates (<90) are scored
+    "llm_decontam_idx" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shinglesDuck AS grams FROM t),
+         |gh AS (SELECT doc_id,
+         |    list_distinct(list_transform(grams, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs,
+         |    ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM g),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM gh WHERE bucket >= 95),
+         |train AS (SELECT doc_id, gs FROM gh WHERE bucket < 90),
+         |e AS (SELECT doc_id, unnest(gs) AS h FROM train),
+         |sh AS (SELECT doc_id, count(*) AS n_shared FROM e JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT train.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  COALESCE(sh.n_shared, 0) AS n_shared,
+         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
+         |FROM train LEFT JOIN sh ON train.doc_id = sh.doc_id ORDER BY train.doc_id""".stripMargin,
 
     // stored payload gate: two simhash chains (indexed base media vs the
     // arriving batch), batch payloads within Hamming 3 of a base payload

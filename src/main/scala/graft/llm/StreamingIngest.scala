@@ -130,6 +130,8 @@ object StreamingIngest {
       lmDir: Option[String] = None,
       fluencyThreshold: Option[Double] = None,
       qualityGate: Boolean = false,
+      decontamIndexDir: Option[String] = None,
+      maxSharedGrams: Long = 0L,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
@@ -147,10 +149,12 @@ object StreamingIngest {
     graft.cdc.Compaction.recoverDir(indexDir)
     annIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     pqIndexDir.foreach(graft.cdc.Compaction.recoverDir)
-    // the LM is read-only in the loop (generation artifact, no append),
-    // but a REBUILD that crashed mid-swap leaves the parent renamed away
-    // — same recovery as the PQ artifact parent
+    // the LM and benchmark-gram artifacts are read-only in the loop
+    // (generation artifacts), but a REBUILD that crashed mid-swap leaves
+    // the parent renamed away — same recovery as the PQ artifact parent
     lmDir.foreach(graft.cdc.Compaction.recoverDir)
+    decontamIndexDir.foreach(graft.cdc.Compaction.recoverDir)
+    decontamIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/grams"))
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
     annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))
@@ -179,12 +183,30 @@ object StreamingIngest {
               .filter(col("keep")).select(col("doc_id").as(idCol)),
             Seq(idCol), "left_semi")
         // ONE shingling job per epoch: the persisted signature/band pair
-        // feeds the probe AND the survivor append below
+        // feeds the probe, the survivor append, AND (when on) the
+        // decontamination gate below
         val sig = LlmOps.signaturesOf(admitted, idCol, textCol).persist(lvl)
-        val bands = LlmOps.bandsOf(sig).persist(lvl)
+        // the optional BENCHMARK-LEAKAGE gate — stateless like the
+        // quality stage (the gram artifact is a frozen benchmark
+        // version; no append, no crash window, replay-deterministic):
+        // docs sharing more than maxSharedGrams shingles with the
+        // stored evaluation suite never enter the corpus or any index.
+        // Runs off the epoch's shared signature cache, BEFORE the index
+        // probe so the contaminated slice never costs a band join. Not
+        // re-persisted: both consumers re-derive via a semi-join on the
+        // cached sig frame.
+        val sigGate = decontamIndexDir match {
+          case Some(dDir) =>
+            val clean = LlmOps.decontaminateStoredFrom(sig, dDir)
+              .filter(col("n_shared") <= maxSharedGrams)
+              .select(col("doc_id"))
+            sig.join(clean, Seq("doc_id"), "left_semi")
+          case None => sig
+        }
+        val bands = LlmOps.bandsOf(sigGate).persist(lvl)
         // the gate returns canonical doc_id — rename back for the semi join
         val survivors = LlmOps
-          .incrementalDedupMinHashIndexedFrom(sig, bands, indexDir, threshold)
+          .incrementalDedupMinHashIndexedFrom(sigGate, bands, indexDir, threshold)
           .withColumnRenamed("doc_id", idCol)
         // with a downstream gate on, kept0 feeds more than one
         // materialization (a gate's footprint collect and the corpus

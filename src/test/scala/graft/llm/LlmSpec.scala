@@ -1867,6 +1867,44 @@ class LlmSpec extends SparkSpec {
     assert(cov === Map("indexed" -> 3L), s"audit clean after prune: $cov")
   }
 
+  test("stored decontamination index: benchmark grams frozen, leaked training docs flagged, append extends membership, compaction dedups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    // benchmark: one frozen eval doc; its word-3-shingles are the
+    // membership set
+    val bench = docs(900L -> "the quick brown fox jumps over the lazy dog tonight")
+    LlmOps.buildDecontamIndex(bench, dir)
+    // train candidates: doc 1 embeds a verbatim 3-shingle window of the
+    // benchmark ("quick brown fox" ...), doc 2 shares no window
+    val train = docs(
+      1L -> "we scraped a page saying the quick brown fox jumps right here",
+      2L -> "completely unrelated corpus text with nothing shared at all")
+    val out = LlmOps.decontaminateStored(train, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._2 && out(1L)._1 > 0, s"leaked doc must flag: $out")
+    assert(out(2L) === ((0L, false)), s"clean doc must not flag: $out")
+    // a NEW benchmark version appends its grams: doc 2's text joins the
+    // suite, so doc 2 now flags
+    LlmOps.appendDecontamIndex(
+      docs(901L -> "completely unrelated corpus text with nothing shared at all"), dir)
+    val out2 = LlmOps.decontaminateStored(train, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out2 === Map(1L -> true, 2L -> true), s"appended version must veto: $out2")
+    // an overlapping (replayed) append leaves duplicate gram rows; the
+    // probe's distinct keeps n_shared exact BEFORE compaction, and
+    // compaction collapses the rows physically
+    LlmOps.appendDecontamIndex(bench, dir)
+    val preCompact = LlmOps.decontaminateStored(train, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rowsDup = spark.read.parquet(s"$dir/grams").count()
+    LlmOps.compactDecontamIndex(spark, dir)
+    val rowsClean = spark.read.parquet(s"$dir/grams").count()
+    assert(rowsClean < rowsDup, "compaction must collapse the replayed grams")
+    val postCompact = LlmOps.decontaminateStored(train, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(preCompact === postCompact,
+      s"n_shared must be replay-invariant: $preCompact vs $postCompact")
+  }
+
   test("PQ drift gauge: per-cell counts mirror the codes table; budget bounds the high-err split") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString

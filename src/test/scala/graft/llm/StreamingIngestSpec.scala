@@ -102,6 +102,38 @@ class StreamingIngestSpec extends SparkSpec {
     assert(indexed === Set(1L, 301L), s"index must not carry the dropped doc: $indexed")
   }
 
+  test("decontamination gate composes: a benchmark-leaking doc drops off the shared signature cache, clean docs admit") {
+    val idx = Files.createTempDirectory("graft-sd-idx").toString
+    val dec = Files.createTempDirectory("graft-sd-dec").toString
+    val src = Files.createTempDirectory("graft-sd-src").toString
+    val out = Files.createTempDirectory("graft-sd-out").toString
+    val ckp = Files.createTempDirectory("graft-sd-ckp").toString
+    LlmOps.buildMinHashIndex(docs(1L -> mk("alpha")), idx)
+    // the frozen "evaluation suite": one benchmark doc
+    LlmOps.buildDecontamIndex(docs(900L -> mk("bench")), dec)
+    // doc 400 embeds a verbatim benchmark window (novel to the LSH
+    // index — only the decontam gate can drop it); doc 401 is clean
+    val d = docs(
+      400L -> (s"leaked fragment ${mk("bench").split(" ").take(12).mkString(" ")} inside scraped text"),
+      401L -> mk("gamma"))
+    val tmp = s"$src/_b1"
+    d.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(src, "b1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      decontamIndexDir = Some(dec)).awaitTermination()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(401L),
+      s"benchmark-leaking doc must drop at the decontam gate, got $admitted")
+    val indexed = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 401L),
+      s"the contaminated doc must not reach the index: $indexed")
+  }
+
   test("fluency gate composes: gibberish and short docs drop against the stored LM, fluent novel text passes") {
     val idx = Files.createTempDirectory("graft-sif-idx").toString
     val lm = Files.createTempDirectory("graft-sif-lm").toString
