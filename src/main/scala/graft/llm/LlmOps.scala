@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Row shape of the `bigram_rle` UDF fallback (field names must match the
+  * native [[graft.functions.BigramRle]] output struct).
+  */
+case class BigramRow(w1: String, w2: String, n: Long)
+
 /** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
   * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
   * embedding-cosine), approximate-nearest-neighbor similarity search.
@@ -1097,19 +1102,37 @@ object LlmOps {
     */
   def docBigrams(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    textCorpus(corpus, idCol, textCol)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 2)
-      .withColumn("bgs", expr(
-        "array_sort(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2)))"))
-      // 1-based end positions of equal runs, then run lengths by
-      // differencing consecutive ends — the classic RLE, linear per doc
-      .withColumn("ends", expr(
-        "filter(sequence(1, size(bgs)), i -> i = size(bgs) or not (element_at(bgs, i) = element_at(bgs, i + 1)))"))
-      .select(col("doc_id"), explode(expr(
-        "transform(ends, (e, j) -> struct(element_at(bgs, e).w1 as w1, element_at(bgs, e).w2 as w2, cast(e - if(j = 0, 0, element_at(ends, j)) as bigint) as n))")).as("bg"))
+    // the fused [[graft.functions.BigramRle]] expression: split →
+    // adjacent pairs → sort → run-length encode in one imperative pass
+    // per row (row-set identical to the five-lambda SQL chain it
+    // replaced — see the expression's scaladoc; equivalence spec'd).
+    // Docs with fewer than two tokens yield an empty array and vanish
+    // at the explode, the old filter's semantics.
+    ensureBigramRle(textCorpus(corpus, idCol, textCol))
+      .select(col("doc_id"), explode(expr("bigram_rle(text)")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"),
         col("bg.w2").as("w2"), col("bg.n").as("n"))
+
+  /** Make `bigram_rle` resolvable on any session: no-op when
+    * [[graft.plans.GraftExtensions]] already registered the native
+    * expression; otherwise a value-identical UDF fallback (no codegen,
+    * but correct).
+    */
+  def ensureBigramRle(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.functionExists("bigram_rle"))
+      s.udf.register("bigram_rle", (text: String) =>
+        if (text == null) null
+        else {
+          val toks = text.split(" ", -1)
+          if (toks.length < 2) Seq.empty[BigramRow]
+          else toks.sliding(2).toSeq
+            .groupBy(p => (p(0), p(1))).toSeq
+            .map { case ((w1, w2), g) => BigramRow(w1, w2, g.size.toLong) }
+            .sortBy(r => (r.w1, r.w2))
+        })
+    df
+  }
 
   // ----------------------------------------------- stored fluency model
 

@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("payload_simhash"),
       new ExpressionInfo(classOf[graft.functions.PayloadSimHash].getName, "payload_simhash"),
       (children: Seq[Expression]) => graft.functions.PayloadSimHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_rle"),
+      new ExpressionInfo(classOf[graft.functions.BigramRle].getName, "bigram_rle"),
+      (children: Seq[Expression]) => graft.functions.BigramRle(children.head)))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

@@ -139,6 +139,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("bigram_rle fused pass equals the split/sort/RLE SQL chain, edge shapes included") {
+    // repeated bigrams, consecutive/trailing spaces (empty tokens KEPT by
+    // split limit -1), single token, empty string, unicode, long mixed
+    val cases = Seq(
+      "a b a b a c",
+      "x  y",          // double space → empty middle token
+      "tail space ",   // trailing empty token
+      "solo",
+      "",
+      "ü ber ü ber",
+      (1 to 200).map(i => s"w${i % 13}").mkString(" "))
+    val sqlChain = Seq(
+      "split(text, ' ') AS t",
+      "CASE WHEN size(split(text, ' ')) >= 2 THEN array_sort(transform(sequence(1, size(split(text, ' ')) - 1), i -> struct(element_at(split(text, ' '), i) as w1, element_at(split(text, ' '), i + 1) as w2))) END AS bgs")
+    val rows = cases.toDF("text")
+      .selectExpr(Seq("text", "bigram_rle(text) AS fused") ++ sqlChain: _*)
+      .selectExpr("text", "fused",
+        "CASE WHEN bgs IS NULL THEN array() ELSE transform(filter(sequence(1, size(bgs)), i -> i = size(bgs) or not (element_at(bgs, i) = element_at(bgs, i + 1))), (e, j) -> struct(element_at(bgs, e).w1 as w1, element_at(bgs, e).w2 as w2, cast(e - if(j = 0, 0, element_at(filter(sequence(1, size(bgs)), i -> i = size(bgs) or not (element_at(bgs, i) = element_at(bgs, i + 1))), j)) as bigint) as n)) END AS unfused")
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+      val unfused = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+      assert(fused === unfused, s"diverged on '${r.getString(0)}'")
+    }
+    val nr = Seq[String](null).toDF("text")
+      .selectExpr("bigram_rle(text) AS fused").collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("payload_simhash fused pass equals the hex/explode/vote SQL chain, edge lengths included") {
     // empty, 1-3 byte (single short gram), exactly 4, duplicate-gram-heavy
     // (aaaa... packs every window identical), and a 300-byte spread
