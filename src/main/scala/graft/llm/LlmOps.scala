@@ -1359,6 +1359,85 @@ object LlmOps {
         sum(col("c2")).as("total_mass"),
         max(col("c1")).as("max_prefix_mass"))
 
+  /** Calibrate a CCNet-style head/middle/tail partitioner (Wenzek et
+    * al. 2019) and freeze it as a stored artifact: the calibration
+    * slice scores against the stored reference LM, its exact tercile
+    * cut TUPLES (k-th smallest (fluency, doc_id), k = ceil(n/3) and
+    * ceil(2n/3)) land in a one-row `cuts` parquet under `dir` via the
+    * same atomic [[graft.cdc.Compaction.swapDir]] every other artifact
+    * rebuild uses. CCNet computes its perplexity cutoffs OFFLINE on a
+    * held-out sample and applies them statelessly ever after — the cuts
+    * are maintenance-cadence, never on the scoring path.
+    *
+    * The calibration slice is bounded BY DESIGN (an eval-suite-sized
+    * held-out sample — the `refMod` slice is the harness stand-in, the
+    * recall-gauge discipline), so its probe partition-prunes off the
+    * slice's bucket footprint and the two cut tuples are sort-limits
+    * over a bounded frame. Tuple ties break on doc_id; the fluency
+    * doubles are the probe's value-sorted fold — bit-identical
+    * cross-engine, so an oracle restating the ranks agrees exactly.
+    */
+  def buildLmPartitioner(corpus: DataFrame, modelDir: String, dir: String,
+      refMod: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val ref = fluencyStored(
+        corpus.filter(col(idCol) % refMod === 0), modelDir, idCol, textCol)
+      .select(col("doc_id"), col("fluency"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = ref.count()
+    require(cnt > 0, s"empty calibration slice ($idCol % $refMod)")
+    def cutAt(k: Long, as: String): DataFrame =
+      ref.orderBy(col("fluency"), col("doc_id")).limit(k.toInt)
+        .agg(max(struct(col("fluency"), col("doc_id"))).as(as))
+    graft.cdc.Compaction.swapDir(dir) { tmp =>
+      cutAt((cnt + 2) / 3, "c1").crossJoin(cutAt((2 * cnt + 2) / 3, "c2"))
+        .select(col("c1.fluency").as("f1"), col("c1.doc_id").as("d1"),
+          col("c2.fluency").as("f2"), col("c2.doc_id").as("d2"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
+    }
+    ref.unpersist()
+  }
+
+  /** Apply a stored [[buildLmPartitioner]]: every document scores
+    * against the stored reference LM and lands in `tail` (below the
+    * frozen first cut — the least fluent reference-third), `middle`, or
+    * `head` by threshold comparison. Corpus buckets are NOT equal-sized
+    * — that is the point: the thresholds describe the CALIBRATION
+    * distribution, and a corpus cleaner (or dirtier) than the held-out
+    * sample skews toward `head` (or `tail`).
+    *
+    * 100 TB shape: ONE probe pass, stateless ever after. Corpus-wide
+    * scoring visits every model bucket by construction, so no footprint
+    * job runs and no broadcast hint applies (the batch IS the corpus) —
+    * [[probeStored]] scans the full model and AQE picks the join build
+    * side; the cut row is the frozen artifact (two tuples — collected
+    * like the BPE merge table, artifact-sized by definition) and the
+    * bucket CASE is a literal struct comparison fused into the probe's
+    * output projection. No global sort, no window, no second pass.
+    */
+  def lmPartition(corpus: DataFrame, modelDir: String, cutsDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = spark.read.parquet(s"$cutsDir/cuts").collect()(0)
+    // field names must mirror the probe side's struct(fluency, doc_id)
+    // — struct comparison requires same-named field types
+    val (cut1, cut2) = (
+      struct(lit(c.getDouble(0)).as("fluency"), lit(c.getLong(1)).as("doc_id")),
+      struct(lit(c.getDouble(2)).as("fluency"), lit(c.getLong(3)).as("doc_id")))
+    val mass = textCorpus(corpus, idCol, textCol)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), lit(null).cast("double").as("v"),
+        (size(col("t")) - 1).cast("bigint").as("nn"))
+    probeStored(docBigrams(corpus, idCol, textCol), mass, modelDir,
+        (0 until LmBuckets).toArray, small = false)
+      .select(col("doc_id"), col("fluency"),
+        when(struct(col("fluency"), col("doc_id")) <= cut1, lit("tail"))
+          .when(struct(col("fluency"), col("doc_id")) <= cut2,
+            lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   // --------------------------------------------------- keyword extraction
 
   /** Top-k keywords per document by tf × (N/df) — TF-IDF with a rational

@@ -122,6 +122,17 @@ object LlmQueries {
       dir
     }
 
+  /** The stored CCNet partitioner cuts ([[LlmOps.buildLmPartitioner]])
+    * calibrated on the %10 slice against [[lmDir]]'s model — the frozen
+    * tercile thresholds `llm_lm_partition` applies statelessly.
+    */
+  private def lmCutsDir(s: SparkSession, d: String): String =
+    memo(s"lmcuts|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-lm-cuts")
+      LlmOps.buildLmPartitioner(Tables.documents(s, d), lmDir(s, d), dir)
+      dir
+    }
+
   /** A stored LSH index built over the BASE documents generation, then
     * PRUNED to the next crawl snapshot — the detect→repair lifecycle
     * under audit: the base build leaves the %11 removals as orphans,
@@ -406,6 +417,11 @@ object LlmQueries {
     "llm_fluency_idx"   -> ((s, d) => LlmOps.fluencyStored(
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0), lmDir(s, d))),
     "llm_lm_stats"      -> ((s, d) => LlmOps.lmStats(s, lmDir(s, d))),
+    // CCNet head/middle/tail: tercile thresholds frozen offline from
+    // the %10 calibration slice's stored-LM scores (the stored
+    // partitioner artifact), applied corpus-wide in one stateless pass
+    "llm_lm_partition"  -> ((s, d) => LlmOps.lmPartition(
+      Tables.documents(s, d), lmDir(s, d), lmCutsDir(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -576,6 +592,7 @@ object LlmQueries {
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
     "llm_fluency"       -> Seq(col("doc_id")),
     "llm_fluency_idx"   -> Seq(col("doc_id")),
+    "llm_lm_partition"  -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -1138,6 +1155,41 @@ object LlmQueries {
         |  CAST(SUM(c2) AS BIGINT) AS total_mass,
         |  CAST(MAX(c1) AS BIGINT) AS max_prefix_mass
         |FROM c2 JOIN c1 USING (w1)""".stripMargin,
+
+    // CCNet head/middle/tail: the full-corpus scoring chain is
+    // llm_fluency's (model = the stored artifact's defining corpus, so
+    // both engines derive identical integers); tercile cut TUPLES come
+    // from the %10 calibration slice via row_number (k = ceil(cnt/3),
+    // ceil(2cnt/3)), and the bucket CASE states the same
+    // (fluency, doc_id) row-value comparison the Spark side writes as a
+    // struct comparison — lexicographic in both dialects
+    "llm_lm_partition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |       WHERE len(t) >= 2),
+        |bic AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bic GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |flc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg,
+        |  list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
+        |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
+        |  FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
+        |ref AS (SELECT fluency, doc_id FROM flc WHERE doc_id % 10 = 0),
+        |cten AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM ref),
+        |rr AS (SELECT fluency, doc_id,
+        |       row_number() OVER (ORDER BY fluency, doc_id) AS rn FROM ref),
+        |cut1 AS (SELECT fluency AS f1, doc_id AS d1 FROM rr, cten
+        |         WHERE rn = (cnt + 2) // 3),
+        |cut2 AS (SELECT fluency AS f2, doc_id AS d2 FROM rr, cten
+        |         WHERE rn = (2 * cnt + 2) // 3)
+        |SELECT flc.doc_id, flc.fluency,
+        |  CASE WHEN (flc.fluency, flc.doc_id) <= (f1, d1) THEN 'tail'
+        |       WHEN (flc.fluency, flc.doc_id) <= (f2, d2) THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM flc, cut1, cut2 ORDER BY flc.doc_id""".stripMargin,
 
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1443,6 +1443,47 @@ class LlmSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("LM partition: exact terciles on the calibration slice, thresholds order the whole corpus, short docs absent") {
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-lm-part").toString
+    // graded fluency over a SHARED vocabulary (unique junk won't grade:
+    // a hapax bigram's prefix is hapax too, so it scores p = 1): doc j
+    // mixes j copies of the dominant transition "a b" with two of the
+    // rare "a c" — fluency (12j/7 + 11/7)/(2j + 3) rises strictly in j.
+    // Calibration slice = ids % 10 == 0 (9 docs, j = 1..9); ids 1/3/5
+    // are off-slice probes at j = 1/5/9; 7 is a 1-token doc.
+    def graded(id: Long, j: Int) =
+      id -> (Seq.fill(j)("a b") ++ Seq("a c", "a c")).mkString(" ")
+    val d = docs(((1 to 9).map(j => graded(10L * j, j)) ++
+      Seq(graded(1L, 1), graded(3L, 5), graded(5L, 9), 7L -> "solo")): _*)
+    LlmOps.buildFluencyModel(d, lmDir)
+    val cutsDir = java.nio.file.Files.createTempDirectory("graft-lm-cuts").toString
+    LlmOps.buildLmPartitioner(d, lmDir, cutsDir)
+    val out = LlmOps.lmPartition(d, lmDir, cutsDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    // the 1-token doc has no transition evidence — absent, not bucketed
+    assert(!out.contains(7L))
+    // calibration slice splits EXACTLY ceil(9/3)=3 / 3 / 3
+    val refBuckets = (10L to 90L by 10L).map(out(_)._2)
+    assert(refBuckets.count(_ == "tail") === 3 &&
+      refBuckets.count(_ == "middle") === 3 &&
+      refBuckets.count(_ == "head") === 3, s"ref split: $refBuckets")
+    // thresholds are global: every tail (fluency, id) tuple precedes
+    // every middle tuple, which precedes every head tuple — slice
+    // membership plays no role in ASSIGNMENT, only in the cut points
+    val ord: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+    def tuples(b: String) = out.collect {
+      case (id, (f, `b`)) => (f, id) }.toSeq.sorted(ord)
+    val (tl, md, hd) = (tuples("tail"), tuples("middle"), tuples("head"))
+    assert(tl.nonEmpty && md.nonEmpty && hd.nonEmpty)
+    assert(ord.lt(tl.last, md.head), s"${tl.last} !< ${md.head}")
+    assert(ord.lt(md.last, hd.head), s"${md.last} !< ${hd.head}")
+    // off-slice probes bucket purely by threshold comparison: id 1 ties
+    // doc 10's score (id breaks the tie below the cut), 3 and 5 land
+    // mid- and top-range — slice membership plays no role in assignment
+    assert(out(1L)._2 === "tail" && out(3L)._2 === "middle" &&
+      out(5L)._2 === "head", s"${out(1L)} ${out(3L)} ${out(5L)}")
+  }
+
   test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))
