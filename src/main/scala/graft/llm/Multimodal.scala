@@ -242,10 +242,26 @@ object Multimodal {
   def incrementalPayloadDedupIndexed(batch: DataFrame, indexDir: String,
       maxHamming: Int = PayloadMaxHamming,
       broadcastMaxRows: Long = graft.llm.LlmOps.GateBroadcastMaxRows): DataFrame = {
-    val spark = batch.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bSims = payloadSims(batch).persist(lvl)
     val bChunks = payloadChunks(bSims).persist(lvl)
+    incrementalPayloadDedupIndexedFrom(bSims, bChunks, indexDir,
+      maxHamming, broadcastMaxRows)
+  }
+
+  /** [[incrementalPayloadDedupIndexed]] over caller-derived
+    * (caller-persisted, caller-released) [[payloadSims]] /
+    * [[payloadChunks]] frames — the form the live media loop uses when
+    * the epoch already owns the shared simhash caches (the
+    * [[graft.llm.LlmOps.incrementalDedupMinHashIndexedFrom]]
+    * discipline: one payload pass per epoch, probe and append both read
+    * the caches).
+    */
+  def incrementalPayloadDedupIndexedFrom(bSims: DataFrame,
+      bChunks: DataFrame, indexDir: String,
+      maxHamming: Int = PayloadMaxHamming,
+      broadcastMaxRows: Long = graft.llm.LlmOps.GateBroadcastMaxRows): DataFrame = {
+    val spark = bSims.sparkSession
     val fpRow = bChunks
       .agg(collect_set(struct(col("chunk_idx"), col("ck_bucket"))).as("fp"),
         count(lit(1)).as("n")).collect()(0)
@@ -280,7 +296,14 @@ object Multimodal {
     * holds across generations and each ingest adds files ∝ batch size.
     */
   def appendPayloadIndex(mediaDf: DataFrame, dir: String): Unit =
-    payloadChunks(payloadSims(mediaDf))
+    appendPayloadIndexFrom(payloadChunks(payloadSims(mediaDf)), dir)
+
+  /** [[appendPayloadIndex]] over an already-derived [[payloadChunks]]
+    * frame — the live loop's form, appending off the epoch's shared
+    * cache instead of re-reading payload bytes.
+    */
+  def appendPayloadIndexFrom(chunks: DataFrame, dir: String): Unit =
+    chunks
       .repartition(col("chunk_idx"), col("ck_bucket"))
       .write.mode("append").partitionBy("chunk_idx", "ck_bucket")
       .parquet(s"$dir/chunks")
