@@ -174,6 +174,35 @@ object ScaleBench {
     val ixBase = incIdx(sfDir)
     val ixScaled = incIdx(out)
 
+    // stored-payload-index gate probe — the media twin of incmh_indexed:
+    // fixed media batch (parquet, immune to the clearCache), chunk table
+    // rebuilt per corpus size; flatness is the (chunk_idx, ck_bucket)
+    // directory pruning holding as the indexed media corpus grows
+    val pyBatchDir = java.nio.file.Files.createTempDirectory("graft-scale-pybatch").toString
+    graft.llm.Multimodal.payloadIngestBatch(Tables.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(pyBatchDir)
+    val pyBatch = spark.read.parquet(pyBatchDir)
+    def pyIdx(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-pyix").toString
+      graft.llm.Multimodal.buildPayloadIndex(
+        graft.llm.Multimodal.media(Tables.documents(spark, dir)), ixDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.Multimodal.incrementalPayloadDedupIndexed(pyBatch, ixDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
+      med
+    }
+    val pyBase = pyIdx(sfDir)
+    val pyScaled = pyIdx(out)
+
     // materialized-ANN probe: the partitioned cell table is built once per
     // corpus size (untimed — amortized across the query stream), the
     // timed step is the fixed-8-query probe off the stored cells. The
@@ -480,7 +509,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"payload_indexed":{"base_sec":$pyBase,"scaled_sec":$pyScaled,"ratio":${pyScaled / pyBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
     // the replicated corpus is multi-GB at factor 10 — repeated runs would
