@@ -1438,6 +1438,25 @@ object LlmOps {
           .otherwise(lit("head")).as("bucket"))
   }
 
+  /** Terminal materialization of the stored partition — the CCNet
+    * selection rule: keep the `head` whole, keep `midPermille`/1000 of
+    * the `middle` by salted doc-id hash (reproducible, order-free, the
+    * [[sampleByHash]] discipline — both engines state the identical
+    * md5-derived priority), drop the `tail`. A stateless filter fused
+    * onto [[lmPartition]]'s one probe pass — same plan plus a
+    * predicate, nothing new shuffles.
+    */
+  def lmPartitionApply(corpus: DataFrame, modelDir: String,
+      cutsDir: String, midPermille: Int = 500, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(midPermille >= 0 && midPermille <= 1000,
+      "midPermille is a per-mille keep rate in [0, 1000]")
+    lmPartition(corpus, modelDir, cutsDir, idCol, textCol)
+      .filter(col("bucket") === "head" || (col("bucket") === "middle" &&
+        expr(s"${h56("concat('lmsamp|', cast(doc_id as string))")} % 1000")
+          < midPermille))
+  }
+
   // --------------------------------------------------- keyword extraction
 
   /** Top-k keywords per document by tf × (N/df) — TF-IDF with a rational

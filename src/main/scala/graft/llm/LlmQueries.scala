@@ -422,6 +422,10 @@ object LlmQueries {
     // partitioner artifact), applied corpus-wide in one stateless pass
     "llm_lm_partition"  -> ((s, d) => LlmOps.lmPartition(
       Tables.documents(s, d), lmDir(s, d), lmCutsDir(s, d))),
+    // the CCNet selection rule applied: head whole, middle sampled at
+    // 500‰ by salted hash, tail dropped — the partition pass + a filter
+    "llm_lm_partition_apply" -> ((s, d) => LlmOps.lmPartitionApply(
+      Tables.documents(s, d), lmDir(s, d), lmCutsDir(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -593,6 +597,7 @@ object LlmQueries {
     "llm_fluency"       -> Seq(col("doc_id")),
     "llm_fluency_idx"   -> Seq(col("doc_id")),
     "llm_lm_partition"  -> Seq(col("doc_id")),
+    "llm_lm_partition_apply" -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -778,6 +783,39 @@ object LlmQueries {
        |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
        |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
        |       FROM nb LEFT JOIN fm USING (doc_id))""".stripMargin
+
+  /** The CCNet partition chain through per-doc bucket assignment, ending
+    * with `prt(doc_id, fluency, bucket)` — shared by the partition and
+    * partition-apply oracles so the two can never drift on the
+    * calibration arithmetic (the [[lmScoreCtes]] discipline).
+    */
+  private lazy val lmPartitionCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+      |       WHERE len(t) >= 2),
+      |bic AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bic GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |flc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
+      |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
+      |  FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
+      |ref AS (SELECT fluency, doc_id FROM flc WHERE doc_id % 10 = 0),
+      |cten AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM ref),
+      |rr AS (SELECT fluency, doc_id,
+      |       row_number() OVER (ORDER BY fluency, doc_id) AS rn FROM ref),
+      |cut1 AS (SELECT fluency AS f1, doc_id AS d1 FROM rr, cten
+      |         WHERE rn = (cnt + 2) // 3),
+      |cut2 AS (SELECT fluency AS f2, doc_id AS d2 FROM rr, cten
+      |         WHERE rn = (2 * cnt + 2) // 3),
+      |prt AS (SELECT flc.doc_id, flc.fluency,
+      |  CASE WHEN (flc.fluency, flc.doc_id) <= (f1, d1) THEN 'tail'
+      |       WHEN (flc.fluency, flc.doc_id) <= (f2, d2) THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |  FROM flc, cut1, cut2)""".stripMargin
 
   /** The funnel's stage-2 survivor corpus (quality keepers ∩ exact-dedup
     * keepers over the near-dup harness corpus) — the corpus the near-dup
@@ -1164,32 +1202,19 @@ object LlmQueries {
     // (fluency, doc_id) row-value comparison the Spark side writes as a
     // struct comparison — lexicographic in both dialects
     "llm_lm_partition" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bi AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
-        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
-        |       WHERE len(t) >= 2),
-        |bic AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
-        |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bic GROUP BY 1, 2),
-        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        |flc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg,
-        |  list_reduce(
-        |    list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
-        |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
-        |  FROM bic JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id),
-        |ref AS (SELECT fluency, doc_id FROM flc WHERE doc_id % 10 = 0),
-        |cten AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM ref),
-        |rr AS (SELECT fluency, doc_id,
-        |       row_number() OVER (ORDER BY fluency, doc_id) AS rn FROM ref),
-        |cut1 AS (SELECT fluency AS f1, doc_id AS d1 FROM rr, cten
-        |         WHERE rn = (cnt + 2) // 3),
-        |cut2 AS (SELECT fluency AS f2, doc_id AS d2 FROM rr, cten
-        |         WHERE rn = (2 * cnt + 2) // 3)
-        |SELECT flc.doc_id, flc.fluency,
-        |  CASE WHEN (flc.fluency, flc.doc_id) <= (f1, d1) THEN 'tail'
-        |       WHEN (flc.fluency, flc.doc_id) <= (f2, d2) THEN 'middle'
-        |       ELSE 'head' END AS bucket
-        |FROM flc, cut1, cut2 ORDER BY flc.doc_id""".stripMargin,
+      s"""WITH $lmPartitionCtes
+        |SELECT doc_id, fluency, bucket FROM prt
+        |ORDER BY doc_id""".stripMargin,
+
+    // the selection rule over the SAME partition chain (single-sourced
+    // CTEs, the lmScoreCtes discipline): head whole, middle at 500‰ by
+    // the salted md5 priority, tail gone
+    "llm_lm_partition_apply" ->
+      s"""WITH $lmPartitionCtes
+        |SELECT doc_id, fluency, bucket FROM prt
+        |WHERE bucket = 'head' OR (bucket = 'middle' AND
+        |  ${h56Duck("concat('lmsamp|', CAST(doc_id AS VARCHAR))")} % 1000 < 500)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

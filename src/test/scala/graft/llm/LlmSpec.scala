@@ -1484,6 +1484,34 @@ class LlmSpec extends SparkSpec {
       out(5L)._2 === "head", s"${out(1L)} ${out(3L)} ${out(5L)}")
   }
 
+  test("LM partition apply: head kept whole, middle sampled by salted hash, tail dropped") {
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-lmpa").toString
+    val cutsDir = java.nio.file.Files.createTempDirectory("graft-lmpa-cuts").toString
+    def graded(id: Long, j: Int) =
+      id -> (Seq.fill(j)("a b") ++ Seq("a c", "a c")).mkString(" ")
+    val d = docs(((1 to 9).map(j => graded(10L * j, j)) ++
+      Seq(graded(1L, 1), graded(3L, 5), graded(5L, 9))): _*)
+    LlmOps.buildFluencyModel(d, lmDir)
+    LlmOps.buildLmPartitioner(d, lmDir, cutsDir)
+    val parts = LlmOps.lmPartition(d, lmDir, cutsDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val heads = parts.collect { case (id, "head") => id }.toSet
+    val mids = parts.collect { case (id, "middle") => id }.toSet
+    assert(heads.nonEmpty && mids.nonEmpty)
+    def kept(pm: Int) = LlmOps.lmPartitionApply(d, lmDir, cutsDir, pm)
+      .collect().map(_.getLong(0)).toSet
+    // the rate's endpoints are exact set equalities, not distributions:
+    // 0‰ keeps the head alone, 1000‰ keeps head ∪ middle whole — and the
+    // tail never survives any rate
+    assert(kept(0) === heads)
+    assert(kept(1000) === heads ++ mids)
+    val kd = kept(500)
+    assert(heads.subsetOf(kd) && kd.subsetOf(heads ++ mids))
+    intercept[IllegalArgumentException] {
+      LlmOps.lmPartitionApply(d, lmDir, cutsDir, 1001)
+    }
+  }
+
   test("sem recall gauge: counts exact-cosine truth pairs, hits bounded, injected copies in truth") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val corpus = LlmOps.cosineCorpus(LlmOps.embBase(emb))
