@@ -2955,6 +2955,55 @@ object LlmOps {
     }
   }
 
+  /** Per-mille domain repeat weight for a `srcN` source name:
+    * (N % 4) · 750 + 500 (∈ {500, 1250, 2000, 2750}) — a deterministic
+    * stand-in spanning the interesting regimes (fractional-only keep,
+    * 1¼ epochs, exactly 2, 2¾) so the harness exercises both the full-copy
+    * and the fractional-copy arms. Integer per-mille keeps the arithmetic
+    * exact on every engine.
+    */
+  def upsampleWeightSql(sourceCol: String): String =
+    s"(cast(substr($sourceCol, 4) as int) % 4) * 750 + 500"
+
+  /** Domain-mixture upsampling — the other half of data mixing:
+    * [[domainMix]] DOWN-samples to the exact feasible ratio; a real
+    * pretraining mixture also REPEATS under-weighted domains (Wikipedia at
+    * 3 epochs while web crawl runs fractional). Weights are per-mille
+    * multiplicities: a doc in a domain weighted `w`‰ emits `w div 1000`
+    * full copies plus one more iff its salted 56-bit hash `% 1000 < w %
+    * 1000` — expected multiplicity exactly w/1000, decided per doc with no
+    * RNG (the [[sampleByHash]] rule), so reruns, engines, and cluster
+    * sizes agree row-for-row. Output one row per (doc, copy) with the
+    * 1-based `epoch` index, so downstream shuffling/packing treats copies
+    * as distinct rows.
+    *
+    * Scale: the explicit weight map rides a broadcast join (domain count ≪
+    * corpus); everything else — hash, copy count, `sequence` explode — is
+    * a narrow generator projection fused into the scan stage. NO shuffle
+    * anywhere; output size is Σ_s n_s·w_s/1000 by construction, linear in
+    * the corpus at fixed weights.
+    */
+  def domainUpsample(corpus: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id",
+      weightsPermille: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = ensureH56(corpus).filter(col(idCol).isNotNull).select(
+      col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    val weighted = if (weightsPermille.nonEmpty) {
+      import spark.implicits._
+      base.join(
+        broadcast(weightsPermille.toSeq.toDF("source", "w_pm")), Seq("source"))
+    } else base.withColumn("w_pm",
+      expr(upsampleWeightSql("source")).cast("bigint"))
+    weighted
+      .withColumn("n_copies", expr("w_pm div 1000") +
+        when(expr(s"${h56("concat('up|', cast(doc_id as string))")} % 1000") <
+          col("w_pm") % 1000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("w_pm"), col("n_copies"),
+        explode(expr("sequence(1L, n_copies)")).as("epoch"))
+  }
+
   /** Output shard count for [[globalShuffle]]. */
   val ShuffleShards = 8
 

@@ -291,6 +291,9 @@ object LlmQueries {
     "llm_sample_stratified" -> ((s, d) => LlmOps.sampleStratified(
       Tables.documents(s, d), perStratum = 25)),
     "llm_domain_mix"    -> ((s, d) => LlmOps.domainMix(Tables.documents(s, d))),
+    // the repeat-factor half of mixing: per-mille multiplicities, full
+    // copies + a hash-decided fractional copy, one row per (doc, epoch)
+    "llm_domain_upsample" -> ((s, d) => LlmOps.domainUpsample(Tables.documents(s, d))),
     "llm_dedup_incremental" -> ((s, d) => {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
@@ -557,6 +560,7 @@ object LlmQueries {
     "llm_dedup_semantic" -> Seq(col("vec_id")),
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
+    "llm_domain_upsample" -> Seq(col("doc_id"), col("epoch")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_index_coverage" -> Seq(col("status")),
@@ -1688,6 +1692,25 @@ object LlmQueries {
          |      FROM docs)
          |SELECT r.source, r.doc_id, r.w, r.rnk, k.k_s
          |FROM r JOIN k USING (source) WHERE r.rnk <= k.k_s ORDER BY source, doc_id""".stripMargin,
+
+    // per-mille multiplicities: w // 1000 full copies plus one more iff
+    // the salted hash lands under the fractional remainder — the Spark
+    // side's explode(sequence) stated as a LATERAL range unnest
+    "llm_domain_upsample" ->
+      s"""WITH w AS (
+         |  SELECT source, doc_id,
+         |    CAST((CAST(substr(source, 4) AS INT) % 4) * 750 + 500 AS BIGINT) AS w_pm
+         |  FROM documents
+         |),
+         |c AS (SELECT source, doc_id, w_pm,
+         |        (w_pm // 1000) + CASE WHEN
+         |          ${h56Duck("concat('up|', CAST(doc_id AS VARCHAR))")} % 1000
+         |          < w_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+         |      FROM w)
+         |SELECT c.source, c.doc_id, c.w_pm, c.n_copies,
+         |  CAST(e.epoch AS BIGINT) AS epoch
+         |FROM c, LATERAL (SELECT unnest(range(1, c.n_copies + 1)) AS epoch) e
+         |WHERE c.n_copies > 0 ORDER BY c.doc_id, epoch""".stripMargin,
 
     // the oracle states the semantics directly (one global window); the
     // Spark side's bucketed two-level rank equals it by construction

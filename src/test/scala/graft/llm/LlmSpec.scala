@@ -991,6 +991,38 @@ class LlmSpec extends SparkSpec {
       Map("src1" -> 6, "src2" -> 9, "src3" -> 3))
   }
 
+  test("domain upsample: full copies exact, fractional copy matches an independent md5, unlisted domains drop") {
+    val rows = (1L to 10L).map(i => (i, "web")) ++
+      (21L to 30L).map(i => (i, "wiki")) ++
+      (41L to 50L).map(i => (i, "news")) ++ (61L to 63L).map(i => (i, "junk"))
+    val d = rows.toDF("doc_id", "source")
+    val w = Map("web" -> 2000L, "wiki" -> 1250L, "news" -> 500L)
+    val out = LlmOps.domainUpsample(d, weightsPermille = w).collect()
+    // the fractional-copy decision recomputed OUTSIDE Spark: first 7 md5
+    // bytes of the salted key, big-endian — the h56 definition
+    def ref(id: Long): Long = BigInt(1, java.security.MessageDigest
+      .getInstance("MD5").digest(s"up|$id".getBytes("UTF-8")).take(7)).toLong
+    val copies = out.groupBy(r => r.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("epoch")).sorted.toSeq).toMap
+    // web at 2000‰: exactly 2 copies per doc, epochs 1..2, no hash involved
+    (1L to 10L).foreach(id => assert(copies(id) === Seq(1L, 2L)))
+    // wiki at 1250‰: one full copy always, the second iff hash%1000 < 250
+    (21L to 30L).foreach { id =>
+      val want = if (ref(id) % 1000 < 250) Seq(1L, 2L) else Seq(1L)
+      assert(copies(id) === want, s"doc $id")
+    }
+    // news at 500‰: fractional only — present iff hash%1000 < 500
+    (41L to 50L).foreach { id =>
+      val want = if (ref(id) % 1000 < 500) Seq(Seq(1L)) else Seq.empty
+      assert(copies.get(id).toSeq === want, s"doc $id")
+    }
+    // junk has no listed weight → contributes nothing
+    assert(!out.exists(_.getAs[String]("source") == "junk"))
+    // deterministic: a rerun reproduces the multiset row-for-row
+    val again = LlmOps.domainUpsample(d, weightsPermille = w).collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("global shuffle: idx is a permutation, shards balanced ±1, order follows the hash") {
     val d = (0L until 100L).toDF("doc_id")
     val out = LlmOps.globalShuffle(d).collect()

@@ -52,6 +52,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("domain upsample is one narrow generator pass: no exchange at all") {
+    // the scaladoc's scale claim made falsifiable: hash, copy count, and
+    // the sequence explode all fuse into the scan stage — zero shuffles
+    val p = plan("llm_domain_upsample")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 0, s"expected a scan→generate plan, got $exchanges exchanges:\n${p.take(1200)}")
+    assert(p.contains("Generate explode"), "the copy fan-out must be the built-in generator")
+  }
+
   test("range join is a bucketed equi-join: no cartesian, no nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct"), p.take(1200))
