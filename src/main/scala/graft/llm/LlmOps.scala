@@ -912,6 +912,20 @@ object LlmOps {
     graft.cdc.Compaction.compactDir(spark, s"$dir/grams",
       Seq("hb"), Seq("hb"), dedupRows = true)
 
+  /** Health gauge over the stored benchmark gram table — the
+    * [[minHashIndexStats]] discipline for the decontam artifact: per hb
+    * bucket, physical rows vs distinct grams. `n_rows − n_grams` is the
+    * uncompacted append debt (overlapping benchmark versions / replayed
+    * appends — membership-harmless but probe-cost-inflating), and a
+    * bucket far off the others flags degenerate shingles. One combinable
+    * groupBy over the narrow gram table, cheap after every append.
+    */
+  def decontamIndexStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/grams")
+      .groupBy(col("hb").cast("bigint").as("hb"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("h")).as("n_grams"))
+
   /** The production decontamination gate: flag every TRAINING batch doc
     * sharing a word-3-shingle with the stored benchmark set — the
     * direction a corpus build actually runs ([[decontaminate]] flags

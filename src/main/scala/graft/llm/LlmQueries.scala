@@ -546,7 +546,11 @@ object LlmQueries {
     "llm_decontam_idx" -> ((s, d) => LlmOps.decontaminateStored(
       Tables.documents(s, d).filter(
         expr(s"${LlmOps.h56("concat('split|', cast(doc_id as string))")} % 100") < 90),
-      decontamIndexDir(s, d)))
+      decontamIndexDir(s, d))),
+    // gram-table health gauge: per hb bucket, physical rows vs distinct
+    // grams — the append-debt and degenerate-shingle early warning
+    "llm_decontam_stats" -> ((s, d) =>
+      LlmOps.decontamIndexStats(s, decontamIndexDir(s, d)))
   )
 
   /** Verify-dump sort keys (applied by [[graft.Verify]], not the operators). */
@@ -575,6 +579,7 @@ object LlmQueries {
     "mm_payload_coverage" -> Seq(col("status")),
     "mm_payload_prune"  -> Seq(col("status")),
     "llm_decontam_idx"  -> Seq(col("doc_id")),
+    "llm_decontam_stats" -> Seq(col("hb")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
@@ -2019,6 +2024,21 @@ object LlmQueries {
          |  COALESCE(sh.n_shared, 0) AS n_shared,
          |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
          |FROM train LEFT JOIN sh ON train.doc_id = sh.doc_id ORDER BY train.doc_id""".stripMargin,
+
+    // the gram table re-derived from the benchmark slice (distinct
+    // shingle hashes of bucket ≥ 95 docs), reduced to the per-hb gauge;
+    // the fixture builds once with no appends, so rows == distinct grams
+    "llm_decontam_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, $shinglesDuck AS grams FROM t),
+         |gh AS (SELECT doc_id,
+         |    list_distinct(list_transform(grams, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs,
+         |    ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+         |  FROM g),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM gh WHERE bucket >= 95)
+         |SELECT CAST(h % 16 AS BIGINT) AS hb, count(*) AS n_rows,
+         |  count(DISTINCT h) AS n_grams
+         |FROM bench GROUP BY 1 ORDER BY hb""".stripMargin,
 
     // stored payload gate: two simhash chains (indexed base media vs the
     // arriving batch), batch payloads within Hamming 3 of a base payload

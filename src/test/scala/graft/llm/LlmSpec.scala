@@ -1997,9 +1997,18 @@ class LlmSpec extends SparkSpec {
     val preCompact = LlmOps.decontaminateStored(train, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val rowsDup = spark.read.parquet(s"$dir/grams").count()
+    // the stats gauge surfaces the replay debt: physical rows exceed
+    // distinct grams while the duplicate append sits uncompacted
+    val gaugeDup = LlmOps.decontamIndexStats(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(gaugeDup.map(_._1).sum > gaugeDup.map(_._2).sum,
+      s"gauge must show append debt: ${gaugeDup.toSeq}")
     LlmOps.compactDecontamIndex(spark, dir)
     val rowsClean = spark.read.parquet(s"$dir/grams").count()
     assert(rowsClean < rowsDup, "compaction must collapse the replayed grams")
+    // post-compaction the gauge reads clean in every bucket
+    assert(LlmOps.decontamIndexStats(spark, dir).collect()
+      .forall(r => r.getLong(1) == r.getLong(2)), "debt must clear")
     val postCompact = LlmOps.decontaminateStored(train, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(preCompact === postCompact,
