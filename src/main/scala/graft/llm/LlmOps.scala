@@ -1511,6 +1511,99 @@ object LlmOps {
       .select("doc_id", "rnk", "tok", "tf", "df", "score")
   }
 
+  // ------------------------------------------------ stored IDF model
+
+  /** Token-bucket count for the stored IDF table (directory-partition
+    * granularity — the probe's prune unit).
+    */
+  val IdfBuckets = 64
+
+  /** The salted token-bucket expression shared by builder and probe —
+    * one definition so the probe's partition filter can never drift off
+    * the builder's layout.
+    */
+  def idfTb(tokExpr: String): String =
+    s"${h56(s"concat('idf|', $tokExpr)")} % $IdfBuckets"
+
+  /** Freeze the corpus document-frequency table under `dir` — the stored
+    * artifact of production TF-IDF: corpus statistics (df per token, the
+    * doc count N) are derived ONCE over the training corpus and every
+    * later batch scores against them ([[keywordsStored]]), instead of
+    * re-aggregating a 100 TB corpus per run. One `df/` table of
+    * (tok, df, n_docs), hash-clustered into [[IdfBuckets]] `tb` bucket
+    * directories so a batch probe opens only its own token buckets;
+    * `n_docs` is denormalized into every row (the stored-LM discipline —
+    * joins against a one-value table cost more than 8 bytes/row).
+    *
+    * Rebuild-only, like the bigram LM: df counts and N must come from
+    * the SAME corpus generation or scores silently mix denominators, so
+    * there is deliberately no append — a new corpus generation rebuilds
+    * through the same atomic swap.
+    */
+  def buildIdfModel(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.cdc.Compaction.swapDir(s"$dir/df") { tmp =>
+      val base = textCorpus(corpus, idCol, textCol).filter(col("text").isNotNull)
+      val tf = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = base.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      dfreq.crossJoin(broadcast(nDocs))
+        .withColumn("tb", expr(idfTb("tok")))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    }
+
+  /** Top-k keywords for a batch against the STORED IDF model — the
+    * production form of [[keywords]]: the batch derives its (doc, tok,
+    * tf) frame in one pass, its bounded token-bucket footprint (≤
+    * [[IdfBuckets]] values, one single-row aggregate job — the
+    * stored-probe footprint discipline) pins a STATIC partition filter
+    * on the `df/` scan, and the scored join streams the model while the
+    * BATCH side broadcasts — the model is never a broadcast build side
+    * (the PlanQualitySpec rule: corpus-vocabulary-sized artifacts don't
+    * broadcast). Contract: a token the frozen model never saw cannot be
+    * ranked (inner join) — a frozen scorer has no df for it; rebuild the
+    * model to rank new vocabulary. Returned frame is lazy; the batch tf
+    * cache backs it ([[curateDelta]]'s lazy-return contract).
+    */
+  def keywordsStored(batch: DataFrame, dir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val tf = textCorpus(batch, idCol, textCol).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the probe's ONE eager job: the batch's token-bucket footprint as a
+    // single collected row — bounded by IdfBuckets, never batch-sized
+    val fp = tf.agg(collect_set(expr(idfTb("tok"))).as("tbs"))
+      .head.getSeq[Long](0)
+    val model = spark.read.parquet(s"$dir/df")
+      .filter(col("tb").isin(fp: _*))
+    val scored = model.join(broadcast(tf), "tok")
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+  }
+
+  /** Health gauge over the stored IDF table — per tb bucket: vocabulary
+    * size, the hottest df (a stopword-shaped token), and total rows.
+    * The numbers an operator checks after a rebuild: bucket skew flags a
+    * degenerate tokenizer, and max_df ≈ n_docs in every bucket means the
+    * corpus needs a stopword pass before the model is useful.
+    */
+  def idfModelStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/df")
+      .groupBy(col("tb").cast("bigint").as("tb"))
+      .agg(count(lit(1)).as("n_toks"),
+        max(col("df")).as("max_df"),
+        sum(col("df")).cast("bigint").as("df_rows"))
+
   // ------------------------------------------------- deterministic sample
 
   /** Reproducible uniform corpus sample: rank every doc by the 56-bit md5

@@ -133,6 +133,19 @@ object LlmQueries {
       dir
     }
 
+  /** The stored IDF model ([[LlmOps.buildIdfModel]]) over `d`'s documents
+    * — probed by the stored keyword scorer and read by the IDF health
+    * gauge. Built on the FULL corpus (the [[lmDir]] convention) so the
+    * stored probe of a slice is bit-identical to the in-query scorer
+    * restricted to that slice.
+    */
+  private def idfDir(s: SparkSession, d: String): String =
+    memo(s"idf|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-idf")
+      LlmOps.buildIdfModel(Tables.documents(s, d), dir)
+      dir
+    }
+
   /** A stored LSH index built over the BASE documents generation, then
     * PRUNED to the next crawl snapshot — the detect→repair lifecycle
     * under audit: the base build leaves the %11 removals as orphans,
@@ -420,6 +433,14 @@ object LlmQueries {
     "llm_fluency_idx"   -> ((s, d) => LlmOps.fluencyStored(
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0), lmDir(s, d))),
     "llm_lm_stats"      -> ((s, d) => LlmOps.lmStats(s, lmDir(s, d))),
+    // batch keyword scoring off the STORED IDF model (the fluency_idx
+    // convention: the %10 batch slice against the full-corpus artifact,
+    // df scan pruned to the batch's token buckets, batch broadcast)
+    "llm_keywords_idx"  -> ((s, d) => LlmOps.keywordsStored(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), idfDir(s, d))),
+    // IDF-table health gauge: per tb bucket, vocab size / hottest df /
+    // df mass — the stopword and tokenizer-degeneracy early warning
+    "llm_idf_stats"     -> ((s, d) => LlmOps.idfModelStats(s, idfDir(s, d))),
     // CCNet head/middle/tail: tercile thresholds frozen offline from
     // the %10 calibration slice's stored-LM scores (the stored
     // partitioner artifact), applied corpus-wide in one stateless pass
@@ -603,6 +624,8 @@ object LlmQueries {
     "llm_decontaminate" -> Seq(col("doc_id")),
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
+    "llm_keywords_idx"  -> Seq(col("doc_id"), col("rnk")),
+    "llm_idf_stats"     -> Seq(col("tb")),
     "llm_fluency"       -> Seq(col("doc_id")),
     "llm_fluency_idx"   -> Seq(col("doc_id")),
     "llm_lm_partition"  -> Seq(col("doc_id")),
@@ -1251,6 +1274,35 @@ object LlmQueries {
         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
         |      FROM scored)
         |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // the stored-IDF probe: batch tf over the %10 slice, df/N over the
+    // FULL corpus (the frozen artifact's generation) — slice ⊆ model
+    // corpus ⇒ inner-join coverage is total, same integers, same double
+    // arithmetic as llm_keywords restricted to the slice
+    "llm_keywords_idx" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk WHERE doc_id % 10 = 0 GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tk),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (tok), nd
+        |),
+        |r AS (SELECT doc_id, tok, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // the df table re-derived from the corpus, reduced to the per-tb
+    // gauge — the builder's salted bucket restated
+    "llm_idf_stats" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok)
+         |SELECT CAST(${h56Duck("concat('idf|', tok)")} % ${LlmOps.IdfBuckets} AS BIGINT) AS tb,
+         |  count(*) AS n_toks, max(df) AS max_df, CAST(sum(df) AS BIGINT) AS df_rows
+         |FROM dfreq GROUP BY 1 ORDER BY tb""".stripMargin,
 
     "llm_dedup_cosine" ->
       s"""WITH $cosinePairsCte

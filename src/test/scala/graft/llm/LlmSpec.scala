@@ -318,6 +318,32 @@ class LlmSpec extends SparkSpec {
     assert(out((2L, 2L)) === ("banana", 1.0))
   }
 
+  test("stored IDF model: slice probe ≡ in-query keywords on the slice; OOV tokens unrankable; gauge consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idf").toString
+    val corpus = docs(
+      1L -> "apple apple banana", 2L -> "banana cherry",
+      10L -> "apple cherry cherry date", 20L -> "banana date")
+    LlmOps.buildIdfModel(corpus, dir)
+    // probe of a batch ⊆ build corpus reproduces the in-query scorer
+    // restricted to that batch, row for row
+    val batch = corpus.filter(col("doc_id") >= 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(rows(LlmOps.keywordsStored(batch, dir)) ===
+      rows(LlmOps.keywords(corpus).filter(col("doc_id") >= 10L)))
+    // a token the frozen model never saw cannot be ranked (no df); the
+    // doc's known tokens still rank
+    val oov = LlmOps.keywordsStored(docs(99L -> "zebra apple"), dir).collect()
+    assert(oov.map(_.getString(2)).toSet === Set("apple"),
+      s"only model-vocabulary tokens may rank: ${oov.mkString(",")}")
+    // gauge: vocab total equals the model's distinct tokens (4), df mass
+    // equals the (doc, token) pair count
+    val g = LlmOps.idfModelStats(spark, dir).collect()
+    assert(g.map(_.getLong(1)).sum === 4L)
+    assert(g.map(_.getLong(3)).sum === 9L)
+  }
+
   test("token frequency score: exact corpus-frequency means") {
     val d = docs(1L -> "a a a", 2L -> "b")
     // freq: a=3, b=1, total=4 → doc1 mean 3/4, doc2 mean 1/4

@@ -378,6 +378,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stored-IDF keyword probe: df scan bucket-pruned and streamed, batch is the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_keywords_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the df scan carries the batch's STATIC token-bucket footprint —
+    // unprobed tb directories are never opened
+    val at = p.indexOf("/df], PartitionFilters: [")
+    assert(at >= 0, s"df scan missing partition filters:\n${p.take(1500)}")
+    assert(p.substring(at, math.min(p.length, at + 160)).contains("tb"),
+      s"df partition filter must pin the batch's bucket set")
+    // the vocabulary-sized stored table must never be the broadcast
+    // build side; the batch tf frame is the one that broadcasts
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect { case jj: BroadcastHashJoinExec => jj }
+    assert(joins.nonEmpty, "the scored join must be a broadcast hash join")
+    for (j <- joins) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("/df"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored IDF table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
