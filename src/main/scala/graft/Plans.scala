@@ -44,7 +44,10 @@ object Plans {
       "llm_curate_apply"  -> "the funnel's terminal materialization: stage chain identical to llm_curate_funnel but ending in the kept rows themselves — corpus anti-joined against resolved non-keepers (ids only on the drop side), dumped as (doc_id, n_chars), text never in a build-side shuffle",
       "llm_curate_delta_lm" -> "the composed nightly with the LM bar: ONE fused eager footprint job (LSH band footprint × LM bucket footprint crossJoined into a single collected row), then ONE final job where the stored-index probe chain and the LM chain run CONCURRENTLY off the shared exact-survivor cache (the LM scores stage-2 survivors and intersects with the kept ids — same counts, no serial barrier behind the probe); model scan bucket-pruned and streamed, bands scan statically partition-pruned",
       "mm_payload_inc_idx" -> "the media ingest gate off the STORED payload-simhash index: batch chunk footprint pinned as a static (chunk_idx, ck_bucket) partition filter on the chunk scan, batch chunk rows broadcast into the Hamming verify (bit_count over the joined simhashes — no second table, no verify join), survivors by anti-join — unprobed chunk directories never opened",
-      "llm_lm_partition"  -> "CCNet head/middle/tail off the STORED partitioner: the frozen cut tuples enter as literals (artifact collected like the BPE merge table), corpus scores in ONE llm_fluency_idx-shaped probe pass (full-corpus scoring visits every bucket, so no footprint job and no broadcast hint — AQE picks the build side), bucket CASE fused into the probe's output projection — no second pass, no window, no global sort")
+      "llm_lm_partition"  -> "CCNet head/middle/tail off the STORED partitioner: the frozen cut tuples enter as literals (artifact collected like the BPE merge table), corpus scores in ONE llm_fluency_idx-shaped probe pass (full-corpus scoring visits every bucket, so no footprint job and no broadcast hint — AQE picks the build side), bucket CASE fused into the probe's output projection — no second pass, no window, no global sort",
+      "llm_lm_partition_apply" -> "the CCNet selection rule (keep head, hash-sample middle, drop tail) fused onto llm_lm_partition's one probe pass as a stateless predicate — same plan plus a filter, nothing new shuffles",
+      "llm_domain_upsample" -> "per-mille domain repeat factors: hash, copy count, and the sequence explode all fuse into the scan stage as one narrow generator projection — zero exchanges (plan-asserted)",
+      "llm_keywords_idx"  -> "batch keyword scoring off the STORED IDF model: the batch's token-bucket footprint pinned as a static partition filter on the df scan, batch tf broadcast into the scored join — the vocabulary-sized artifact is streamed, pruned, and never a build side")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `runMain graft.Plans`, sf0.1)\n")
     sb.append("\nRegenerate after plan-shape changes; the judge-visible evidence for the\nscale claims in README.\n")
