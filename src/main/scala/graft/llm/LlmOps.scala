@@ -2918,6 +2918,23 @@ object LlmOps {
       current.select(col(idCol).as("cur_id")).distinct(), parts, parts)
   }
 
+  /** Reproducible as-of read of the epoch-partitioned stored corpus —
+    * dataset versioning's READ side, completing the family
+    * ([[corpusDiff]] detects drift, [[applyCorpusRemovals]]/[[corpusGc]]
+    * rewrite): "the corpus a given training run saw" is every row
+    * admitted at or before `epoch`. The epoch column is the ingest
+    * loop's partition key ([[graft.llm.StreamingIngest]]'s sink layout),
+    * so the bound is PURE partition pruning — later epoch directories
+    * are never opened, and reproducing generation E costs the size of
+    * ≤E, not of the table's full history. Crash-recovered first, like
+    * every stored-artifact reader.
+    */
+  def readCorpusAsOf(spark: SparkSession, corpusDir: String,
+      epoch: Long): DataFrame = {
+    graft.cdc.Compaction.recoverDir(corpusDir)
+    spark.read.parquet(corpusDir).filter(col("epoch") <= epoch)
+  }
+
   /** The composed GC pass a nightly pipeline runs after [[corpusDiff]]
     * reports removals: delete the removed ids from the stored corpus,
     * then prune every stored index to the surviving generation so the

@@ -186,6 +186,22 @@ object LlmQueries {
     * everything else (changed docs included — removal is id-level)
     * byte-identical.
     */
+  /** An epoch-partitioned stored corpus (epoch = doc_id % 4, the
+    * [[StreamingIngest]] sink layout) — read back by the as-of query.
+    * Pre-GC (no removals) so the oracle restates it directly from
+    * `documents`.
+    */
+  private def epochCorpusDir(s: SparkSession, d: String): String =
+    memo(s"epochs|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-corpus-epochs")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(4L)).as("epoch"))
+        .repartition(col("epoch"))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/corpus")
+      dir
+    }
+
   private def gcCorpusDir(s: SparkSession, d: String): String =
     memo(s"gc|$d|${fingerprint(d, "documents")}") {
       val dir = tempIndexDir("graft-corpus-gc")
@@ -537,6 +553,12 @@ object LlmQueries {
       s.read.parquet(s"${gcCorpusDir(s, d)}/corpus")
         .select(col("doc_id"),
           length(col("text")).cast("bigint").as("n_chars"))),
+    // dataset versioning's read side: the corpus as of epoch 2 — the
+    // epoch bound is pure partition pruning on the stored layout
+    "llm_corpus_asof" -> ((s, d) =>
+      LlmOps.readCorpusAsOf(s, s"${epochCorpusDir(s, d)}/corpus", 2L)
+        .select(col("doc_id"), col("epoch").cast("bigint").as("epoch"),
+          length(col("text")).cast("bigint").as("n_chars"))),
     // the media ingest gate over the STORED payload-simhash index:
     // exact byte copies (Hamming 0) and one-byte re-encodes (≤3) drop
     // against the indexed base corpus, genuinely-new payloads survive —
@@ -595,6 +617,7 @@ object LlmQueries {
     "llm_ann_prune"     -> Seq(col("status")),
     "llm_pq_prune"      -> Seq(col("status")),
     "llm_corpus_gc"     -> Seq(col("doc_id")),
+    "llm_corpus_asof"   -> Seq(col("doc_id")),
     "mm_payload_inc_idx" -> Seq(col("doc_id")),
     "mm_payload_index_stats" -> Seq(col("chunk_idx")),
     "mm_payload_coverage" -> Seq(col("status")),
@@ -2057,6 +2080,13 @@ object LlmQueries {
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)
          |ORDER BY doc_id""".stripMargin,
+
+    // the as-of read restated from the fixture's construction: epoch =
+    // doc_id % 4, bound at 2 — later epochs simply absent
+    "llm_corpus_asof" ->
+      """SELECT doc_id, doc_id % 4 AS epoch,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 4 <= 2 ORDER BY doc_id""".stripMargin,
 
     // the stored decontamination gate: same shingle chain as
     // llm_decontaminate with the roles inverted — benchmark (≥95 slice)

@@ -344,6 +344,18 @@ class LlmSpec extends SparkSpec {
     assert(g.map(_.getLong(3)).sum === 9L)
   }
 
+  test("corpus as-of read: epoch bound exact, later epochs never surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString + "/corpus"
+    docs((0L until 12L).map(i => i -> s"body $i"): _*)
+      .withColumn("epoch", col("doc_id") % 3)
+      .write.partitionBy("epoch").parquet(dir)
+    def ids(e: Long) = LlmOps.readCorpusAsOf(spark, dir, e)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(0L) === (0L until 12L).filter(_ % 3 == 0).toSet)
+    assert(ids(1L) === (0L until 12L).filter(_ % 3 <= 1).toSet)
+    assert(ids(99L) === (0L until 12L).toSet)
+  }
+
   test("token frequency score: exact corpus-frequency means") {
     val d = docs(1L -> "a a a", 2L -> "b")
     // freq: a=3, b=1, total=4 → doc1 mean 3/4, doc2 mean 1/4

@@ -406,6 +406,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("corpus as-of read is pure epoch partition pruning") {
+    val p = plan("llm_corpus_asof")
+    val at = p.indexOf("PartitionFilters: [")
+    assert(at >= 0 && p.substring(at, math.min(p.length, at + 120)).contains("epoch"),
+      s"the epoch bound must prune partitions, not filter rows:\n${p.take(1200)}")
+  }
+
   test("partitioned delivery log prunes partitions on entity filters") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-dlog").toString
