@@ -2113,6 +2113,53 @@ object LlmOps {
       .unionByName(stage("4_fluent", fluent))
   }
 
+  /** The COMPLETE batch pipeline — [[curationFunnelLm]] plus the
+    * benchmark-decontamination stage, closing the last gate-parity gap
+    * with the live loop ([[graft.llm.StreamingIngest]] runs quality →
+    * decontam → near → fluency; the batch funnel now runs quality →
+    * decontam → exact → near → fluency — exact dedup has no streaming
+    * analog because the stored minhash gate subsumes byte-copies). Six
+    * stage counts in ONE declarative plan. Stage order is the cost
+    * argument made twice: decontam runs on quality survivors only (the
+    * stateless gates lead and shrink everything), and the LM — the one
+    * stored-artifact scorer — still runs LAST on the smallest set.
+    * Survivor sets pass between stages as id-only semi joins; the
+    * decontam probe broadcasts the frozen gram artifact (the ONE
+    * inverted-broadcast artifact — see [[decontaminateStored]]).
+    */
+  def curationFunnelFull(corpus: DataFrame, lmDir: String,
+      decontamDir: String, threshold: Double = 0.0333,
+      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = textCorpus(corpus, idCol, textCol)
+    val qIds = TextAnalysis.qualityFilter(corpus, idCol, textCol)
+      .filter(col("keep")).select("doc_id").persist(lvl)
+    // the decontam gate probes ONLY the quality survivors; its output ids
+    // are already ⊆ qIds, so `clean` IS the stage-2 survivor set
+    val clean = decontaminateStored(
+        raw.join(qIds, Seq("doc_id"), "left_semi"), decontamDir)
+      .filter(col("n_shared") <= maxSharedGrams)
+      .select("doc_id").persist(lvl)
+    val keepers = raw.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val eCorpus = raw.join(clean, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .persist(lvl)
+    val kept = dedupApply(eCorpus, dedupMinHash(eCorpus)).persist(lvl)
+    val fluent = fluencyStored(kept, lmDir)
+      .filter(col("fluency") >= threshold).select("doc_id")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_raw", raw)
+      .unionByName(stage("1_quality", qIds))
+      .unionByName(stage("2_decontam", clean))
+      .unionByName(stage("3_exact_dedup", eCorpus))
+      .unionByName(stage("4_near_dedup", kept))
+      .unionByName(stage("5_fluent", fluent))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit run between two
     * crawl generations before a retrain: per doc_id, `added` (only in
     * the new snapshot), `removed` (only in the old), `changed` (both,

@@ -341,6 +341,17 @@ object LlmQueries {
     // memoized full-documents artifact the other LM queries probe)
     "llm_curate_lm" -> ((s, d) => LlmOps.curationFunnelLm(
       LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d))),
+    // the COMPLETE batch pipeline — every gate the live loop runs, as
+    // one plan with six stage counts: quality → benchmark decontam →
+    // exact dedup → near dedup → stored-LM fluency bar. The decontam
+    // bar is 5 shared grams here (not the strict production 0): the
+    // shared-vocabulary synthetic corpus makes incidental one-shingle
+    // collisions ubiquitous (~3/4 of docs share ≥1), so the harness bar
+    // drops only the heavy overlaps — the gate's arithmetic is
+    // identical at any bar
+    "llm_curate_full" -> ((s, d) => LlmOps.curationFunnelFull(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
+      decontamIndexDir(s, d), maxSharedGrams = 5L)),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -629,6 +640,7 @@ object LlmQueries {
     "llm_curate_delta_lm" -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
+    "llm_curate_full"   -> Seq(col("stage")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
@@ -879,6 +891,15 @@ object LlmQueries {
   private lazy val funnelStage2Sql: String =
     s"""SELECT doc_id, text FROM ($NearCorpusSql) fc
        |WHERE doc_id IN (${qualityKeepIdsSql(NearCorpusSql)})
+       |  AND doc_id IN (SELECT min(doc_id) FROM ($NearCorpusSql) fe GROUP BY md5(text))""".stripMargin
+
+  /** The FULL pipeline's stage-3 survivor corpus (quality ∩ decontam-clean
+    * ∩ exact keepers) — references the `clean` CTE the full-funnel oracle
+    * defines ahead of it.
+    */
+  private lazy val funnelFullStage3Sql: String =
+    s"""SELECT doc_id, text FROM ($NearCorpusSql) fc
+       |WHERE doc_id IN (SELECT doc_id FROM clean)
        |  AND doc_id IN (SELECT min(doc_id) FROM ($NearCorpusSql) fe GROUP BY md5(text))""".stripMargin
 
   /** The funnel's full CTE chain through near-dup keeper resolution —
@@ -1716,6 +1737,53 @@ object LlmQueries {
          |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM corpus)
          |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM surv)
          |UNION ALL SELECT '4_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
+         |ORDER BY stage""".stripMargin,
+
+    // the COMPLETE pipeline oracle: quality (shared fragment) →
+    // zero-shared-gram decontam vs the ≥95 benchmark slice (the
+    // decontam-index fixture restated) → exact keepers → near CC (the
+    // shared minhash chain; `corpus` here = stage-3 survivors) →
+    // stored-LM bar (shared lmScoreCtes)
+    "llm_curate_full" ->
+      s"""WITH RECURSIVE
+         |qtok AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |         FROM (${LlmOps.NearCorpusSql}) qc
+         |         WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})),
+         |qgs AS (SELECT doc_id,
+         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM qtok),
+         |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
+         |bgs AS (SELECT doc_id,
+         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM btok),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM bgs),
+         |qex AS (SELECT doc_id, unnest(gs) AS h FROM qgs),
+         |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
+         |          GROUP BY qex.doc_id HAVING count(*) > 5),
+         |clean AS (SELECT doc_id FROM qgs
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |${minhashCteFor(funnelFullStage3Sql)},
+         |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION ALL SELECT id_b, id_a FROM dup),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |cc AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+         |),
+         |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node),
+         |surv AS (SELECT c.doc_id, c.text FROM corpus c
+         |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
+         |${lmScoreCtes("SELECT doc_id, text FROM surv")}
+         |SELECT '0_raw' AS stage,
+         |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
+         |UNION ALL SELECT '1_quality', (SELECT count(*) FROM qtok)
+         |UNION ALL SELECT '2_decontam', (SELECT count(*) FROM clean)
+         |UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM corpus)
+         |UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv)
+         |UNION ALL SELECT '5_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
          |ORDER BY stage""".stripMargin,
 
     // the funnel's terminal corpus: every stage-2 survivor that is not a

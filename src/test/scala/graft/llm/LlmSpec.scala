@@ -1513,6 +1513,26 @@ class LlmSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("full funnel: each doc drops at exactly its own gate, incl. the benchmark leak at decontam") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-full-lm").toString
+    LlmOps.buildFluencyModel(docs(1L -> mk("alpha"), 2L -> mk("beta")), lmDir)
+    val dDir = java.nio.file.Files.createTempDirectory("graft-full-dc").toString
+    LlmOps.buildDecontamIndex(docs(900L -> mk("bench")), dDir)
+    // 10: fluent; 11: exact copy of 10 → exact stage; 12: quality-passing
+    // junk → LM bar; 13: verbatim benchmark text → decontam stage (the
+    // strict 0-bar — it passes quality and would survive every dedup)
+    val fluent = (5 to 20).map(i => s"alpha$i").mkString(" ")
+    val junk = (1 to 16).map(i => s"qqzz$i").mkString(" ")
+    val out = LlmOps.curationFunnelFull(
+        docs(10L -> fluent, 11L -> fluent, 12L -> junk, 13L -> mk("bench")),
+        lmDir, dDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("0_raw" -> 4L, "1_quality" -> 4L, "2_decontam" -> 3L,
+      "3_exact_dedup" -> 2L, "4_near_dedup" -> 2L, "5_fluent" -> 1L),
+      s"got $out")
+  }
+
   test("LM partition: exact terciles on the calibration slice, thresholds order the whole corpus, short docs absent") {
     val lmDir = java.nio.file.Files.createTempDirectory("graft-lm-part").toString
     // graded fluency over a SHARED vocabulary (unique junk won't grade:
