@@ -2125,7 +2125,13 @@ object LlmOps {
     * stored-artifact scorer — still runs LAST on the smallest set.
     * Survivor sets pass between stages as id-only semi joins; the
     * decontam probe broadcasts the frozen gram artifact (the ONE
-    * inverted-broadcast artifact — see [[decontaminateStored]]).
+    * inverted-broadcast artifact — see [[decontaminateStored]]); and the
+    * corpus is shingled ONCE ([[StreamingIngest]]'s epoch discipline):
+    * the persisted quality-survivor signature frame feeds the decontam
+    * membership probe and, id-filtered, the near-dup band/verify chain
+    * (measured 10.2 → 9.4 s at sf0.1 vs the naive re-shingle — modest at
+    * harness SF where per-stage fixed cost dominates, structural at
+    * 100 TB where shingling is the per-row cost).
     */
   def curationFunnelFull(corpus: DataFrame, lmDir: String,
       decontamDir: String, threshold: Double = 0.0333,
@@ -2135,18 +2141,37 @@ object LlmOps {
     val raw = textCorpus(corpus, idCol, textCol)
     val qIds = TextAnalysis.qualityFilter(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id").persist(lvl)
+    // ONE shingling of the quality survivors (the [[StreamingIngest]]
+    // epoch discipline): the persisted signature frame feeds the decontam
+    // probe AND, filtered to stage-3 survivors, the near-dup band/verify
+    // chain — the stage-4 corpus is never re-shingled
+    val sig = signaturesOf(raw.join(qIds, Seq("doc_id"), "left_semi"))
+      .persist(lvl)
     // the decontam gate probes ONLY the quality survivors; its output ids
     // are already ⊆ qIds, so `clean` IS the stage-2 survivor set
-    val clean = decontaminateStored(
-        raw.join(qIds, Seq("doc_id"), "left_semi"), decontamDir)
+    val clean = decontaminateStoredFrom(sig, decontamDir)
       .filter(col("n_shared") <= maxSharedGrams)
       .select("doc_id").persist(lvl)
     val keepers = raw.groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val eCorpus = raw.join(clean, Seq("doc_id"), "left_semi")
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .persist(lvl)
-    val kept = dedupApply(eCorpus, dedupMinHash(eCorpus)).persist(lvl)
+    val eIds = clean.join(keepers, Seq("doc_id"), "left_semi").persist(lvl)
+    val eSig = sig.join(eIds, Seq("doc_id"), "left_semi")
+    val bands = bandsOf(eSig).persist(lvl)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(eSig.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(eSig.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("double") /
+          size(array_union(col("sa.gs"), col("sb.gs")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+    val eCorpus = raw.join(eIds, Seq("doc_id"), "left_semi")
+    val kept = dedupApply(eCorpus, verified).persist(lvl)
     val fluent = fluencyStored(kept, lmDir)
       .filter(col("fluency") >= threshold).select("doc_id")
     def stage(name: String, df: DataFrame) =
@@ -2155,7 +2180,7 @@ object LlmOps {
     stage("0_raw", raw)
       .unionByName(stage("1_quality", qIds))
       .unionByName(stage("2_decontam", clean))
-      .unionByName(stage("3_exact_dedup", eCorpus))
+      .unionByName(stage("3_exact_dedup", eIds))
       .unionByName(stage("4_near_dedup", kept))
       .unionByName(stage("5_fluent", fluent))
   }
