@@ -2133,10 +2133,15 @@ object LlmOps {
     * harness SF where per-stage fixed cost dominates, structural at
     * 100 TB where shingling is the per-row cost).
     */
-  def curationFunnelFull(corpus: DataFrame, lmDir: String,
-      decontamDir: String, threshold: Double = 0.0333,
-      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  /** The shared stage chain of [[curationFunnelFull]] /
+    * [[curationApplyFull]]: (raw, quality ids, decontam-clean ids,
+    * exact-survivor ids, near-dedup kept corpus, fluent ids) — every
+    * frame lazy, the caches released at the caller's clearCache.
+    */
+  private def fullStages(corpus: DataFrame, lmDir: String,
+      decontamDir: String, threshold: Double, maxSharedGrams: Long,
+      idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val raw = textCorpus(corpus, idCol, textCol)
     val qIds = TextAnalysis.qualityFilter(corpus, idCol, textCol)
@@ -2174,6 +2179,15 @@ object LlmOps {
     val kept = dedupApply(eCorpus, verified).persist(lvl)
     val fluent = fluencyStored(kept, lmDir)
       .filter(col("fluency") >= threshold).select("doc_id")
+    (raw, qIds, clean, eIds, kept, fluent)
+  }
+
+  def curationFunnelFull(corpus: DataFrame, lmDir: String,
+      decontamDir: String, threshold: Double = 0.0333,
+      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (raw, qIds, clean, eIds, kept, fluent) = fullStages(
+      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
@@ -2183,6 +2197,23 @@ object LlmOps {
       .unionByName(stage("3_exact_dedup", eIds))
       .unionByName(stage("4_near_dedup", kept))
       .unionByName(stage("5_fluent", fluent))
+  }
+
+  /** The full pipeline's terminal materialization — the corpus a training
+    * build actually writes once every gate has run: stage-4 keepers ∩
+    * the fluency-bar survivors, dumped as (doc_id, n_chars) — the
+    * [[curationApply]] witness convention over [[curationFunnelFull]]'s
+    * chain (same stages, same one-shingling discipline — only the ending
+    * differs: the kept ROWS instead of the six counts).
+    */
+  def curationApplyFull(corpus: DataFrame, lmDir: String,
+      decontamDir: String, threshold: Double = 0.0333,
+      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, _, _, _, kept, fluent) = fullStages(
+      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol)
+    kept.join(fluent, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }
 
   /** Corpus snapshot diff — the dataset-versioning audit run between two

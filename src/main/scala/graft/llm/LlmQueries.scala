@@ -352,6 +352,13 @@ object LlmQueries {
     "llm_curate_full" -> ((s, d) => LlmOps.curationFunnelFull(
       LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
       decontamIndexDir(s, d), maxSharedGrams = 5L)),
+    // the full pipeline's terminal corpus: near-dedup keepers clearing
+    // the LM bar, after the decontam and exact gates — the rows a build
+    // writes, same chain as llm_curate_full, dumped by the witness
+    // convention
+    "llm_curate_full_apply" -> ((s, d) => LlmOps.curationApplyFull(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
+      decontamIndexDir(s, d), maxSharedGrams = 5L)),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -641,6 +648,7 @@ object LlmQueries {
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_full"   -> Seq(col("stage")),
+    "llm_curate_full_apply" -> Seq(col("doc_id")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
     "llm_dedup_inc_mh_idx" -> Seq(col("doc_id")),
@@ -901,6 +909,45 @@ object LlmQueries {
     s"""SELECT doc_id, text FROM ($NearCorpusSql) fc
        |WHERE doc_id IN (SELECT doc_id FROM clean)
        |  AND doc_id IN (SELECT min(doc_id) FROM ($NearCorpusSql) fe GROUP BY md5(text))""".stripMargin
+
+  /** The COMPLETE pipeline's CTE chain (quality → gram-bar decontam vs
+    * the ≥95 benchmark slice → exact keepers → near CC → stored-LM
+    * scores), ending with `surv(doc_id, text)` and `fl(doc_id, f)` —
+    * shared by the full-funnel and full-apply oracles so the two can
+    * never drift. Callers prefix `WITH RECURSIVE`.
+    */
+  private lazy val fullPipelineCtes: String =
+    s"""qtok AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |         FROM (${LlmOps.NearCorpusSql}) qc
+       |         WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})),
+       |qgs AS (SELECT doc_id,
+       |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM qtok),
+       |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
+       |bgs AS (SELECT doc_id,
+       |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM btok),
+       |bench AS (SELECT DISTINCT unnest(gs) AS h FROM bgs),
+       |qex AS (SELECT doc_id, unnest(gs) AS h FROM qgs),
+       |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
+       |          GROUP BY qex.doc_id HAVING count(*) > 5),
+       |clean AS (SELECT doc_id FROM qgs
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |${minhashCteFor(funnelFullStage3Sql)},
+       |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+       |          UNION ALL SELECT id_b, id_a FROM dup),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |cc AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
+       |),
+       |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node),
+       |surv AS (SELECT c.doc_id, c.text FROM corpus c
+       |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
+       |${lmScoreCtes("SELECT doc_id, text FROM surv")}""".stripMargin
 
   /** The funnel's full CTE chain through near-dup keeper resolution —
     * `corpus` (stage-2 survivors) + verified pairs + the recursive-CC
@@ -1740,43 +1787,12 @@ object LlmQueries {
          |ORDER BY stage""".stripMargin,
 
     // the COMPLETE pipeline oracle: quality (shared fragment) →
-    // zero-shared-gram decontam vs the ≥95 benchmark slice (the
-    // decontam-index fixture restated) → exact keepers → near CC (the
-    // shared minhash chain; `corpus` here = stage-3 survivors) →
-    // stored-LM bar (shared lmScoreCtes)
+    // gram-bar decontam vs the ≥95 benchmark slice (the decontam-index
+    // fixture restated) → exact keepers → near CC (the shared minhash
+    // chain; `corpus` here = stage-3 survivors) → stored-LM bar
+    // (shared lmScoreCtes); chain single-sourced with the apply oracle
     "llm_curate_full" ->
-      s"""WITH RECURSIVE
-         |qtok AS (SELECT doc_id, string_split(text, ' ') AS toks
-         |         FROM (${LlmOps.NearCorpusSql}) qc
-         |         WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})),
-         |qgs AS (SELECT doc_id,
-         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM qtok),
-         |btok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
-         |bgs AS (SELECT doc_id,
-         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM btok),
-         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM bgs),
-         |qex AS (SELECT doc_id, unnest(gs) AS h FROM qgs),
-         |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
-         |          GROUP BY qex.doc_id HAVING count(*) > 5),
-         |clean AS (SELECT doc_id FROM qgs
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         |${minhashCteFor(funnelFullStage3Sql)},
-         |dup AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-         |          UNION ALL SELECT id_b, id_a FROM dup),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |cc AS (
-         |  SELECT node, node AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.dst AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.src
-         |),
-         |dropped AS (SELECT node FROM cc GROUP BY node HAVING min(lbl) <> node),
-         |surv AS (SELECT c.doc_id, c.text FROM corpus c
-         |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
-         |${lmScoreCtes("SELECT doc_id, text FROM surv")}
+      s"""WITH RECURSIVE $fullPipelineCtes
          |SELECT '0_raw' AS stage,
          |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
          |UNION ALL SELECT '1_quality', (SELECT count(*) FROM qtok)
@@ -1785,6 +1801,15 @@ object LlmQueries {
          |UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv)
          |UNION ALL SELECT '5_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
          |ORDER BY stage""".stripMargin,
+
+    // the full pipeline's terminal corpus over the SAME chain: stage-4
+    // survivors clearing the LM bar, witness-dumped
+    "llm_curate_full_apply" ->
+      s"""WITH RECURSIVE $fullPipelineCtes
+         |SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS n_chars
+         |FROM surv s
+         |WHERE s.doc_id IN (SELECT doc_id FROM fl WHERE f >= 0.0333)
+         |ORDER BY s.doc_id""".stripMargin,
 
     // the funnel's terminal corpus: every stage-2 survivor that is not a
     // non-keeper near-dup cluster member

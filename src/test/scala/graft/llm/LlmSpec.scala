@@ -1531,6 +1531,13 @@ class LlmSpec extends SparkSpec {
     assert(out === Map("0_raw" -> 4L, "1_quality" -> 4L, "2_decontam" -> 3L,
       "3_exact_dedup" -> 2L, "4_near_dedup" -> 2L, "5_fluent" -> 1L),
       s"got $out")
+    // the terminal apply over the SAME chain: exactly the one doc that
+    // cleared every gate, with its content witness
+    val applied = LlmOps.curationApplyFull(
+        docs(10L -> fluent, 11L -> fluent, 12L -> junk, 13L -> mk("bench")),
+        lmDir, dDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(applied === Seq((10L, fluent.length.toLong)), s"got $applied")
   }
 
   test("LM partition: exact terciles on the calibration slice, thresholds order the whole corpus, short docs absent") {
