@@ -1540,6 +1540,30 @@ class LlmSpec extends SparkSpec {
     assert(applied === Seq((10L, fluent.length.toLong)), s"got $applied")
   }
 
+  test("full funnel at an infinite gram bar ≡ the LM funnel: the decontam stage is the only delta") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-fullinf-lm").toString
+    LlmOps.buildFluencyModel(docs(1L -> mk("alpha"), 2L -> mk("beta")), lmDir)
+    val dDir = java.nio.file.Files.createTempDirectory("graft-fullinf-dc").toString
+    LlmOps.buildDecontamIndex(docs(900L -> mk("bench")), dDir)
+    val corpus = docs(10L -> (5 to 20).map(i => s"alpha$i").mkString(" "),
+      11L -> (5 to 20).map(i => s"alpha$i").mkString(" "),
+      12L -> (1 to 16).map(i => s"qqzz$i").mkString(" "),
+      13L -> mk("bench"))
+    val full = LlmOps.curationFunnelFull(corpus, lmDir, dDir,
+        maxSharedGrams = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lm = LlmOps.curationFunnelLm(corpus, lmDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every shared stage agrees count-for-count; the neutralized decontam
+    // stage passes the whole quality set through
+    assert(full("2_decontam") === full("1_quality"))
+    assert(full("0_raw") === lm("0_raw") && full("1_quality") === lm("1_quality") &&
+      full("3_exact_dedup") === lm("2_exact_dedup") &&
+      full("4_near_dedup") === lm("3_near_dedup") &&
+      full("5_fluent") === lm("4_fluent"), s"full=$full lm=$lm")
+  }
+
   test("LM partition: exact terciles on the calibration slice, thresholds order the whole corpus, short docs absent") {
     val lmDir = java.nio.file.Files.createTempDirectory("graft-lm-part").toString
     // graded fluency over a SHARED vocabulary (unique junk won't grade:
