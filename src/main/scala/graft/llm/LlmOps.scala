@@ -3461,6 +3461,35 @@ object LlmOps {
       .select(col("doc_id"), col("seq_id"), col("tok_start"), col("tok_end"),
         (col("tok_end") - col("tok_start") + 1).as("n_in_seq"))
 
+  /** Token-balanced shard manifest — the export planner's other half:
+    * [[globalShuffle]] balances shards by ROW count, but training-step
+    * balance needs TOKEN mass (a shard of long documents trains slower
+    * than a shard of short ones). Docs keep the deterministic doc_id
+    * stream order and shard `k` takes the contiguous token range
+    * `[k·total/shards, (k+1)·total/shards)` — each shard's mass within
+    * one max-doc-length of total/shards by construction, assignment is
+    * `floor(start_off · shards / total)` (exact integer arithmetic,
+    * `start_off · shards` ≈ 8×10¹³ at 100 TB — no overflow).
+    *
+    * Scale: the offsets ride [[packSequences]]'s two-level prefix sum
+    * (no corpus-wide window), the total is ONE single-row aggregate
+    * crossJoined back as a broadcast literal, and the assignment is a
+    * narrow projection. Nothing new shuffles.
+    */
+  def packShards(corpus: DataFrame, shards: Int = ShuffleShards,
+      shardSize: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val off = packSequences(corpus, shardSize = shardSize,
+        idCol = idCol, textCol = textCol)
+      .select("doc_id", "n_tokens", "start_off")
+    val total = off.agg(sum(col("n_tokens")).as("total"))
+    off.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        least(expr(s"(start_off * $shards) div total"),
+          lit(shards - 1L)).as("shard"))
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization per vector — the 8×-memory-cut that makes

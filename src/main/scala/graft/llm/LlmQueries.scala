@@ -449,6 +449,9 @@ object LlmQueries {
     "llm_global_shuffle" -> ((s, d) => LlmOps.globalShuffle(Tables.documents(s, d))),
     "llm_pack_sequences" -> ((s, d) => LlmOps.packSequences(Tables.documents(s, d))),
     "llm_pack_apply"    -> ((s, d) => LlmOps.packApply(Tables.documents(s, d))),
+    // token-balanced shard manifest: contiguous token ranges of equal
+    // mass, off the same two-level prefix sum — no corpus-wide window
+    "llm_pack_shards"   -> ((s, d) => LlmOps.packShards(Tables.documents(s, d))),
     // run over the injected-near-dup corpus so duplicated spans exist
     "llm_dedup_spans" -> ((s, d) => LlmOps.dedupSpans(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_dedup_spans_apply" -> ((s, d) => LlmOps.dedupSpansApply(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
@@ -661,6 +664,7 @@ object LlmQueries {
     "llm_global_shuffle" -> Seq(col("doc_id")),
     "llm_boilerplate"   -> Seq(col("doc_id")),
     "llm_pack_sequences" -> Seq(col("doc_id")),
+    "llm_pack_shards"   -> Seq(col("doc_id")),
     "llm_pack_apply"    -> Seq(col("doc_id"), col("seq_id")),
     "llm_dedup_spans"   -> Seq(col("doc_id"), col("pos")),
     "llm_dedup_spans_apply" -> Seq(col("doc_id")),
@@ -1242,6 +1246,18 @@ object LlmQueries {
          |  start_off // 2048 AS seq_first,
          |  (start_off + n_tokens - 1) // 2048 AS seq_last
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the token-balanced manifest over the same cumsum: shard k owns
+    // the [k·total/8, (k+1)·total/8) token range
+    "llm_pack_shards" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |      FROM toks),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM toks)
+         |SELECT doc_id, n_tokens, start_off,
+         |  least((start_off * ${LlmOps.ShuffleShards}) // total, ${LlmOps.ShuffleShards - 1}) AS shard
+         |FROM c, t ORDER BY doc_id""".stripMargin,
 
     "llm_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1061,6 +1061,26 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("pack shards: contiguous token ranges, mass within one max-doc of ideal, monotone in stream order") {
+    val d = docs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    val out = LlmOps.packShards(d, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val total = out.map(_._2).sum
+    val maxDoc = out.map(_._2).max
+    val byShard = out.groupBy(_._4)
+    assert(byShard.keySet === Set(0L, 1L, 2L, 3L))
+    // a shard owns [k·T/4, (k+1)·T/4): its mass can exceed the ideal
+    // only by the one doc straddling its upper boundary
+    for ((s, rows) <- byShard)
+      assert(rows.map(_._2).sum <= total / 4 + maxDoc, s"shard $s overweight")
+    // assignment is monotone in the doc_id stream order ⇒ every shard is
+    // a contiguous slice of the token stream
+    assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted)
+    assert(LlmOps.packShards(d, shards = 1).collect()
+      .forall(_.getLong(3) == 0L))
+  }
+
   test("global shuffle: idx is a permutation, shards balanced ±1, order follows the hash") {
     val d = (0L until 100L).toDF("doc_id")
     val out = LlmOps.globalShuffle(d).collect()

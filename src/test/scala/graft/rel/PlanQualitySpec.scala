@@ -406,6 +406,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("partition apply adds a predicate, not a shuffle: exchange count matches the partition pass") {
+    def exchanges(q: String) = "Exchange".r.findAllIn(plan(q)).length
+    assert(exchanges("llm_lm_partition_apply") === exchanges("llm_lm_partition"),
+      "the selection rule must fuse onto the probe pass as a filter")
+  }
+
+  test("full funnel: the frozen gram artifact is the broadcast build side of its membership probe") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // the ONE deliberately inverted broadcast rule: benchmark gram sets
+    // are eval-suite-bounded (megabytes vs a 100 TB probe side), so THIS
+    // stored table must broadcast where every other artifact must not
+    val df = SparkEntry.queries("llm_curate_full")(spark, sf)
+    val joins = df.queryExecution.sparkPlan
+      .collect { case j: BroadcastHashJoinExec => j }
+    val gramBuild = joins.exists { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      build.collectLeaves().exists(_.toString.contains("/grams"))
+    }
+    assert(gramBuild, "the gram membership probe must broadcast the artifact")
+  }
+
   test("corpus as-of read is pure epoch partition pruning") {
     val p = plan("llm_corpus_asof")
     val at = p.indexOf("PartitionFilters: [")
