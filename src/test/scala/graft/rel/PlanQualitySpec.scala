@@ -84,11 +84,13 @@ class PlanQualitySpec extends SparkSpec {
     // subsample, via broadcast.
     // ann_recall_pq composes the two whitelisted shapes (annTopK truth +
     // annPq approx), so it inherits both bounded broadcast crosses.
+    // llm_pack_shards crosses the 1-row token-total aggregate — the same
+    // bounded class as boilerplate/tok_freq's single-row corpus totals
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
       "llm_ann_recall", "llm_ann_recall_mp", "llm_ann_recall_pq",
-      "llm_dedup_recall", "llm_sem_recall")
+      "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
