@@ -2335,7 +2335,9 @@ object LlmOps {
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.6,
       lmDir: Option[String] = None,
-      fluencyThreshold: Double = 0.0333): DataFrame = {
+      fluencyThreshold: Double = 0.0333,
+      decontamDir: Option[String] = None,
+      maxSharedGrams: Long = 0L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val oldC = textCorpus(oldSnap, idCol, textCol)
     val newC = textCorpus(newSnap, idCol, textCol)
@@ -2352,10 +2354,28 @@ object LlmOps {
     val qIds = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
     val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
-    val eC = qC.join(oldFp.select(col("oh").as("ch")).distinct(),
+    // the optional BENCHMARK-LEAKAGE gate — the same stage the live loop
+    // and the full batch funnel run, closing the three-surface parity:
+    // stateless (frozen gram artifact, broadcast — the inverted rule),
+    // placed after quality like both siblings. When on, the churn is
+    // shingled ONCE over the quality survivors (the epoch discipline)
+    // and the near gate reuses the id-filtered signature frame.
+    val (cIds, gatedC, sigQ) = decontamDir match {
+      case Some(dd) =>
+        val sq = signaturesOf(qC).persist(lvl)
+        val ci = decontaminateStoredFrom(sq, dd)
+          .filter(col("n_shared") <= maxSharedGrams)
+          .select("doc_id").persist(lvl)
+        (Some(ci), qC.join(ci, Seq("doc_id"), "left_semi"), Some(sq))
+      case None => (None, qC, None)
+    }
+    val eC = gatedC.join(oldFp.select(col("oh").as("ch")).distinct(),
         md5(col("text")) === col("ch"), "left_anti")
       .persist(lvl)
-    val bSig = signaturesOf(eC).persist(lvl)
+    val bSig = (sigQ match {
+      case Some(sq) => sq.join(eC.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None     => signaturesOf(eC)
+    }).persist(lvl)
     val bBands = bandsOf(bSig).persist(lvl)
     // ONE fused eager job derives every footprint this run's stored
     // probes need (the LSH gate's band footprint + size gate, and — when
@@ -2374,9 +2394,18 @@ object LlmOps {
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
-    val base = stage("0_delta", delta)
+    // with the decontam gate on, the read-out matches the full funnel's
+    // six-stage naming; without it the historical four/five-stage names
+    // are preserved byte-for-byte
+    val (nearName, fluentName) =
+      if (cIds.isDefined) ("4_near", "5_fluent") else ("3_near", "4_fluent")
+    val base0 = stage("0_delta", delta)
       .unionByName(stage("1_quality", qIds))
-      .unionByName(stage("2_exact", eC))
+    val base = cIds match {
+      case Some(ci) => base0.unionByName(stage("2_decontam", ci))
+        .unionByName(stage("3_exact", eC))
+      case None => base0.unionByName(stage("2_exact", eC))
+    }
     lmDir match {
       // the optional NIGHTLY LM bar — the same frozen reference model
       // the streaming gate and the full funnel probe. The LM scores the
@@ -2405,10 +2434,10 @@ object LlmOps {
         val fluent = fluencyStored(eC, lm, fpRow = Some(fused))
           .filter(col("fluency") >= fluencyThreshold).select("doc_id")
           .join(keptP, Seq("doc_id"), "left_semi")
-        base.unionByName(stage("3_near", survivors))
-          .unionByName(stage("4_fluent", fluent))
+        base.unionByName(stage(nearName, survivors))
+          .unionByName(stage(fluentName, fluent))
       case None =>
-        base.unionByName(stage("3_near", kept))
+        base.unionByName(stage(nearName, kept))
     }
   }
 

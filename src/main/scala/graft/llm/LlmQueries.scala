@@ -382,6 +382,16 @@ object LlmQueries {
       LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d),
         lmDir = Some(lmDir(s, d)))
     }),
+    // the nightly delta with EVERY gate: quality → benchmark decontam
+    // (bar 5, the llm_curate_full convention) → exact → stored-index
+    // near probe → stored-LM bar — three-surface parity (batch full,
+    // streaming, nightly delta all run the same five gates)
+    "llm_curate_delta_full" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d),
+        lmDir = Some(lmDir(s, d)),
+        decontamDir = Some(decontamIndexDir(s, d)), maxSharedGrams = 5L)
+    }),
     // the near-dup ingest gate: tailed copies survive the EXACT
     // incremental check above but are dropped here; reversed-word docs
     // (shingle-disjoint) survive both
@@ -647,6 +657,7 @@ object LlmQueries {
     "llm_decontam_stats" -> Seq(col("hb")),
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
+    "llm_curate_delta_full" -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
@@ -2308,6 +2319,50 @@ object LlmQueries {
     // the delta run + the reference-LM bar: stages 0-3 restate the delta
     // oracle, stage 4 scores the near-gate survivors with the shared
     // lmScoreCtes chain (identical arithmetic to llm_curate_lm's stage)
+    // the everything-gated nightly: delta_lm's chain with the gram-bar
+    // decontam stage between quality and exact (bench fragments shared
+    // with the full-funnel oracle's construction)
+    "llm_curate_delta_full" ->
+      s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
+         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         |delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
+         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+         |q AS (SELECT doc_id, text FROM delta
+         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+         |dcqt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM q),
+         |dcqg AS (SELECT doc_id,
+         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM dcqt),
+         |dcbt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
+         |dcbg AS (SELECT doc_id,
+         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+         |  FROM dcbt),
+         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM dcbg),
+         |qex AS (SELECT doc_id, unnest(gs) AS h FROM dcqg),
+         |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
+         |          GROUP BY qex.doc_id HAVING count(*) > 5),
+         |clean AS (SELECT doc_id FROM dcqg
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |batch AS (SELECT doc_id, text FROM q
+         |  WHERE doc_id IN (SELECT doc_id FROM clean)
+         |    AND md5(text) NOT IN (SELECT md5(text) FROM documents)),
+         |${incGateCtes("batch", "documents", selfExcl = true)},
+         |nearkept AS (SELECT b.doc_id, b.text FROM batch b
+         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)),
+         |${lmScoreCtes("SELECT doc_id, text FROM nearkept")}
+         |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_decontam', count(*) FROM clean
+         |UNION ALL SELECT '3_exact', count(*) FROM batch
+         |UNION ALL SELECT '4_near', count(*) FROM nearkept
+         |UNION ALL SELECT '5_fluent',
+         |  (SELECT count(*) FROM fl WHERE f >= CAST(0.0333 AS DOUBLE))
+         |ORDER BY stage""".stripMargin,
+
     "llm_curate_delta_lm" ->
       s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
          |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),

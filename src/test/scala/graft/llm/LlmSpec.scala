@@ -2224,5 +2224,23 @@ class LlmSpec extends SparkSpec {
     assert(outLm === Map("0_delta" -> 5L, "1_quality" -> 4L,
       "2_exact" -> 3L, "3_near" -> 2L, "4_fluent" -> 1L),
       s"the LM bar drops exactly the unseen-transition survivor, got $outLm")
+    // every gate composed (three-surface parity): a benchmark-leak
+    // arrival passes quality and both dedups but dies at the decontam
+    // stage — and the read-out shifts to the full funnel's six-stage
+    // naming without disturbing the other gates' drops
+    val dc = java.nio.file.Files.createTempDirectory("graft-curdelta-dc").toString
+    LlmOps.buildDecontamIndex(docs(900L -> mk("bench")), dc)
+    val nextLeak = docs(
+      2L -> (mk("beta") + " tail"), 5L -> mk("gamma"),
+      6L -> (mk("delta") + " drift"), 7L -> mk("fresh"),
+      8L -> "tiny doc", 9L -> mk("bench"))
+    val outFull = LlmOps.curateDelta(base, nextLeak, dir,
+        lmDir = Some(lm), fluencyThreshold = 0.5,
+        decontamDir = Some(dc)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outFull === Map("0_delta" -> 6L, "1_quality" -> 5L,
+      "2_decontam" -> 4L, "3_exact" -> 3L, "4_near" -> 2L,
+      "5_fluent" -> 1L),
+      s"the leak must die at decontam and nowhere else, got $outFull")
   }
 }
