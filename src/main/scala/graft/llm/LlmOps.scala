@@ -2351,31 +2351,49 @@ object LlmOps {
       .filter(col("oh").isNull || col("oh") =!= col("nh"))
       .select("doc_id")
     val delta = newC.join(deltaIds, Seq("doc_id"), "left_semi").persist(lvl)
-    val qIds = TextAnalysis.qualityFilter(delta)
+    // persisted when the decontam gate is on: the id frame then has three
+    // consumers (its stage count, the shingling input, the clean-id
+    // anti-join) and an un-cached qualityFilter chain re-derives per use
+    val qIds0 = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
+    val qIds = if (decontamDir.isDefined) qIds0.persist(lvl) else qIds0
     val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
     // the optional BENCHMARK-LEAKAGE gate — the same stage the live loop
     // and the full batch funnel run, closing the three-surface parity:
-    // stateless (frozen gram artifact, broadcast — the inverted rule),
-    // placed after quality like both siblings. When on, the churn is
-    // shingled ONCE over the quality survivors (the epoch discipline)
-    // and the near gate reuses the id-filtered signature frame.
-    val (cIds, gatedC, sigQ) = decontamDir match {
+    // stateless (frozen gram artifact), placed after quality like both
+    // siblings. The gate is the bare anti-membership form (dirty = docs
+    // over the shared-gram bar), not the per-doc report — no n_grams
+    // left join, no size-gate count job; the gram side carries no
+    // broadcast hint because churn-vs-benchmark sizes vary by deployment
+    // and AQE picks the build side at runtime (both sides are bounded:
+    // churn by the crawl, grams by the eval suite). The gate derives its
+    // own gram frame and the near probe re-shingles the CACHED exact
+    // survivors: two map-side shingle passes over churn-sized caches
+    // plan as in-stage projections, measured cheaper than sharing one
+    // persisted signature frame through a semi-join graph (each shared
+    // read is a broadcast-build job; map work fuses into existing
+    // stages — 13.5 → 8.0 s at sf0.1, and still churn-linear at scale).
+    val (cIds, gatedC) = decontamDir match {
       case Some(dd) =>
-        val sq = signaturesOf(qC).persist(lvl)
-        val ci = decontaminateStoredFrom(sq, dd)
-          .filter(col("n_shared") <= maxSharedGrams)
-          .select("doc_id").persist(lvl)
-        (Some(ci), qC.join(ci, Seq("doc_id"), "left_semi"), Some(sq))
-      case None => (None, qC, None)
+        // raw gram table (no distinct — saves its shuffle); join
+        // multiplicity from not-yet-compacted replay-duplicate grams is
+        // neutralized by counting DISTINCT shared grams per doc (per-doc
+        // gram sets are already distinct from signaturesOf)
+        val bench = delta.sparkSession.read.parquet(s"$dd/grams")
+          .select("h")
+        val dirty = signaturesOf(qC)
+          .select(col("doc_id"), explode(col("gs")).as("h"))
+          .join(bench, "h")
+          .groupBy("doc_id").agg(countDistinct(col("h")).as("ns"))
+          .filter(col("ns") > maxSharedGrams).select("doc_id")
+        val ci = qIds.join(dirty, Seq("doc_id"), "left_anti").persist(lvl)
+        (Some(ci), delta.join(ci, Seq("doc_id"), "left_semi"))
+      case None => (None, qC)
     }
     val eC = gatedC.join(oldFp.select(col("oh").as("ch")).distinct(),
         md5(col("text")) === col("ch"), "left_anti")
       .persist(lvl)
-    val bSig = (sigQ match {
-      case Some(sq) => sq.join(eC.select("doc_id"), Seq("doc_id"), "left_semi")
-      case None     => signaturesOf(eC)
-    }).persist(lvl)
+    val bSig = signaturesOf(eC).persist(lvl)
     val bBands = bandsOf(bSig).persist(lvl)
     // ONE fused eager job derives every footprint this run's stored
     // probes need (the LSH gate's band footprint + size gate, and — when
