@@ -278,9 +278,17 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("delta curation with the LM bar: both stored scans pruned, neither artifact a broadcast build side") {
+    // the every-gate nightly (delta_full) must keep the identical shape:
+    // its extra gram probe is the inverted-broadcast artifact and is
+    // deliberately NOT in the forbidden-leaf list below
+    for (q <- Seq("llm_curate_delta_lm", "llm_curate_delta_full"))
+      assertDeltaShape(q)
+  }
+
+  private def assertDeltaShape(q: String): Unit = {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    val df = SparkEntry.queries("llm_curate_delta_lm")(spark, sf)
+    val df = SparkEntry.queries(q)(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     // the near gate's band scan carries the churn's STATIC bucket set
     val bandsAt = p.indexOf("/bands], PartitionFilters: [")
