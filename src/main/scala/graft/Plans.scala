@@ -48,6 +48,7 @@ object Plans {
       "llm_lm_partition_apply" -> "the CCNet selection rule (keep head, hash-sample middle, drop tail) fused onto llm_lm_partition's one probe pass as a stateless predicate — same plan plus a filter, nothing new shuffles",
       "llm_domain_upsample" -> "per-mille domain repeat factors: hash, copy count, and the sequence explode all fuse into the scan stage as one narrow generator projection — zero exchanges (plan-asserted)",
       "llm_keywords_idx"  -> "batch keyword scoring off the STORED IDF model: the batch's token-bucket footprint pinned as a static partition filter on the df scan, batch tf broadcast into the scored join — the vocabulary-sized artifact is streamed, pruned, and never a build side",
+      "llm_quality_clf_idx" -> "batch scoring off the STORED quality classifier: the batch's token-bucket footprint pinned as a static partition filter on the weight scan, per-occurrence likelihood ratios joined with the batch tokens broadcast (size-gated), unmatched tokens recovered by unioning plain token-count mass rows into ONE per-doc value-sorted fold — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",
       "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage — bare anti-membership gate (distinct-shared-gram count vs the raw gram table, AQE build side), near probe re-shingling the cached exact survivors as in-stage map work (a shared persisted signature frame cost a broadcast-build job per read), band and model scans partition-pruned, no text on any top-level exchange")
     val sb = new StringBuilder

@@ -1604,6 +1604,248 @@ object LlmOps {
         max(col("df")).as("max_df"),
         sum(col("df")).cast("bigint").as("df_rows"))
 
+  // ------------------------------------------ stored quality classifier
+
+  /** Token-bucket count for the stored classifier weight table (the
+    * probe's directory-prune unit, the [[IdfBuckets]] convention).
+    */
+  val QclfBuckets = 64
+
+  /** The salted token-bucket expression shared by builder and probe —
+    * one definition so the probe's partition filter can never drift off
+    * the builder's layout (the [[idfTb]] discipline; distinct salt so
+    * the two artifacts' bucket layouts are independent).
+    */
+  def qclfTb(tokExpr: String): String =
+    s"${h56(s"concat('qclf|', $tokExpr)")} % $QclfBuckets"
+
+  private def qclfBase(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    textCorpus(corpus, idCol, textCol).filter(col("text").isNotNull)
+
+  /** Harness fixture for the classifier queries: the synthetic corpus
+    * passes the heuristic gate wholesale (labels would be one-class and
+    * the trained table degenerate), so — the `llm_scrub_pii` injection
+    * precedent — every 5th doc gains a JUNK twin under a disjoint id
+    * range: twelve copies of a two-letter token, which passes the
+    * length gate but fails the token-length band and the trigram
+    * repetition cut. Both label classes are populated, the junk
+    * vocabulary is class-pure, and the confusion gauge measures a real
+    * discrimination.
+    */
+  def qclfCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 85000000L).as("doc_id"),
+          lit("zq zq zq zq zq zq zq zq zq zq zq zq").as("text")))
+
+  val QclfCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 85000000, 'zq zq zq zq zq zq zq zq zq zq zq zq'
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** The classifier's training aggregate: per token, its occurrence
+    * count inside heuristic-KEPT docs (`c_pos`) vs dropped docs
+    * (`c_neg`), with the class totals and vocabulary size denormalized
+    * into every row (the [[buildIdfModel]] n_docs rationale). Labels are
+    * the [[TextAnalysis.qualityFilter]] keep decision derived IN-ROW
+    * alongside the text ([[TextAnalysis.qualityFlags]]) — the
+    * distillation regime a production pipeline bootstraps a learned
+    * quality gate from (CCNet trains against a trusted-corpus signal;
+    * here the trusted signal is the published heuristic gate): the
+    * heuristic is rule-priced per doc, the trained scorer generalizes
+    * its decision to a per-TOKEN likelihood table that transfers to
+    * batches the rules were never tuned on.
+    *
+    * 100 TB shape: label derivation is a scan-stage projection (no
+    * corpus join), the occurrence explode feeds ONE token-key reduce
+    * (map-side partial aggregation collapses each partition to its
+    * distinct-token footprint before the shuffle), and the totals ride
+    * a single-row aggregate broadcast back over the counts — nothing
+    * driver-sized anywhere.
+    */
+  def qclfCounts(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lab = TextAnalysis.qualityFlags(qclfBase(corpus, idCol, textCol))
+      .select(col("keep"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = lab.groupBy("tok")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("c_neg"))
+    val tot = cnt.agg(sum(col("c_pos")).as("t_pos"),
+      sum(col("c_neg")).as("t_neg"), count(lit(1)).as("vv"))
+    cnt.crossJoin(broadcast(tot))
+  }
+
+  /** Freeze the trained quality classifier under `dir` — the learned
+    * counterpart of the heuristic gate: one `w/` table of (tok, c_pos,
+    * c_neg, t_pos, t_neg, vv), hash-clustered into [[QclfBuckets]] `tb`
+    * directories so a probe opens only its batch's token buckets.
+    * Laplace smoothing happens at SCORE time from the stored integers
+    * (the stored-LM "probabilities stay exact" rule: the artifact
+    * carries counts, never derived floats, so arithmetic lives in one
+    * place and cross-engine determinism is the scorer's problem alone).
+    *
+    * Rebuild-only, like the bigram LM and the IDF table: every count
+    * shares the class totals as denominators, so merging two
+    * generations' counts would silently mix denominators — the model is
+    * retrained per corpus generation through the same atomic
+    * [[graft.cdc.Compaction.swapDir]] (old generation serves readers
+    * throughout, every crash window rolls back).
+    */
+  def buildQualityClassifier(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    graft.cdc.Compaction.swapDir(s"$dir/w") { tmp =>
+      qclfCounts(corpus, idCol, textCol)
+        .withColumn("tb", expr(qclfTb("tok")))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    }
+
+  /** The scorer shared by [[qualityClassify]] and [[qualityScoreStored]]:
+    * per matched token occurrence, the Laplace-smoothed class-conditional
+    * likelihood ratio r = P(tok|keep)/P(tok|drop) =
+    * ((c_pos+1)·(t_neg+V)) / ((c_neg+1)·(t_pos+V)) — a ratio of exact
+    * integers lifted to double only for the final products (BIGINT
+    * products would overflow at corpus scale; the two double
+    * multiplications and one division are single IEEE operations, exact
+    * across engines) — and the doc's score the mean ratio over its
+    * tokens via the [[fluencyScore]] value-sorted fold. No ln()/exp():
+    * the mean-ratio score is a monotone per-token transform of the
+    * Naive Bayes evidence that stays inside exactly-reproducible
+    * arithmetic (the [[keywords]] rational-idf rationale — libm
+    * transcendentals differ across engines and would break hashes).
+    * Unmatched (out-of-vocabulary) occurrences contribute 0 through the
+    * matched-only union — the [[fluencyStored]] semantics: a token the
+    * reference corpus never produced is evidence of neither class, and
+    * an all-unseen doc scores 0 (below any sane τ), which is the
+    * conservative gate decision for alien text.
+    */
+  private def qclfScore(toks: DataFrame, mass: DataFrame,
+      weights: DataFrame, tau: Double, small: Boolean): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val matched = weights.join(hinted(toks), "tok")
+      .select(col("doc_id"),
+        (((col("c_pos") + 1).cast("double") *
+          (col("t_neg") + col("vv")).cast("double")) /
+          ((col("c_neg") + 1).cast("double") *
+            (col("t_pos") + col("vv")).cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    matched.unionByName(mass)
+      .groupBy("doc_id")
+      .agg(sum(col("nn")).as("n_toks"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("r_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("r_sum") / col("n_toks").cast("double")).as("q_score"))
+      .withColumn("pred", col("q_score") >= tau)
+  }
+
+  /** Corpus-as-its-own-model classification — the in-query special case
+    * ([[fluencyScore]]'s relationship to [[fluencyStored]]): train the
+    * token table on `corpus`, score every doc of `corpus` against it.
+    * Self-coverage is total (every token is in its own vocabulary), so
+    * the stored probe of a slice of the training corpus is bit-identical
+    * to this form restricted to the slice — the equivalence the spec and
+    * the shared oracle state. τ = 1.0 is the natural decision bar for a
+    * likelihood RATIO (mean ratio > 1 ⇔ the doc's tokens lean toward the
+    * keep class).
+    */
+  def qualityClassify(corpus: DataFrame, tau: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = qclfBase(corpus, idCol, textCol)
+    val toks = base.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val mass = base.select(col("doc_id"),
+      lit(null).cast("double").as("v"),
+      size(split(col("text"), " ")).cast("bigint").as("nn"))
+    qclfScore(toks, mass, qclfCounts(corpus, idCol, textCol), tau,
+      small = false)
+  }
+
+  /** The probe's one-row eager payload over `docs`: total token count
+    * (the broadcast size gate) and the distinct token-bucket footprint
+    * (≤ [[QclfBuckets]] values) — the [[lmFpAgg]] shape: per-doc bucket
+    * sets dedup inside the row, partial aggregation bounds the merge
+    * buffer at 64 values, only a row's pos-0 bucket carries its doc's
+    * token count so the sum counts each doc once.
+    */
+  def qclfFpAgg(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    qclfBase(docs, idCol, textCol)
+      .select(size(split(col("text"), " ")).cast("bigint").as("k"),
+        // the lambda restates [[qclfTb]] over the split's tokens — keep
+        // the two in lockstep (the lmFpAgg comment's rationale)
+        expr(s"array_distinct(transform(split(text, ' '), w -> ${h56("concat('qclf|', w)")} % $QclfBuckets))").as("bs"))
+      .select(col("k"), posexplode(col("bs")).as(Seq("p", "b")))
+      .agg(sum(when(col("p") === 0, col("k"))).as("toks"),
+        collect_set(col("b")).as("buckets"))
+
+  /** Score a batch against a STORED [[buildQualityClassifier]] artifact —
+    * the production form: the model is never re-derived, the batch's
+    * bounded token-bucket footprint (ONE single-row eager job,
+    * [[qclfFpAgg]]) pins a static partition filter on the weight scan,
+    * and the batch side carries a size-gated broadcast hint
+    * ([[GateBroadcastMaxRows]]) so an ingest micro-batch streams the
+    * pruned weight directories with no model-side shuffle while a
+    * corpus-sized backfill drops the hint and AQE decides — the
+    * vocabulary-sized artifact is never a broadcast build side (the
+    * [[keywordsStored]] PlanQualitySpec rule). Probe cost tracks model
+    * size and batch footprint, never the corpus the model was trained
+    * on.
+    */
+  def qualityScoreStored(batch: DataFrame, dir: String, tau: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    val spark = batch.sparkSession
+    val base = qclfBase(batch, idCol, textCol)
+    val fp = qclfFpAgg(batch, idCol, textCol).collect()(0)
+    val toksAt = fp.fieldIndex("toks")
+    val buckets = Option(fp.getSeq[Long](fp.fieldIndex("buckets")))
+      .getOrElse(Seq.empty)
+    val small = broadcastMaxRows > 0 &&
+      (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
+    val weights = spark.read.parquet(s"$dir/w")
+      .filter(col("tb").isin(buckets.map(java.lang.Long.valueOf): _*))
+    val toks = base.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val mass = base.select(col("doc_id"),
+      lit(null).cast("double").as("v"),
+      size(split(col("text"), " ")).cast("bigint").as("nn"))
+    qclfScore(toks, mass, weights, tau, small)
+  }
+
+  /** Health gauge over the stored classifier — per tb bucket: vocabulary
+    * size and the two classes' occurrence mass. What an operator checks
+    * after a retrain: bucket skew flags a degenerate tokenizer (the
+    * [[idfModelStats]] reading), and a pos/neg mass ratio far from the
+    * corpus' keep rate means the label pass drifted.
+    */
+  def qclfStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/w")
+      .groupBy(col("tb").cast("bigint").as("tb"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("c_pos")).cast("bigint").as("pos_occ"),
+        sum(col("c_neg")).cast("bigint").as("neg_occ"))
+
+  /** Distillation-fidelity gauge: the confusion counts of the trained
+    * scorer's τ decision against the heuristic gate it was trained from,
+    * over the training corpus — the number that says whether the learned
+    * table is a faithful stand-in before it gates anything real.
+    * (keep, pred) → doc count; off-diagonal mass is the distillation
+    * gap. One label pass plus the classify plan — both scan-shaped, the
+    * join keyed on doc_id only.
+    */
+  def qclfAgreement(corpus: DataFrame, tau: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val labels = TextAnalysis.qualityFilter(qclfBase(corpus, idCol, textCol))
+      .select(col("doc_id"), col("keep"))
+    qualityClassify(corpus, tau, idCol, textCol)
+      .join(labels, "doc_id")
+      .groupBy(col("keep"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ------------------------------------------------- deterministic sample
 
   /** Reproducible uniform corpus sample: rank every doc by the 56-bit md5

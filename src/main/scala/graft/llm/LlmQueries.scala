@@ -146,6 +146,23 @@ object LlmQueries {
       dir
     }
 
+  /** The stored quality classifier ([[LlmOps.buildQualityClassifier]])
+    * trained on the junk-injected fixture corpus
+    * ([[LlmOps.qclfCorpus]] — both label classes populated) against the
+    * heuristic gate's labels — probed by the stored scorer and read by
+    * the classifier health gauge. The probe's clean %10 slice is a
+    * subset of the training corpus (the [[lmDir]] convention), so the
+    * stored probe is bit-identical to the in-query
+    * [[LlmOps.qualityClassify]] restricted to that slice.
+    */
+  private def qclfDir(s: SparkSession, d: String): String =
+    memo(s"qclf|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-qclf")
+      LlmOps.buildQualityClassifier(
+        LlmOps.qclfCorpus(Tables.documents(s, d)), dir)
+      dir
+    }
+
   /** A stored LSH index built over the BASE documents generation, then
     * PRUNED to the next crawl snapshot — the detect→repair lifecycle
     * under audit: the base build leaves the %11 removals as orphans,
@@ -488,6 +505,26 @@ object LlmQueries {
     // IDF-table health gauge: per tb bucket, vocab size / hottest df /
     // df mass — the stopword and tokenizer-degeneracy early warning
     "llm_idf_stats"     -> ((s, d) => LlmOps.idfModelStats(s, idfDir(s, d))),
+    // trained quality classifier, corpus-as-its-own-model: per-token
+    // class-conditional likelihood ratios distilled from the heuristic
+    // gate's labels, mean-ratio scored with the value-sorted fold —
+    // over the junk-injected fixture corpus so both classes exist
+    "llm_quality_clf"   -> ((s, d) => LlmOps.qualityClassify(
+      LlmOps.qclfCorpus(Tables.documents(s, d)))),
+    // the stored-classifier probe (the fluency_idx convention: a clean
+    // %10 batch slice vs the artifact trained on the mixed fixture
+    // corpus, weight scan pruned to the batch's token buckets, batch
+    // broadcast) — slice ⊆ training corpus ⇒ full coverage,
+    // bit-identical to the in-query form restricted to the slice
+    "llm_quality_clf_idx" -> ((s, d) => LlmOps.qualityScoreStored(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), qclfDir(s, d))),
+    // classifier-table health gauge: per tb bucket, vocab size and the
+    // two classes' occurrence mass
+    "llm_qclf_stats"    -> ((s, d) => LlmOps.qclfStats(s, qclfDir(s, d))),
+    // distillation fidelity: confusion counts of the trained scorer's
+    // τ decision vs the heuristic gate it was trained from
+    "llm_qclf_agreement" -> ((s, d) => LlmOps.qclfAgreement(
+      LlmOps.qclfCorpus(Tables.documents(s, d)))),
     // CCNet head/middle/tail: tercile thresholds frozen offline from
     // the %10 calibration slice's stored-LM scores (the stored
     // partitioner artifact), applied corpus-wide in one stateless pass
@@ -684,6 +721,10 @@ object LlmQueries {
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
     "llm_keywords_idx"  -> Seq(col("doc_id"), col("rnk")),
     "llm_idf_stats"     -> Seq(col("tb")),
+    "llm_quality_clf"   -> Seq(col("doc_id")),
+    "llm_quality_clf_idx" -> Seq(col("doc_id")),
+    "llm_qclf_stats"    -> Seq(col("tb")),
+    "llm_qclf_agreement" -> Seq(col("keep"), col("pred")),
     "llm_fluency"       -> Seq(col("doc_id")),
     "llm_fluency_idx"   -> Seq(col("doc_id")),
     "llm_lm_partition"  -> Seq(col("doc_id")),
@@ -845,6 +886,51 @@ object LlmQueries {
        |) qf WHERE NOT (n_tokens < 10)
        |  AND NOT (avg_token_len < CAST(3.0 AS DOUBLE) OR avg_token_len > CAST(12.0 AS DOUBLE))
        |  AND NOT (rep3_frac > CAST(0.2 AS DOUBLE)) AND NOT (punct_ratio > CAST(0.3 AS DOUBLE))""".stripMargin
+
+  /** The trained-classifier count chain as a reusable CTE fragment:
+    * heuristic labels (the [[qualityKeepIdsSql]] gate restated as a
+    * membership flag), per-token class occurrence counts and the
+    * denormalized totals — ends with `qcnt(tok, c_pos, c_neg)` and
+    * `qtot(t_pos, t_neg, vv)`. Shared by all four qclf oracles so none
+    * can drift on the training arithmetic.
+    */
+  private lazy val qclfCtes: String =
+    s"""qbase AS (SELECT doc_id, text FROM (${LlmOps.QclfCorpusSql}) qcc WHERE text IS NOT NULL),
+       |qkeep AS (${qualityKeepIdsSql("SELECT doc_id, text FROM qbase")}),
+       |qocc AS (SELECT b.doc_id, (k.doc_id IS NOT NULL) AS keep,
+       |           unnest(string_split(b.text, ' ')) AS tok
+       |         FROM qbase b LEFT JOIN qkeep k ON b.doc_id = k.doc_id),
+       |qcnt AS (SELECT tok,
+       |           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |         FROM qocc GROUP BY tok),
+       |qtot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+       |           CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+       |           CAST(count(*) AS BIGINT) AS vv FROM qcnt)""".stripMargin
+
+  /** The classifier scoring chain over `batchSql` — per-occurrence
+    * Laplace-smoothed likelihood ratios, value-sorted fold, mean over
+    * the doc's token count, τ = 1.0 decision — ending with
+    * `qsc(doc_id, n_toks, q_score, pred)`. States the Spark scorer's
+    * arithmetic operation-for-operation (double lifts before the
+    * products, matched-only fold, COALESCE for the all-unseen doc).
+    */
+  private def qclfScoreSql(batchSql: String): String =
+    s"""$qclfCtes,
+       |bb AS (SELECT doc_id, text FROM ($batchSql) bq WHERE text IS NOT NULL),
+       |btk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM bb),
+       |bmass AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM bb),
+       |bm AS (SELECT t.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_sort(list(
+       |           (CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
+       |           (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE))))),
+       |         (a, x) -> a + x) AS fs
+       |       FROM btk t JOIN qcnt c USING (tok) CROSS JOIN qtot qt
+       |       GROUP BY t.doc_id),
+       |qsc AS (SELECT m.doc_id, m.n_toks,
+       |          COALESCE(bm.fs, CAST(0.0 AS DOUBLE)) / CAST(m.n_toks AS DOUBLE) AS q_score,
+       |          COALESCE(bm.fs, CAST(0.0 AS DOUBLE)) / CAST(m.n_toks AS DOUBLE) >= CAST(1.0 AS DOUBLE) AS pred
+       |        FROM bmass m LEFT JOIN bm ON m.doc_id = bm.doc_id)""".stripMargin
 
   /** The stored-LM scoring chain as a reusable CTE fragment: model
     * counts (mc2/mc1) from the plain documents table (the memoized
@@ -1421,6 +1507,37 @@ object LlmQueries {
          |SELECT CAST(${h56Duck("concat('idf|', tok)")} % ${LlmOps.IdfBuckets} AS BIGINT) AS tb,
          |  count(*) AS n_toks, max(df) AS max_df, CAST(sum(df) AS BIGINT) AS df_rows
          |FROM dfreq GROUP BY 1 ORDER BY tb""".stripMargin,
+
+    // corpus-as-its-own-model classification: the training chain and
+    // the scoring chain over the same junk-injected fixture corpus
+    "llm_quality_clf" ->
+      s"""WITH ${qclfScoreSql(LlmOps.QclfCorpusSql)}
+         |SELECT doc_id, n_toks, q_score, pred FROM qsc ORDER BY doc_id""".stripMargin,
+
+    // stored probe: the %10 slice scores against the full-corpus
+    // artifact — slice ⊆ training corpus ⇒ same integers, same fold
+    "llm_quality_clf_idx" ->
+      s"""WITH ${qclfScoreSql("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0")}
+         |SELECT doc_id, n_toks, q_score, pred FROM qsc ORDER BY doc_id""".stripMargin,
+
+    // the weight table re-derived from the corpus, reduced to the
+    // per-tb gauge — the builder's salted bucket restated
+    "llm_qclf_stats" ->
+      s"""WITH $qclfCtes
+         |SELECT CAST(${h56Duck("concat('qclf|', tok)")} % ${LlmOps.QclfBuckets} AS BIGINT) AS tb,
+         |  count(*) AS n_toks, CAST(SUM(c_pos) AS BIGINT) AS pos_occ,
+         |  CAST(SUM(c_neg) AS BIGINT) AS neg_occ
+         |FROM qcnt GROUP BY 1 ORDER BY tb""".stripMargin,
+
+    // distillation fidelity: the τ decision against the heuristic keep
+    // flag, as confusion counts
+    "llm_qclf_agreement" ->
+      s"""WITH ${qclfScoreSql(LlmOps.QclfCorpusSql)},
+         |qlab AS (SELECT b.doc_id, (k.doc_id IS NOT NULL) AS keep
+         |         FROM qbase b LEFT JOIN qkeep k ON b.doc_id = k.doc_id)
+         |SELECT l.keep, s.pred, count(*) AS n_docs
+         |FROM qsc s JOIN qlab l ON s.doc_id = l.doc_id
+         |GROUP BY 1, 2 ORDER BY keep, pred""".stripMargin,
 
     "llm_dedup_cosine" ->
       s"""WITH $cosinePairsCte

@@ -126,9 +126,24 @@ object TextAnalysis {
       textCol: String = "text", minTokens: Int = 10,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 12.0,
       maxRep3: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame =
+    qualityFlags(docs, idCol, textCol, minTokens, minAvgTokenLen,
+      maxAvgTokenLen, maxRep3, maxPunctRatio).drop("text")
+
+  /** [[qualityFilter]]'s flag derivation WITH the doc's text retained —
+    * the form a consumer that needs (text, keep) label rows uses
+    * ([[LlmOps.qclfCounts]]'s in-row label pass): same flags, same
+    * thresholds, one projection — deriving the label alongside the text
+    * instead of joining the published flag frame back to the corpus (a
+    * corpus-sized doc_id shuffle at 100 TB). [[qualityFilter]] IS this
+    * frame minus `text`, so the two can never drift.
+    */
+  def qualityFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 10,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 12.0,
+      maxRep3: Double = 0.2, maxPunctRatio: Double = 0.3): DataFrame =
     withRep3(docs, idCol, textCol)
       .select(
-        col("doc_id"),
+        col("doc_id"), col("text"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("toks")))
           .as("avg_token_len"),

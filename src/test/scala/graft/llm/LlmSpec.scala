@@ -344,6 +344,78 @@ class LlmSpec extends SparkSpec {
     assert(g.map(_.getLong(3)).sum === 9L)
   }
 
+  test("trained quality classifier: hand-computed likelihood ratios; junk rejected, clean kept") {
+    // two clean docs (pass every heuristic gate: 10 tokens, avg len in
+    // band) + one junk doc (fails token-length band and repetition)
+    val c1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val c2 = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+    val j = "zq zq zq zq zq zq zq zq zq zq zq zq"
+    val d = docs(1L -> c1, 2L -> c2, 3L -> j)
+    // counts: 9 shared tokens c_pos=2, juliet/kilo c_pos=1, zq c_neg=12
+    // T_pos=20, T_neg=12, V=12
+    // r(shared)=(3·24)/(1·32)=2.25, r(juliet)=(2·24)/(1·32)=1.5,
+    // r(zq)=(1·24)/(13·32)
+    val out = LlmOps.qualityClassify(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    def fold(vs: Seq[Double]): Double = vs.sorted.foldLeft(0.0)(_ + _)
+    assert(out(1L) === ((10L, fold(Seq.fill(9)(2.25) :+ 1.5) / 10.0, true)))
+    assert(out(2L) === ((10L, fold(Seq.fill(9)(2.25) :+ 1.5) / 10.0, true)))
+    assert(out(3L) === ((12L, fold(Seq.fill(12)(24.0 / 416.0)) / 12.0, false)))
+  }
+
+  test("stored quality classifier: slice probe ≡ in-query classify; OOV contributes zero; gauge and crash recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qclf-spec").toString
+    val corpus = LlmOps.qclfCorpus(
+      docs((0L until 40L).map(i => i -> s"alpha bravo charlie delta echo foxtrot golf hotel india tok$i"): _*))
+    LlmOps.buildQualityClassifier(corpus, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSeq.sorted
+    // probe of a slice ⊆ training corpus is bit-identical to the
+    // in-query form restricted to the slice (both broadcast regimes)
+    val slice = corpus.filter(col("doc_id") % 4 === 0)
+    val direct = rows(LlmOps.qualityClassify(corpus)
+      .filter(col("doc_id") % 4 === 0))
+    assert(rows(LlmOps.qualityScoreStored(slice, dir)) === direct)
+    assert(rows(LlmOps.qualityScoreStored(slice, dir, broadcastMaxRows = 0L)) === direct)
+    // an all-OOV doc scores 0 (below τ); a mixed doc folds only its
+    // matched tokens over its FULL token count
+    val probe = LlmOps.qualityScoreStored(
+      docs(990L -> "zebra zebra", 991L -> "alpha zebra"), dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(probe(990L) === ((0.0, false)))
+    // alpha: c_pos=40, c_neg=0; T_pos=400, T_neg=96, V=50 → exactly
+    // half of alpha's ratio (≈13.3) over the doc's 2 tokens — still
+    // over τ: one strong in-vocabulary token outvotes one unknown
+    assert(probe(991L) === ((((41.0 * 146.0) / (1.0 * 450.0) + 0.0) / 2.0, true)))
+    // gauge: occurrence mass per class matches the corpus' class split
+    // (40 clean docs × 10 tokens, 8 junk twins × 12 tokens)
+    val g = LlmOps.qclfStats(spark, dir).collect()
+    assert(g.map(_.getLong(2)).sum === 400L)
+    assert(g.map(_.getLong(3)).sum === 96L)
+    // crash windows: a partial tmp write (crash during build) and a
+    // crash between the two swap renames both heal at the next
+    // rebuild's swapDir entry, and the probe output is unchanged
+    val orphanTmp = new java.io.File(s"$dir/w.compacted")
+    orphanTmp.mkdirs()
+    new java.io.FileWriter(s"$orphanTmp/garbage").append("x").close()
+    LlmOps.buildQualityClassifier(corpus, dir)
+    assert(rows(LlmOps.qualityScoreStored(slice, dir)) === direct)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/w"),
+      java.nio.file.Paths.get(s"$dir/w.pre-compaction"))
+    LlmOps.buildQualityClassifier(corpus, dir)
+    assert(rows(LlmOps.qualityScoreStored(slice, dir)) === direct)
+  }
+
+  test("classifier agreement gauge: perfect separation on the fixture is the full confusion diagonal") {
+    val corpus = LlmOps.qclfCorpus(
+      docs((0L until 20L).map(i => i -> s"alpha bravo charlie delta echo foxtrot golf hotel india tok$i"): _*))
+    val m = LlmOps.qclfAgreement(corpus).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(m === Map((true, true) -> 20L, (false, false) -> 4L))
+  }
+
   test("corpus as-of read: epoch bound exact, later epochs never surface") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString + "/corpus"
     docs((0L until 12L).map(i => i -> s"body $i"): _*)

@@ -85,12 +85,16 @@ class PlanQualitySpec extends SparkSpec {
     // ann_recall_pq composes the two whitelisted shapes (annTopK truth +
     // annPq approx), so it inherits both bounded broadcast crosses.
     // llm_pack_shards crosses the 1-row token-total aggregate — the same
-    // bounded class as boilerplate/tok_freq's single-row corpus totals
+    // bounded class as boilerplate/tok_freq's single-row corpus totals.
+    // quality_clf / qclf_agreement (the in-query corpus-as-its-own-model
+    // forms) cross the 1-row class-totals aggregate into the count table
+    // — the stored probe reads the totals denormalized and doesn't cross
     val intendedCross = Set("llm_ann_topk", "llm_ann_quantized",
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
       "llm_ann_recall", "llm_ann_recall_mp", "llm_ann_recall_pq",
-      "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards")
+      "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
+      "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
@@ -413,6 +417,34 @@ class PlanQualitySpec extends SparkSpec {
       val idx = leaves.count(_.toString.contains("/df"))
       assert(idx == 0 || idx < leaves.size,
         s"raw stored IDF table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
+  test("stored quality-classifier probe: weight scan bucket-pruned and streamed, batch is the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_quality_clf_idx")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the weight scan carries the batch's STATIC token-bucket footprint
+    // — unprobed tb directories are never opened
+    val at = p.indexOf("/w], PartitionFilters: [")
+    assert(at >= 0, s"weight scan missing partition filters:\n${p.take(1500)}")
+    assert(p.substring(at, math.min(p.length, at + 160)).contains("tb"),
+      s"weight partition filter must pin the batch's bucket set")
+    // the vocabulary-sized weight table must never be the broadcast
+    // build side; the batch token frame is the one that broadcasts
+    val phys = df.queryExecution.sparkPlan
+    val joins = phys.collect { case jj: BroadcastHashJoinExec => jj }
+    assert(joins.nonEmpty, "the scored join must be a broadcast hash join")
+    for (j <- joins) {
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val leaves = build.collectLeaves()
+      val idx = leaves.count(_.toString.contains("graft-qclf"))
+      assert(idx == 0 || idx < leaves.size,
+        s"raw stored weight table is the broadcast build side:\n${j.toString.take(800)}")
     }
   }
 
