@@ -113,6 +113,22 @@ object StreamingIngest {
     * (signatures, bands, bigrams, vectors), touches no stored artifact,
     * and is replay-deterministic — zero added crash windows.
     *
+    * `qualityModelDir` (+ `qualityTau`) deploys the TRAINED quality gate
+    * ([[LlmOps.buildQualityClassifier]]) in the same leading slot — the
+    * distillation loop's production end: the classifier is trained
+    * OFFLINE from the heuristic gate's labels and the live loop scores
+    * each batch against the frozen weight table
+    * ([[LlmOps.qualityScoreStored]] — weight scan pruned to the batch's
+    * token buckets, batch side broadcast, ONE single-row footprint job
+    * per epoch). Like the LM and gram artifacts it is generation-frozen
+    * and read-only in the loop — replay scores identically, zero crash
+    * windows; rebuilds swap atomically and `start` recovers a crashed
+    * swap. When both quality options are on, the heuristic predicate
+    * runs FIRST (a pure projection is cheaper than the probe's pruned
+    * join, and whatever it drops never costs a weight lookup) — the
+    * composed stage admits docs passing BOTH the rules and the learned
+    * bar, and the trained probe's batch footprint shrinks accordingly.
+    *
     * Per-epoch work discipline: the batch is shingled ONCE
     * ([[LlmOps.signaturesOf]]/[[LlmOps.bandsOf]], persisted) and the
     * cached frames feed both the probe and the survivor append; every
@@ -130,6 +146,8 @@ object StreamingIngest {
       lmDir: Option[String] = None,
       fluencyThreshold: Option[Double] = None,
       qualityGate: Boolean = false,
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0,
       decontamIndexDir: Option[String] = None,
       maxSharedGrams: Long = 0L,
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
@@ -155,6 +173,10 @@ object StreamingIngest {
     lmDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/grams"))
+    // the trained quality classifier is read-only in the loop too — but a
+    // retrain that crashed mid-swap needs the same table-level rollback
+    qualityModelDir.foreach(graft.cdc.Compaction.recoverDir)
+    qualityModelDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/w"))
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
     annIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/cells"))
@@ -176,12 +198,25 @@ object StreamingIngest {
         // replay-deterministic for free) and every downstream
         // derivation — signatures, bands, bigrams, vectors — shrinks by
         // whatever it drops
-        val admitted =
+        val admitted0 =
           if (!qualityGate) batch
           else batch.join(
             TextAnalysis.qualityFilter(batch, idCol, textCol)
               .filter(col("keep")).select(col("doc_id").as(idCol)),
             Seq(idCol), "left_semi")
+        // the TRAINED quality gate shares the leading slot (after the
+        // heuristic when both are on — the cheaper predicate shrinks
+        // this probe's batch): scores against the frozen weight table,
+        // keeps docs at or over the τ bar. Generation-frozen artifact ⇒
+        // replay-deterministic, no crash window.
+        val admitted = qualityModelDir match {
+          case Some(qDir) =>
+            val learned = LlmOps
+              .qualityScoreStored(admitted0, qDir, qualityTau, idCol, textCol)
+              .filter(col("pred")).select(col("doc_id").as(idCol))
+            admitted0.join(learned, Seq(idCol), "left_semi")
+          case None => admitted0
+        }
         // ONE shingling job per epoch: the persisted signature/band pair
         // feeds the probe, the survivor append, AND (when on) the
         // decontamination gate below

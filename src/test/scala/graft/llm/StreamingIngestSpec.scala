@@ -102,6 +102,52 @@ class StreamingIngestSpec extends SparkSpec {
     assert(indexed === Set(1L, 301L), s"index must not carry the dropped doc: $indexed")
   }
 
+  test("trained quality gate deploys in the live loop: junk-vocabulary text the heuristic rules admit drops at the learned bar") {
+    val idx = Files.createTempDirectory("graft-sc-idx").toString
+    val src = Files.createTempDirectory("graft-sc-src").toString
+    val out = Files.createTempDirectory("graft-sc-out").toString
+    val ckp = Files.createTempDirectory("graft-sc-ckp").toString
+    val qm = Files.createTempDirectory("graft-sc-qm").toString
+    LlmOps.buildMinHashIndex(docs(1L -> mk("alpha")), idx)
+    // training corpus: two clean docs (keep class) + two junk docs that
+    // fail the heuristic's min-token rule (drop class) — twelve distinct
+    // junk tokens enter the drop-class vocabulary
+    val junkToks = (0 until 12).map(i => s"qjnk$i")
+    LlmOps.buildQualityClassifier(docs(
+      10L -> mk("beta"), 11L -> mk("gamma"),
+      12L -> junkToks.take(6).mkString(" "),
+      13L -> junkToks.drop(6).mkString(" ")), qm)
+    // streamed batch: doc 400 recombines ALL twelve junk tokens into a
+    // shape the heuristic RULES pass (12 tokens, clean lengths, no
+    // repetition, no punctuation) — only the learned vocabulary evidence
+    // can drop it; doc 401 recombines the two clean docs' tokens (novel
+    // to the minhash index, keep-class for the classifier)
+    val clean = (mk("beta").split(" ").take(15) ++
+      mk("gamma").split(" ").drop(15)).mkString(" ")
+    val d = docs(400L -> junkToks.mkString(" "), 401L -> clean)
+    assert(TextAnalysis.qualityFilter(d).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(400L, 401L),
+      "fixture: the junk recombination must PASS the heuristic rules")
+    val tmp = s"$src/_b1"
+    d.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(src, "b1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      qualityGate = true, qualityModelDir = Some(qm))
+      .awaitTermination()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(401L),
+      s"junk-vocabulary doc must drop at the trained stage, got $admitted")
+    // dropped before any derivation: the index never saw doc 400
+    val indexed = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 401L),
+      s"index must not carry the trained-gate drop: $indexed")
+  }
+
   test("decontamination gate composes: a benchmark-leaking doc drops off the shared signature cache, clean docs admit") {
     val idx = Files.createTempDirectory("graft-sd-idx").toString
     val dec = Files.createTempDirectory("graft-sd-dec").toString
