@@ -2571,7 +2571,8 @@ object LlmOps {
     * text) back the returned lazy counts and live until the caller's
     * post-materialization `clearCache` (the Bench/Verify rep discipline)
     * or session end; a long-running service embedding this call should
-    * clear between generations.
+    * use [[curateDeltaReport]], which materializes the counts and
+    * releases exactly the caches the run pinned.
     */
   def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -2579,12 +2580,45 @@ object LlmOps {
       lmDir: Option[String] = None,
       fluencyThreshold: Double = 0.0333,
       decontamDir: Option[String] = None,
-      maxSharedGrams: Long = 0L): DataFrame = {
+      maxSharedGrams: Long = 0L): DataFrame =
+    curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
+      lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
+  /** [[curateDelta]] for a LONG-LIVED service: materializes the stage
+    * counts, releases every cache the run pinned, and returns the report
+    * as local rows — after the call the session holds no delta-run state
+    * (vs the lazy [[curateDelta]] frame, whose caches live until the
+    * caller's `clearCache`/session end — the Bench/Verify rep contract).
+    * The report is ≤6 (stage, count) rows, so collecting it is a scalar
+    * fetch at any corpus size; the unpersists are non-blocking (executor
+    * blocks free asynchronously under the next generation's run).
+    */
+  def curateDeltaReport(oldSnap: DataFrame, newSnap: DataFrame,
+      indexDir: String, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.6,
+      lmDir: Option[String] = None,
+      fluencyThreshold: Double = 0.0333,
+      decontamDir: Option[String] = None,
+      maxSharedGrams: Long = 0L): Seq[(String, Long)] = {
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol,
+      threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    pins.foreach(_.unpersist(false))
+    rows
+  }
+
+  private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
+      indexDir: String, idCol: String, textCol: String, threshold: Double,
+      lmDir: Option[String], fluencyThreshold: Double,
+      decontamDir: Option[String], maxSharedGrams: Long,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def pin(df: DataFrame): DataFrame = { pins += df.persist(lvl); df }
     val oldC = textCorpus(oldSnap, idCol, textCol)
     val newC = textCorpus(newSnap, idCol, textCol)
-    val oldFp = oldC.select(col("doc_id"), md5(col("text")).as("oh"))
-      .persist(lvl)
+    val oldFp = pin(oldC.select(col("doc_id"), md5(col("text")).as("oh")))
     // churn = added ∪ changed: the corpusDiff decision, inlined over the
     // shared fingerprints (removed docs don't ingest, so the left join
     // suffices — no full-outer needed here)
@@ -2592,13 +2626,13 @@ object LlmOps {
       .join(oldFp, Seq("doc_id"), "left_outer")
       .filter(col("oh").isNull || col("oh") =!= col("nh"))
       .select("doc_id")
-    val delta = newC.join(deltaIds, Seq("doc_id"), "left_semi").persist(lvl)
+    val delta = pin(newC.join(deltaIds, Seq("doc_id"), "left_semi"))
     // persisted when the decontam gate is on: the id frame then has three
     // consumers (its stage count, the shingling input, the clean-id
     // anti-join) and an un-cached qualityFilter chain re-derives per use
     val qIds0 = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
-    val qIds = if (decontamDir.isDefined) qIds0.persist(lvl) else qIds0
+    val qIds = if (decontamDir.isDefined) pin(qIds0) else qIds0
     val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
     // the optional BENCHMARK-LEAKAGE gate — the same stage the live loop
     // and the full batch funnel run, closing the three-surface parity:
@@ -2628,15 +2662,14 @@ object LlmOps {
           .join(bench, "h")
           .groupBy("doc_id").agg(countDistinct(col("h")).as("ns"))
           .filter(col("ns") > maxSharedGrams).select("doc_id")
-        val ci = qIds.join(dirty, Seq("doc_id"), "left_anti").persist(lvl)
+        val ci = pin(qIds.join(dirty, Seq("doc_id"), "left_anti"))
         (Some(ci), delta.join(ci, Seq("doc_id"), "left_semi"))
       case None => (None, qC)
     }
-    val eC = gatedC.join(oldFp.select(col("oh").as("ch")).distinct(),
-        md5(col("text")) === col("ch"), "left_anti")
-      .persist(lvl)
-    val bSig = signaturesOf(eC).persist(lvl)
-    val bBands = bandsOf(bSig).persist(lvl)
+    val eC = pin(gatedC.join(oldFp.select(col("oh").as("ch")).distinct(),
+      md5(col("text")) === col("ch"), "left_anti"))
+    val bSig = pin(signaturesOf(eC))
+    val bBands = pin(bandsOf(bSig))
     // ONE fused eager job derives every footprint this run's stored
     // probes need (the LSH gate's band footprint + size gate, and — when
     // the LM bar is on — the fluency probe's bucket footprint + token
@@ -2689,7 +2722,7 @@ object LlmOps {
       // persisted because both stage 3 and the intersect consume it —
       // an id-only frame, never corpus-sized.
       case Some(lm) =>
-        val keptP = kept.persist(lvl)
+        val keptP = pin(kept)
         val survivors = eC.join(keptP, Seq("doc_id"), "left_semi")
         val fluent = fluencyStored(eC, lm, fpRow = Some(fused))
           .filter(col("fluency") >= fluencyThreshold).select("doc_id")

@@ -2314,5 +2314,20 @@ class LlmSpec extends SparkSpec {
       "2_decontam" -> 4L, "3_exact" -> 3L, "4_near" -> 2L,
       "5_fluent" -> 1L),
       s"the leak must die at decontam and nowhere else, got $outFull")
+    // the long-lived-service form: same counts, and every cache the run
+    // pinned is released before it returns — the session's cached-RDD
+    // set is unchanged (a pre-existing bystander cache survives)
+    spark.sqlContext.clearCache()
+    val bystander = base.persist()
+    bystander.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val report = LlmOps.curateDeltaReport(base, nextLeak, dir,
+      lmDir = Some(lm), fluencyThreshold = 0.5, decontamDir = Some(dc))
+    assert(report.toMap === outFull,
+      s"report form must reproduce the lazy form's counts, got $report")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after === before,
+      s"report must release exactly its own pins, leaked: ${after -- before}")
+    bystander.unpersist()
   }
 }
