@@ -3553,6 +3553,82 @@ object LlmOps {
         explode(expr("sequence(1L, n_copies)")).as("epoch"))
   }
 
+  /** Harness default per-domain TOKEN budget for a `srcN` source name:
+    * (N % 4 + 1) · 400 (∈ {400, 800, 1200, 1600} tokens) — spans strict
+    * prefixes at every SF plus the keeps-everything boundary (a small-SF
+    * domain whose total mass sits under its budget), so both arms of the
+    * prefix rule get exercised. Integer tokens keep the running sums
+    * exact on every engine.
+    */
+  def budgetSql(sourceCol: String): String =
+    s"(cast(substr($sourceCol, 4) as int) % 4 + 1) * 400"
+
+  /** Bucket bits for [[sampleByTokenBudget]]'s per-domain prefix sum —
+    * the [[ShuffleBucketBits]] trick applied inside each domain: 64
+    * hash-range buckets per domain bound the serial work at
+    * domains × 64 one-row aggregates.
+    */
+  val BudgetBucketBits = 6
+
+  /** Token-budget domain sampling — the unit real data recipes are
+    * written in: a mixture spec says "30 B tokens of web, 3 B of
+    * wikipedia", not doc counts (docs vary 100× in length, so a doc
+    * quota under- or over-shoots the training mass). Per domain, keep
+    * the MAXIMAL PREFIX of the salted-hash order (the
+    * [[sampleByHash]]/[[domainMix]] rule — reproducible on any engine,
+    * cluster size, or rerun, no RNG) whose cumulative whitespace-token
+    * count stays within the domain's budget: a doc survives iff its
+    * inclusive running sum ≤ B_s, so the selection never exceeds the
+    * budget and is a true prefix (no knapsack cherry-picking — the
+    * doc that would cross the line and everything after it drop).
+    * Output per kept doc: its token count and running total — the
+    * manifest a mixture builder audits against the recipe.
+    *
+    * Scale: the per-domain running sum is the [[packSequences]] trap
+    * keyed by a LOW-cardinality column — `Window.partitionBy(source)`
+    * would serialize each (possibly corpus-sized) domain onto one task.
+    * Same two-level cure as [[globalShuffle]], nested per domain: the
+    * hash priority's top [[BudgetBucketBits]] bits form balanced
+    * pre-sorted range buckets, the cumsum runs inside (source, bucket)
+    * — parallel — and per-bucket totals (domains × 64 one-row
+    * aggregates) take the running offset that makes the sums global to
+    * the domain, broadcast back. Budgets ride a broadcast join
+    * (explicit map; unlisted domains drop out, the [[domainMix]]
+    * contract) or derive in-row from the harness naming rule.
+    */
+  def sampleByTokenBudget(corpus: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = ensureH56(corpus).filter(col(idCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("bigint").as("n_toks"))
+      .withColumn("pri", expr(h56("concat('budget|', cast(doc_id as string))")))
+    val docs = (if (budgets.nonEmpty) {
+      import spark.implicits._
+      base.join(broadcast(budgets.toSeq.toDF("source", "b")), Seq("source"))
+    } else base.withColumn("b", expr(budgetSql("source")).cast("bigint")))
+      // both the in-bucket cumsum and the bucket-totals branch read this
+      // frame — persist it (ids + counts only, text never cached) or the
+      // corpus gets scanned, tokenized and hashed twice (the packSequences
+      // discipline). Bucket = pri's top bits ⇒ bucket order IS (pri, id)
+      // order across buckets, so the stitched sums equal one global
+      // per-domain cumsum.
+      .withColumn("bk", expr(s"pri div ${1L << (56 - BudgetBucketBits)}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = Window.partitionBy("source", "bk").orderBy(col("pri"), col("doc_id"))
+    val within = docs.withColumn("cum_in", sum("n_toks").over(wIn))
+    val wOff = Window.partitionBy("source").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("source", "bk").agg(sum("n_toks").as("t_b"))
+      .withColumn("off", coalesce(sum("t_b").over(wOff), lit(0L)))
+      .select("source", "bk", "off")
+    within.join(broadcast(offsets), Seq("source", "bk"))
+      .withColumn("cum_toks", col("off") + col("cum_in"))
+      .filter(col("cum_toks") <= col("b"))
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
+  }
+
   /** Output shard count for [[globalShuffle]]. */
   val ShuffleShards = 8
 

@@ -340,6 +340,12 @@ object LlmQueries {
     // the repeat-factor half of mixing: per-mille multiplicities, full
     // copies + a hash-decided fractional copy, one row per (doc, epoch)
     "llm_domain_upsample" -> ((s, d) => LlmOps.domainUpsample(Tables.documents(s, d))),
+    // token-budget domain sampling: per domain, the maximal hash-order
+    // prefix whose running whitespace-token sum stays within the
+    // domain's budget — the unit (tokens, not docs) real mixture
+    // recipes are written in; two-level bucketed prefix sum inside
+    // each domain (plan-asserted, no domain-wide window)
+    "llm_domain_budget" -> ((s, d) => LlmOps.sampleByTokenBudget(Tables.documents(s, d))),
     "llm_dedup_incremental" -> ((s, d) => {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
@@ -676,6 +682,7 @@ object LlmQueries {
     "llm_sample_stratified" -> Seq(col("source"), col("doc_id")),
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_domain_upsample" -> Seq(col("doc_id"), col("epoch")),
+    "llm_domain_budget" -> Seq(col("source"), col("doc_id")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_index_coverage" -> Seq(col("status")),
@@ -2028,6 +2035,24 @@ object LlmQueries {
          |  CAST(e.epoch AS BIGINT) AS epoch
          |FROM c, LATERAL (SELECT unnest(range(1, c.n_copies + 1)) AS epoch) e
          |WHERE c.n_copies > 0 ORDER BY c.doc_id, epoch""".stripMargin,
+
+    // the oracle states the semantics directly (one per-domain window);
+    // the Spark side's bucketed two-level running sum equals it by
+    // construction (bucket = pri's top bits preserves the global order)
+    "llm_domain_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${h56Duck("concat('budget|', CAST(doc_id AS VARCHAR))")} AS pri,
+         |    CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 400 AS BIGINT) AS b
+         |  FROM documents
+         |),
+         |c AS (SELECT source, doc_id, n_toks, b,
+         |        SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |      FROM d)
+         |SELECT source, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+         |FROM c WHERE cum_toks <= b ORDER BY source, doc_id""".stripMargin,
 
     // the oracle states the semantics directly (one global window); the
     // Spark side's bucketed two-level rank equals it by construction

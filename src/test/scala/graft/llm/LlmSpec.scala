@@ -1133,6 +1133,42 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("token-budget sampling: maximal hash-order prefix per domain vs an independent md5 recompute; boundaries and unlisted domains") {
+    // docs with controlled token counts: doc i has (i % 5 + 2) tokens
+    val rows = ((1L to 30L).map(i => (i, "web")) ++
+      (41L to 60L).map(i => (i, "wiki")) ++ (81L to 83L).map(i => (i, "junk")))
+      .map { case (i, s) => (i, s, ("w " * (i % 5 + 2).toInt).trim) }
+    val d = rows.toDF("doc_id", "source", "text")
+    val budgets = Map("web" -> 40L, "wiki" -> 10000L, "tiny" -> 1L)
+    val out = LlmOps.sampleByTokenBudget(d, budgets = budgets).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the prefix rule recomputed OUTSIDE Spark: h56 order, running sum,
+    // keep while inclusive sum <= budget — the operator's whole contract
+    def pri(id: Long): Long = BigInt(1, java.security.MessageDigest
+      .getInstance("MD5").digest(s"budget|$id".getBytes("UTF-8")).take(7)).toLong
+    def expect(ids: Seq[Long], b: Long): Seq[(Long, Long, Long)] = {
+      var cum = 0L
+      ids.sortBy(i => (pri(i), i)).iterator.map { i =>
+        cum += i % 5 + 2; (i, i % 5 + 2, cum)
+      }.takeWhile(_._3 <= b).toSeq
+    }
+    val web = expect(1L to 30L, 40L)
+    assert(out.filter(_._1 == "web").sortBy(_._4).map(t => (t._2, t._3, t._4))
+      === web.map(t => (t._1, t._2, t._3)), "web prefix must match the recompute")
+    assert(web.nonEmpty && web.size < 30, "fixture: web must be a STRICT prefix")
+    // budget over the domain total keeps every doc
+    assert(out.count(_._1 == "wiki") === 20)
+    // unlisted domain drops out entirely
+    assert(!out.exists(_._1 == "junk"))
+    // the name-rule default: srcN budgets, same prefix law
+    val dd = (1L to 25L).map(i => (i, "src1", ("w " * (i % 5 + 2).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val defOut = LlmOps.sampleByTokenBudget(dd).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._3)
+    assert(defOut === expect(1L to 25L, (1 % 4 + 1) * 400L),
+      "src1 default budget = 800 tokens, same prefix rule")
+  }
+
   test("pack shards: contiguous token ranges, mass within one max-doc of ideal, monotone in stream order") {
     val d = docs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
     val out = LlmOps.packShards(d, shards = 4).collect()
