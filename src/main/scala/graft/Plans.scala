@@ -48,6 +48,7 @@ object Plans {
       "llm_lm_partition_apply" -> "the CCNet selection rule (keep head, hash-sample middle, drop tail) fused onto llm_lm_partition's one probe pass as a stateless predicate — same plan plus a filter, nothing new shuffles",
       "llm_domain_upsample" -> "per-mille domain repeat factors: hash, copy count, and the sequence explode all fuse into the scan stage as one narrow generator projection — zero exchanges (plan-asserted)",
       "llm_domain_budget" -> "token-budget domain sampling: per-domain running token sums inside (source, hash-bucket) windows — parallel — stitched global by the broadcast per-bucket offsets (domains × 64 one-row aggregates), never a domain-wide per-doc window (plan-asserted)",
+      "llm_budget_upsample" -> "token-budget domain upsampling: the same bucketed cumsum plus one broadcast per-domain total and a closed-form epoch count — full epochs explode as a scan-stage generator, the remainder prefix reuses the sampler's law, output ∝ budget not corpus",
       "llm_keywords_idx"  -> "batch keyword scoring off the STORED IDF model: the batch's token-bucket footprint pinned as a static partition filter on the df scan, batch tf broadcast into the scored join — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_quality_clf_idx" -> "batch scoring off the STORED quality classifier: the batch's token-bucket footprint pinned as a static partition filter on the weight scan, per-occurrence likelihood ratios joined with the batch tokens broadcast (size-gated), unmatched tokens recovered by unioning plain token-count mass rows into ONE per-doc value-sorted fold — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",

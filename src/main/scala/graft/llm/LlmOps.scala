@@ -3596,9 +3596,16 @@ object LlmOps {
     * (explicit map; unlisted domains drop out, the [[domainMix]]
     * contract) or derive in-row from the harness naming rule.
     */
-  def sampleByTokenBudget(corpus: DataFrame, sourceCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text",
-      budgets: Map[String, Long] = Map.empty): DataFrame = {
+  /** The budget family's shared derivation: per doc its domain, token
+    * count, budget `b`, and the domain-global running token sum
+    * `cum_toks` in salted-hash order — via the bucketed two-level
+    * prefix sum (see [[sampleByTokenBudget]]'s scaladoc for the shape
+    * argument). The returned frame backs a persisted (ids + counts
+    * only) cache read by both window branches.
+    */
+  private def budgetCum(corpus: DataFrame, sourceCol: String,
+      idCol: String, textCol: String,
+      budgets: Map[String, Long]): DataFrame = {
     val spark = corpus.sparkSession
     val base = ensureH56(corpus).filter(col(idCol).isNotNull)
       .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
@@ -3625,8 +3632,57 @@ object LlmOps {
       .select("source", "bk", "off")
     within.join(broadcast(offsets), Seq("source", "bk"))
       .withColumn("cum_toks", col("off") + col("cum_in"))
+      .select(col("source"), col("doc_id"), col("n_toks"), col("b"),
+        col("cum_toks"))
+  }
+
+  def sampleByTokenBudget(corpus: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      budgets: Map[String, Long] = Map.empty): DataFrame =
+    budgetCum(corpus, sourceCol, idCol, textCol, budgets)
       .filter(col("cum_toks") <= col("b"))
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
+
+  /** Harness default per-domain token budget for [[upsampleToTokenBudget]]:
+    * (N % 4 + 1) · 5000 — sized so the harness exercises BOTH regimes
+    * (domains hold ~1.4k tokens at sf0.001/0.01 ⇒ 3–14 full epochs;
+    * ~13.5k at sf0.1 ⇒ the smallest budgets are prefix-only while the
+    * larger ones carry 1–2 full epochs plus a remainder).
+    */
+  def upBudgetSql(sourceCol: String): String =
+    s"(cast(substr($sourceCol, 4) as int) % 4 + 1) * 5000"
+
+  /** Token-budget domain UPSAMPLING — [[sampleByTokenBudget]]'s other
+    * direction, and the epoching rule real recipes use for small
+    * domains (wikipedia at 3 epochs while web runs fractional — but
+    * specified in TOKENS): fill each domain's budget by repeating its
+    * docs in cyclic salted-hash order until the running token total
+    * would cross the budget. Closed form per doc — the doc's epoch-e
+    * copy has global running sum (e−1)·T_s + cum(d), so it survives
+    * iff e ≤ B_s div T_s (a full epoch) or e = k+1 ∧ cum(d) ≤
+    * B_s mod T_s (the remainder prefix — the SAME prefix law as the
+    * sampler, applied to the tail epoch). One row per (doc, epoch),
+    * 1-based epochs, the [[domainUpsample]] output convention so
+    * downstream shuffling/packing treats copies as distinct rows.
+    *
+    * Scale: the [[budgetCum]] bucketed prefix sum plus ONE tiny
+    * per-domain total (broadcast back) and a generator explode —
+    * output ∝ Σ budgets / avg doc length by construction, independent
+    * of corpus size for fixed budgets.
+    */
+  def upsampleToTokenBudget(corpus: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    val cum0 = budgetCum(corpus, sourceCol, idCol, textCol, budgets)
+    val cum = if (budgets.nonEmpty) cum0
+      else cum0.withColumn("b", expr(upBudgetSql("source")).cast("bigint"))
+    val totals = cum.groupBy("source").agg(sum("n_toks").as("t_s"))
+    cum.join(broadcast(totals), Seq("source"))
+      .withColumn("n_copies", expr("b div t_s") +
+        when(col("cum_toks") <= col("b") % col("t_s"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        explode(expr("sequence(1L, n_copies)")).as("epoch"))
   }
 
   /** Output shard count for [[globalShuffle]]. */

@@ -346,6 +346,11 @@ object LlmQueries {
     // recipes are written in; two-level bucketed prefix sum inside
     // each domain (plan-asserted, no domain-wide window)
     "llm_domain_budget" -> ((s, d) => LlmOps.sampleByTokenBudget(Tables.documents(s, d))),
+    // token-budget domain UPSAMPLING: fill each domain's budget by
+    // cyclic repetition — b div T full epochs per doc plus the
+    // remainder's hash-order prefix, closed-form off the same bucketed
+    // cumsum (one row per (doc, epoch))
+    "llm_budget_upsample" -> ((s, d) => LlmOps.upsampleToTokenBudget(Tables.documents(s, d))),
     "llm_dedup_incremental" -> ((s, d) => {
       val base = Tables.documents(s, d)
       LlmOps.incrementalDedup(base, LlmOps.incrementalBatch(base))
@@ -683,6 +688,7 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_domain_upsample" -> Seq(col("doc_id"), col("epoch")),
     "llm_domain_budget" -> Seq(col("source"), col("doc_id")),
+    "llm_budget_upsample" -> Seq(col("source"), col("doc_id"), col("epoch")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
     "llm_index_coverage" -> Seq(col("status")),
@@ -2053,6 +2059,30 @@ object LlmQueries {
          |      FROM d)
          |SELECT source, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
          |FROM c WHERE cum_toks <= b ORDER BY source, doc_id""".stripMargin,
+
+    // the upsampling oracle shares the sampler's cumsum chain shape:
+    // per-domain totals, closed-form epoch count, LATERAL range explode
+    // (the domain_upsample convention)
+    "llm_budget_upsample" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${h56Duck("concat('budget|', CAST(doc_id AS VARCHAR))")} AS pri,
+         |    CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 5000 AS BIGINT) AS b
+         |  FROM documents
+         |),
+         |c AS (SELECT source, doc_id, n_toks, b,
+         |        SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |      FROM d),
+         |t AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS t_s FROM d GROUP BY source),
+         |e AS (SELECT c.source, c.doc_id, c.n_toks,
+         |        (c.b // t.t_s) + CASE WHEN c.cum_toks <= c.b % t.t_s
+         |          THEN 1 ELSE 0 END AS n_copies
+         |      FROM c JOIN t USING (source))
+         |SELECT source, doc_id, n_toks, CAST(ep.epoch AS BIGINT) AS epoch
+         |FROM e, LATERAL (SELECT unnest(range(1, e.n_copies + 1)) AS epoch) ep
+         |WHERE e.n_copies > 0 ORDER BY source, doc_id, epoch""".stripMargin,
 
     // the oracle states the semantics directly (one global window); the
     // Spark side's bucketed two-level rank equals it by construction

@@ -1169,6 +1169,45 @@ class LlmSpec extends SparkSpec {
       "src1 default budget = 800 tokens, same prefix rule")
   }
 
+  test("token-budget upsampling: full epochs + remainder prefix vs an independent recompute; exact-multiple and tiny-budget boundaries") {
+    val rows = ((1L to 30L).map(i => (i, "web")) ++
+      (41L to 60L).map(i => (i, "wiki")) ++ (81L to 83L).map(i => (i, "junk")))
+      .map { case (i, s) => (i, s, ("w " * (i % 5 + 2).toInt).trim) }
+    val d = rows.toDF("doc_id", "source", "text")
+    def pri(id: Long): Long = BigInt(1, java.security.MessageDigest
+      .getInstance("MD5").digest(s"budget|$id".getBytes("UTF-8")).take(7)).toLong
+    // independent recompute of the closed form: k = B div T full epochs
+    // for every doc, plus epoch k+1 for the remainder's hash-order prefix
+    def expect(ids: Seq[Long], b: Long): Map[Long, Long] = {
+      val toks = ids.map(i => i -> (i % 5 + 2)).toMap
+      val t = toks.values.sum
+      val k = b / t
+      var cum = 0L
+      val extra = ids.sortBy(i => (pri(i), i)).iterator.map { i =>
+        cum += toks(i); (i, cum)
+      }.takeWhile(_._2 <= b % t).map(_._1).toSet
+      ids.map(i => i -> (k + (if (extra(i)) 1L else 0L)))
+        .filter(_._2 > 0).toMap
+    }
+    // web: T = 120; budget 300 = 2 full epochs + a 60-token prefix.
+    // wiki: T = 80; budget 240 = exactly 3 epochs, remainder 0 ⇒ no extra
+    val budgets = Map("web" -> 300L, "wiki" -> 240L)
+    val out = LlmOps.upsampleToTokenBudget(d, budgets = budgets).collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(3)).sorted.toSeq).toMap
+    val webWant = expect(1L to 30L, 300L)
+    assert(webWant.values.toSet === Set(2L, 3L), "fixture: both arms populated")
+    for (i <- 1L to 30L)
+      assert(out.get(("web", i)).getOrElse(Seq.empty) ===
+        (1L to webWant.getOrElse(i, 0L)), s"web doc $i")
+    for (i <- 41L to 60L)
+      assert(out(("wiki", i)) === Seq(1L, 2L, 3L), s"wiki doc $i: exact multiple = whole epochs only")
+    assert(!out.keys.exists(_._1 == "junk"), "unlisted domain contributes nothing")
+    // a budget under the first doc's tokens keeps nothing of the domain
+    val tiny = LlmOps.upsampleToTokenBudget(d, budgets = Map("web" -> 1L)).collect()
+    assert(tiny.isEmpty, "sub-doc budget must produce an empty domain")
+  }
+
   test("pack shards: contiguous token ranges, mass within one max-doc of ideal, monotone in stream order") {
     val d = docs((1L to 40L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
     val out = LlmOps.packShards(d, shards = 4).collect()

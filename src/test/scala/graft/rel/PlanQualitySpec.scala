@@ -449,17 +449,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("token-budget sampling cumsums inside (domain, hash-bucket), never one domain-wide window") {
-    val p = plan("llm_domain_budget")
-    // the corpus-sized running sum must be the bucket-partitioned window
-    // (source AND bk as partition keys, pri the sort key) …
-    assert("""windowspecdefinition\(source#\d+, bk#\d+L?, pri#""".r
-      .findFirstIn(p).isDefined,
-      s"expected a (source, bk)-partitioned cumsum window:\n${p.take(1200)}")
-    // … while the only source-partitioned window orders the tiny
-    // per-bucket totals (sorts bk itself), never per-doc rows
-    assert(!"""windowspecdefinition\(source#\d+, pri#""".r
-      .findFirstIn(p).isDefined,
-      s"domain-wide per-doc cumsum window found:\n${p.take(1200)}")
+    for (q <- Seq("llm_domain_budget", "llm_budget_upsample")) {
+      val p = plan(q)
+      // the corpus-sized running sum must be the bucket-partitioned window
+      // (source AND bk as partition keys, pri the sort key) …
+      assert("""windowspecdefinition\(source#\d+, bk#\d+L?, pri#""".r
+        .findFirstIn(p).isDefined,
+        s"$q: expected a (source, bk)-partitioned cumsum window:\n${p.take(1200)}")
+      // … while the only source-partitioned window orders the tiny
+      // per-bucket totals (sorts bk itself), never per-doc rows
+      assert(!"""windowspecdefinition\(source#\d+, pri#""".r
+        .findFirstIn(p).isDefined,
+        s"$q: domain-wide per-doc cumsum window found:\n${p.take(1200)}")
+    }
   }
 
   test("partition apply adds a predicate, not a shuffle: exchange count matches the partition pass") {
