@@ -1132,19 +1132,48 @@ object LlmOps {
     * expression; otherwise a value-identical UDF fallback (no codegen,
     * but correct).
     */
+  /** The UDF fallback's row function — extracted so the spec can compare
+    * its sort order against the native expression directly.
+    */
+  private[graft] def bigramRleFallback(text: String): Seq[BigramRow] =
+    if (text == null) null
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < 2) Seq.empty[BigramRow]
+      else {
+        // UTF-8 BYTE order, not Scala's default String (UTF-16
+        // code-unit) order: the native expression and array_sort
+        // compare UTF8String binary, and the two diverge on
+        // supplementary-plane characters — the fallback must keep
+        // the expression scaladoc's "value-identical, deterministic
+        // binary sort" claim true for every input.
+        def u8(s: String): Array[Byte] =
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def cmpU8(a: String, b: String): Int = {
+          val (x, y) = (u8(a), u8(b))
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          x.length - y.length
+        }
+        toks.sliding(2).toSeq
+          .groupBy(p => (p(0), p(1))).toSeq
+          .map { case ((w1, w2), g) => BigramRow(w1, w2, g.size.toLong) }
+          .sortWith { (a, b) =>
+            val c = cmpU8(a.w1, b.w1)
+            if (c != 0) c < 0 else cmpU8(a.w2, b.w2) < 0
+          }
+      }
+    }
+
   def ensureBigramRle(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     if (!s.catalog.functionExists("bigram_rle"))
-      s.udf.register("bigram_rle", (text: String) =>
-        if (text == null) null
-        else {
-          val toks = text.split(" ", -1)
-          if (toks.length < 2) Seq.empty[BigramRow]
-          else toks.sliding(2).toSeq
-            .groupBy(p => (p(0), p(1))).toSeq
-            .map { case ((w1, w2), g) => BigramRow(w1, w2, g.size.toLong) }
-            .sortBy(r => (r.w1, r.w2))
-        })
+      s.udf.register("bigram_rle", (text: String) => bigramRleFallback(text))
     df
   }
 
@@ -1400,6 +1429,12 @@ object LlmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = ref.count()
     require(cnt > 0, s"empty calibration slice ($idCol % $refMod)")
+    // cutAt's limit(k.toInt) truncates: an over-Int calibration slice
+    // must fail loudly, not produce corrupt tercile cuts (a calibration
+    // SAMPLE this size is itself a configuration error — raise refMod)
+    require(cnt <= Int.MaxValue,
+      s"calibration slice too large ($cnt rows): raise refMod so the " +
+        "sample fits limit()'s Int bound")
     def cutAt(k: Long, as: String): DataFrame =
       ref.orderBy(col("fluency"), col("doc_id")).limit(k.toInt)
         .agg(max(struct(col("fluency"), col("doc_id"))).as(as))
@@ -1570,19 +1605,28 @@ object LlmOps {
     * cache backs it ([[curateDelta]]'s lazy-return contract).
     */
   def keywordsStored(batch: DataFrame, dir: String, k: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
     val spark = batch.sparkSession
     val tf = textCorpus(batch, idCol, textCol).filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the probe's ONE eager job: the batch's token-bucket footprint as a
-    // single collected row — bounded by IdfBuckets, never batch-sized
-    val fp = tf.agg(collect_set(expr(idfTb("tok"))).as("tbs"))
-      .head.getSeq[Long](0)
+    // the probe's ONE eager job: the batch's token-bucket footprint AND
+    // its row count as a single collected row — bounded by IdfBuckets
+    // plus one long, never batch-sized. The count size-gates the
+    // broadcast hint below (the mhFpAgg/qclfFpAgg fused discipline): a
+    // corpus-sized backfill batch must degrade to a shuffle join under
+    // AQE instead of dying on the driver's broadcast cap.
+    val fpRow = tf
+      .agg(collect_set(expr(idfTb("tok"))).as("tbs"), count(lit(1)).as("n"))
+      .head
+    val fp = fpRow.getSeq[Long](fpRow.fieldIndex("tbs"))
+    val smallBatch = broadcastMaxRows > 0 &&
+      fpRow.getLong(fpRow.fieldIndex("n")) <= broadcastMaxRows
     val model = spark.read.parquet(s"$dir/df")
       .filter(col("tb").isin(fp: _*))
-    val scored = model.join(broadcast(tf), "tok")
+    val scored = model.join(if (smallBatch) broadcast(tf) else tf, "tok")
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
@@ -3446,9 +3490,12 @@ object LlmOps {
     * bounded-buffer [[graft.functions.MinKAgg]] runs instead: heaps
     * combine map-side, at most k_s rows per domain and partition cross
     * the wire. Past the threshold (quotas are proportional, so a huge
-    * corpus resample can exceed any heap) it falls back to the rank
-    * window; outputs are identical row-for-row either way (equivalence
-    * spec), `heapMaxK = 0` forces the window path.
+    * corpus resample can exceed any heap) it falls back to the bucketed
+    * two-level rank ([[budgetCum]]'s scheme — in-bucket row_number plus
+    * per-bucket count offsets, NEVER a domain-wide per-doc window, so no
+    * domain ever serializes onto one task); outputs are identical
+    * row-for-row either way (equivalence spec), `heapMaxK = 0` forces
+    * the two-level rank path.
     *
     * Contract notes: (1) rows with a NULL id are dropped up-front on both
     * paths — see [[sampleStratified]]'s identical rule and rationale.
@@ -3496,8 +3543,31 @@ object LlmOps {
         .select(col("source"), col("pv._2").cast(idType).as("doc_id"),
           col("w"), (col("i") + 1).cast("bigint").as("rnk"), col("k_s"))
     } else {
-      val wRank = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
-      docs.withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      // large-quota path: the per-domain rank via the SAME bucketed
+      // two-level scheme as [[budgetCum]]/[[globalShuffle]] — a plain
+      // Window.partitionBy(source) would serialize a possibly
+      // corpus-sized domain onto one task (source is LOW-cardinality by
+      // construction: domains number in the dozens, documents in the
+      // billions). The hash priority's top [[BudgetBucketBits]] bits form
+      // balanced pre-sorted range buckets; row_number runs inside
+      // (source, bucket) — parallel — and per-bucket COUNTS (domains × 64
+      // one-row aggregates) take the running offset that makes ranks
+      // global to the domain. Bucket = pri's top bits ⇒ cross-bucket
+      // order IS (pri, doc_id) order, so the stitched ranks equal the
+      // single-window form row-for-row (equivalence spec'd against the
+      // heap path, which already equals the old window form).
+      val bdocs = docs
+        .withColumn("bk", expr(s"pri div ${1L << (56 - BudgetBucketBits)}"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy("source", "bk").orderBy(col("pri"), col("doc_id"))
+      val wOff = Window.partitionBy("source").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bdocs.groupBy("source", "bk").agg(count(lit(1)).as("n_b"))
+        .withColumn("off", coalesce(sum("n_b").over(wOff), lit(0L)))
+        .select("source", "bk", "off")
+      bdocs.withColumn("rnk_in", row_number().over(wIn).cast("bigint"))
+        .join(broadcast(offsets), Seq("source", "bk"))
+        .withColumn("rnk", col("off") + col("rnk_in"))
         .join(broadcast(k.select("source", "k_s")), Seq("source"))
         .filter(col("rnk") <= col("k_s"))
         .select("source", "doc_id", "w", "rnk", "k_s")

@@ -170,6 +170,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("bigram_rle UDF fallback row order equals the native expression's UTF8 binary sort") {
+    // supplementary-plane trap: 'ﬀ' (U+FB00, UTF-16 0xFB00 / UTF-8
+    // EF AC 80) vs '𝕏' (U+1D54F, UTF-16 surrogate lead 0xD835 / UTF-8
+    // F0 9D 95 8F) — UTF-16 code-unit order puts 𝕏 first, UTF-8 byte
+    // order puts ﬀ first. The fallback must agree with the native
+    // expression (UTF8String binary) ROW FOR ROW, not just as a set.
+    val cases = Seq("𝕏 ﬀ 𝕏 ﬀ z",
+      "a b a b a c", "ü ber ü ber", "x  y", "")
+    cases.foreach { text =>
+      val native = Seq(text).toDF("text")
+        .selectExpr("bigram_rle(text) AS bgs").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      val fallback = graft.llm.LlmOps.bigramRleFallback(text)
+        .map(r => (r.w1, r.w2, r.n))
+      assert(native === fallback, s"row order diverged on '$text'")
+    }
+    assert(graft.llm.LlmOps.bigramRleFallback(null) === null)
+  }
+
   test("payload_simhash fused pass equals the hex/explode/vote SQL chain, edge lengths included") {
     // empty, 1-3 byte (single short gram), exactly 4, duplicate-gram-heavy
     // (aaaa... packs every window identical), and a 300-byte spread

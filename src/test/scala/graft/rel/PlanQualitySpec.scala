@@ -52,6 +52,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("domain mix: no domain-wide per-doc window in either branch") {
+    // the large-quota fallback (heapMaxK = 0) must plan the bucketed
+    // two-level rank, never Window.partitionBy(source) over the doc
+    // frame — a domain-wide per-doc window serializes a possibly
+    // corpus-sized domain onto one task. The trap shape is a window
+    // spec partitioned by source with pri as the FIRST order key (the
+    // in-bucket window is keyed (source, bk); the offset window orders
+    // the 64-per-domain bucket aggregates by bk — both fine).
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    for (heapK <- Seq(graft.llm.LlmOps.SamplerHeapMaxK, 0)) {
+      val p = graft.llm.LlmOps.domainMix(d, heapMaxK = heapK)
+        .queryExecution.executedPlan.toString
+      assert(!"windowspecdefinition\\(source#\\d+[L]?, pri#".r
+          .findFirstIn(p).isDefined,
+        s"heapMaxK=$heapK planned a domain-wide per-doc window:\n${p.take(1200)}")
+    }
+  }
+
   test("domain upsample is one narrow generator pass: no exchange at all") {
     // the scaladoc's scale claim made falsifiable: hash, copy count, and
     // the sequence explode all fuse into the scan stage — zero shuffles
