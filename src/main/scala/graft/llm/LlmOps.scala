@@ -2653,11 +2653,56 @@ object LlmOps {
     rows
   }
 
-  private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
+  /** The delta chain's shared gate frames — what [[curateDeltaPinned]]
+    * reads out as stage counts and [[curateDeltaApply]] commits: churn,
+    * per-gate survivor id frames, the admitted docs, plus the cached
+    * signature/band pair the apply's index append reuses. `cleanCount`
+    * carries the decontam survivor count collected by the fused
+    * footprint job (so the read-out never re-runs the gram join).
+    */
+  private final case class DeltaGates(
+      delta: DataFrame, qIds: DataFrame,
+      cleanIds: Option[DataFrame], cleanCount: Option[Long],
+      eC: DataFrame, kept: DataFrame, fluentIds: Option[DataFrame],
+      bSig: DataFrame, bBands: DataFrame, survivors: DataFrame)
+
+  /** Derive every delta-gate frame once — the single-sourced chain
+    * behind [[curateDelta]] (stage-count read-out) and
+    * [[curateDeltaApply]] (terminal commit). Every gate here is a
+    * PER-DOC predicate against frozen external state (quality: the doc
+    * itself; decontam: the doc's grams vs the frozen benchmark table;
+    * exact: the doc's hash vs the base generation; near: the doc's
+    * bands vs the stored index, self-id excluded; LM: the doc's bigrams
+    * vs the frozen model), so the gates commute and the admitted set is
+    * the plain intersection — which licenses the barrier layout below:
+    * the exact-survivor frame (and the probes' footprints) derive
+    * WITHOUT the decontam intersect, taking the gram join + groupBy off
+    * the fused footprint job's critical path, and the decontam filter
+    * applies as an end-stage id intersection (the round-12 LM-bar
+    * precedent, one gate further). The few extra docs the probes score
+    * (the contaminated fraction of the churn) are bounded and cheap
+    * next to a deeper serial barrier.
+    *
+    * Barrier layout: ONE fused eager job derives every footprint the
+    * stored probes need (LSH band footprint + size gate; LM bucket
+    * footprint + token gate when the bar is on) AND the decontam
+    * survivor count when that gate is on — the single-row aggregates
+    * crossJoin into one collected row, so the shingle/band chain and
+    * the gram-gate chain materialize their shared caches CONCURRENTLY
+    * inside one driver barrier. The decontam gate stays the bare
+    * anti-membership form (raw gram table, no distinct, no broadcast
+    * hint — AQE picks the build side; DISTINCT shared grams per doc
+    * neutralizes replay-duplicate multiplicity). The near probe
+    * re-shingles the cached exact survivors rather than sharing one
+    * persisted signature frame through a semi-join graph (measured:
+    * each shared read is a broadcast-build job; map work fuses into
+    * existing stages — 13.5 → 8.0 s at sf0.1).
+    */
+  private def deltaGates(oldSnap: DataFrame, newSnap: DataFrame,
       indexDir: String, idCol: String, textCol: String, threshold: Double,
       lmDir: Option[String], fluencyThreshold: Double,
       decontamDir: Option[String], maxSharedGrams: Long,
-      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DeltaGates = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def pin(df: DataFrame): DataFrame = { pins += df.persist(lvl); df }
     val oldC = textCorpus(oldSnap, idCol, textCol)
@@ -2672,110 +2717,232 @@ object LlmOps {
       .select("doc_id")
     val delta = pin(newC.join(deltaIds, Seq("doc_id"), "left_semi"))
     // persisted when the decontam gate is on: the id frame then has three
-    // consumers (its stage count, the shingling input, the clean-id
+    // consumers (its stage count, the gram-gate input, the clean-id
     // anti-join) and an un-cached qualityFilter chain re-derives per use
     val qIds0 = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
     val qIds = if (decontamDir.isDefined) pin(qIds0) else qIds0
     val qC = delta.join(qIds, Seq("doc_id"), "left_semi")
-    // the optional BENCHMARK-LEAKAGE gate — the same stage the live loop
-    // and the full batch funnel run, closing the three-surface parity:
-    // stateless (frozen gram artifact), placed after quality like both
-    // siblings. The gate is the bare anti-membership form (dirty = docs
-    // over the shared-gram bar), not the per-doc report — no n_grams
-    // left join, no size-gate count job; the gram side carries no
-    // broadcast hint because churn-vs-benchmark sizes vary by deployment
-    // and AQE picks the build side at runtime (both sides are bounded:
-    // churn by the crawl, grams by the eval suite). The gate derives its
-    // own gram frame and the near probe re-shingles the CACHED exact
-    // survivors: two map-side shingle passes over churn-sized caches
-    // plan as in-stage projections, measured cheaper than sharing one
-    // persisted signature frame through a semi-join graph (each shared
-    // read is a broadcast-build job; map work fuses into existing
-    // stages — 13.5 → 8.0 s at sf0.1, and still churn-linear at scale).
-    val (cIds, gatedC) = decontamDir match {
-      case Some(dd) =>
-        // raw gram table (no distinct — saves its shuffle); join
-        // multiplicity from not-yet-compacted replay-duplicate grams is
-        // neutralized by counting DISTINCT shared grams per doc (per-doc
-        // gram sets are already distinct from signaturesOf)
-        val bench = delta.sparkSession.read.parquet(s"$dd/grams")
-          .select("h")
-        val dirty = signaturesOf(qC)
-          .select(col("doc_id"), explode(col("gs")).as("h"))
-          .join(bench, "h")
-          .groupBy("doc_id").agg(countDistinct(col("h")).as("ns"))
-          .filter(col("ns") > maxSharedGrams).select("doc_id")
-        val ci = pin(qIds.join(dirty, Seq("doc_id"), "left_anti"))
-        (Some(ci), delta.join(ci, Seq("doc_id"), "left_semi"))
-      case None => (None, qC)
-    }
-    val eC = pin(gatedC.join(oldFp.select(col("oh").as("ch")).distinct(),
+    // exact gate over the QUALITY survivors (decontam deliberately not
+    // intersected here — see the scaladoc's commuting-gates argument)
+    val eC = pin(qC.join(oldFp.select(col("oh").as("ch")).distinct(),
       md5(col("text")) === col("ch"), "left_anti"))
     val bSig = pin(signaturesOf(eC))
     val bBands = pin(bandsOf(bSig))
-    // ONE fused eager job derives every footprint this run's stored
-    // probes need (the LSH gate's band footprint + size gate, and — when
-    // the LM bar is on — the fluency probe's bucket footprint + token
-    // gate): the two single-row aggregates crossJoin into one collected
-    // row, so their chains materialize the shared caches concurrently
-    // inside one driver barrier instead of two sequential ones. Each
+    // the optional BENCHMARK-LEAKAGE gate — the same stage the live loop
+    // and the full batch funnel run (three-surface parity), derived off
+    // the quality survivors exactly as before but applied as an
+    // end-stage intersection
+    val cleanIds = decontamDir.map { dd =>
+      val bench = delta.sparkSession.read.parquet(s"$dd/grams").select("h")
+      val dirty = signaturesOf(qC)
+        .select(col("doc_id"), explode(col("gs")).as("h"))
+        .join(bench, "h")
+        .groupBy("doc_id").agg(countDistinct(col("h")).as("ns"))
+        .filter(col("ns") > maxSharedGrams).select("doc_id")
+      pin(qIds.join(dirty, Seq("doc_id"), "left_anti"))
+    }
+    // ONE fused eager job: the probes' footprints/size gates AND the
+    // decontam survivor count crossJoin into one collected row — their
+    // chains materialize the shared caches concurrently inside one
+    // driver barrier instead of two or three sequential ones. Each
     // barrier here is a full stage chain over the churn derivation —
     // fusing them is the difference between this query and its oracle.
-    val fused = lmDir match {
-      case Some(_) => mhFpAgg(bBands).crossJoin(lmFpAgg(eC)).collect()(0)
-      case None    => mhFpAgg(bBands).collect()(0)
+    val aggs = Seq(mhFpAgg(bBands)) ++
+      lmDir.map(_ => lmFpAgg(eC)) ++
+      cleanIds.map(_.agg(count(lit(1)).as("dc_n")))
+    val fused = aggs.reduce(_ crossJoin _).collect()(0)
+    val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
+    // kept is persisted: the stage read-out, the LM intersect, and the
+    // apply's survivor set all consume it — an id-only frame, never
+    // corpus-sized
+    val kept = pin(incrementalDedupMinHashIndexedFrom(bSig, bBands, indexDir,
+      threshold, excludeSelfId = true, fpRow = Some(fused)))
+    // the optional NIGHTLY LM bar — scores the cached exact survivors
+    // (the round-12 restructure: the LM chain runs concurrently with the
+    // probe chain inside the final job instead of sitting behind it)
+    val fluentIds = lmDir.map { lm =>
+      fluencyStored(eC, lm, fpRow = Some(fused))
+        .filter(col("fluency") >= fluencyThreshold).select("doc_id")
     }
-    val kept = incrementalDedupMinHashIndexedFrom(bSig, bBands, indexDir,
-      threshold, excludeSelfId = true, fpRow = Some(fused))
+    val survivorIds0 = fluentIds match {
+      case Some(fl) => kept.join(fl, Seq("doc_id"), "left_semi")
+      case None     => kept
+    }
+    val survivorIds = cleanIds match {
+      case Some(ci) => survivorIds0.join(ci, Seq("doc_id"), "left_semi")
+      case None     => survivorIds0
+    }
+    val survivors = eC.join(survivorIds, Seq("doc_id"), "left_semi")
+    DeltaGates(delta, qIds, cleanIds, cleanCount, eC, kept, fluentIds,
+      bSig, bBands, survivors)
+  }
+
+  private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
+      indexDir: String, idCol: String, textCol: String, threshold: Double,
+      lmDir: Option[String], fluencyThreshold: Double,
+      decontamDir: Option[String], maxSharedGrams: Long,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
+      lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins)
+    val spark = g.delta.sparkSession
+    import spark.implicits._
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
+    // the decontam filter applies as an id intersection on every later
+    // stage's read-out (per-doc gates commute — counts are identical to
+    // the nested form, see deltaGates)
+    def clean(df: DataFrame): DataFrame = g.cleanIds match {
+      case Some(ci) => df.join(ci, Seq("doc_id"), "left_semi")
+      case None     => df
+    }
     // with the decontam gate on, the read-out matches the full funnel's
     // six-stage naming; without it the historical four/five-stage names
     // are preserved byte-for-byte
     val (nearName, fluentName) =
-      if (cIds.isDefined) ("4_near", "5_fluent") else ("3_near", "4_fluent")
-    val base0 = stage("0_delta", delta)
-      .unionByName(stage("1_quality", qIds))
-    val base = cIds match {
-      case Some(ci) => base0.unionByName(stage("2_decontam", ci))
-        .unionByName(stage("3_exact", eC))
-      case None => base0.unionByName(stage("2_exact", eC))
+      if (g.cleanIds.isDefined) ("4_near", "5_fluent")
+      else ("3_near", "4_fluent")
+    val base0 = stage("0_delta", g.delta)
+      .unionByName(stage("1_quality", g.qIds))
+    val base = g.cleanCount match {
+      case Some(n) => base0
+        // the decontam count was collected by the fused footprint job —
+        // re-emitting it as a literal row avoids re-running the gram gate
+        .unionByName(Seq(("2_decontam", n)).toDF("stage", "n_docs"))
+        .unionByName(stage("3_exact", clean(g.eC)))
+      case None => base0.unionByName(stage("2_exact", g.eC))
     }
-    lmDir match {
-      // the optional NIGHTLY LM bar — the same frozen reference model
-      // the streaming gate and the full funnel probe. The LM scores the
-      // CACHED stage-2 (exact-gate) survivors and intersects with the
-      // near-gate's kept ids at the end — identical counts to scoring
-      // the near survivors (the fluency score is per-doc, independent
-      // of any gate), but the LM chain no longer SITS BEHIND the stored-
-      // index probe: inside the one final job the two chains run
-      // concurrently off the shared eC cache, so the stage's latency is
-      // max(probe, LM) instead of probe-then-LM. This was the round-11
-      // weak query (6.1 s vs a 2.71 s oracle): the cost was never
-      // re-derivation (every re-read is an in-row projection of the eC
-      // cache) but the serial barrier chain — the probe's eager
-      // footprint job, then a survivor-materializing LM footprint job,
-      // then the final count job, each a deep sequential stage chain.
-      // Scoring eC makes the LM footprint job a shallow cached-scan agg
-      // and takes the probe out of the LM critical path; the extra
-      // scored docs are the near-dup fraction of the churn (bounded,
-      // typically well under a third — cheap next to a serial barrier
-      // at harness SF, and still churn-proportional at 100 TB). kept is
-      // persisted because both stage 3 and the intersect consume it —
-      // an id-only frame, never corpus-sized.
-      case Some(lm) =>
-        val keptP = pin(kept)
-        val survivors = eC.join(keptP, Seq("doc_id"), "left_semi")
-        val fluent = fluencyStored(eC, lm, fpRow = Some(fused))
-          .filter(col("fluency") >= fluencyThreshold).select("doc_id")
-          .join(keptP, Seq("doc_id"), "left_semi")
-        base.unionByName(stage(nearName, survivors))
-          .unionByName(stage(fluentName, fluent))
+    g.fluentIds match {
+      case Some(fl) =>
+        base.unionByName(stage(nearName, clean(g.kept)))
+          .unionByName(stage(fluentName,
+            clean(fl.join(g.kept, Seq("doc_id"), "left_semi"))))
       case None =>
-        base.unionByName(stage(nearName, kept))
+        base.unionByName(stage(nearName, clean(g.kept)))
     }
+  }
+
+  /** The nightly delta's TERMINAL ADMIT step — what turns
+    * [[curateDelta]]'s report into a production nightly: the delta's
+    * survivors COMMIT into the epoch-partitioned stored corpus (the
+    * [[graft.llm.StreamingIngest]] sink layout) and their
+    * signature/band rows append to the stored minhash index, behind the
+    * same write-ordering/crash-window discipline as the live loop.
+    * Returns (admitted count, replayed) — `replayed` true when a prior
+    * run's corpus commit was found and this call only healed the index.
+    *
+    * Commit protocol (every crash window converges on re-run):
+    *   1. [[graft.cdc.Compaction.recoverDir]] over the corpus and both
+    *      index tables — a crash inside an earlier compaction/GC swap
+    *      rolls back before anything reads.
+    *   2. If the corpus already holds `epoch=<epoch>` rows, the gate
+    *      chain is NOT re-run: the committed partition IS the survivor
+    *      set (authoritative — re-deriving it against an index some
+    *      prior attempt partially appended to could drop mutually-near
+    *      batch siblings, shrinking the set). The run skips to step 4.
+    *   3. Otherwise the gate chain runs (the index holds no trace of
+    *      this epoch — appends commit strictly after the corpus) and the
+    *      survivors write via epoch-keyed DYNAMIC partition overwrite —
+    *      a replayed epoch replaces its own output, the
+    *      [[StreamingIngest]] corpus discipline.
+    *   4. The survivors' signature/band rows append to the index. A
+    *      crash inside this step replays into step 2's path — the
+    *      re-derived rows are deterministic in the text, so the worst
+    *      case is duplicate rows, output-harmless to the gate and erased
+    *      by the next [[compactMinHashIndex]] (`dedupRows`), exactly the
+    *      live loop's partial-append window.
+    *   5. A `_delta_epoch_<epoch>` marker lands in `indexDir` (atomic
+    *      create) — a fully-committed epoch's replay is a pure no-op
+    *      instead of an every-run duplicate append.
+    *
+    * `compactAfter` folds the index's accumulated append files after the
+    * commit — the nightly's natural maintenance slot (heals any replay
+    * duplicates the windows above produced).
+    *
+    * 100 TB shape: identical to [[curateDelta]] (cost ∝ churn — the gate
+    * chain is shared code) plus one write of the survivors and one
+    * append ∝ survivors; the stored corpus is never rewritten (dynamic
+    * overwrite touches only this epoch's directory), the index never
+    * rebuilt. Epochs are caller-assigned and monotone (one nightly = one
+    * epoch key) — the contract [[readCorpusAsOf]] reads back.
+    */
+  def curateDeltaApply(oldSnap: DataFrame, newSnap: DataFrame,
+      corpusDir: String, indexDir: String, epoch: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.6,
+      lmDir: Option[String] = None,
+      fluencyThreshold: Double = 0.0333,
+      decontamDir: Option[String] = None,
+      maxSharedGrams: Long = 0L,
+      compactAfter: Boolean = true,
+      crashHook: String => Unit = _ => ()): (Long, Boolean) = {
+    val spark = newSnap.sparkSession
+    graft.cdc.Compaction.recoverDir(corpusDir)
+    graft.cdc.Compaction.recoverDir(indexDir)
+    Seq(s"$indexDir/signatures", s"$indexDir/bands")
+      .foreach(graft.cdc.Compaction.recoverDir)
+    val marker = new java.io.File(indexDir, s"_delta_epoch_$epoch")
+    val epochDir = new java.io.File(corpusDir, s"epoch=$epoch")
+    if (marker.exists()) {
+      // fully committed: corpus partition + index append + marker all
+      // landed — the replay is a no-op (count is a footer read). A
+      // zero-survivor nightly (every churn doc gated out — legitimate)
+      // committed no partition at all: nothing to read.
+      val n = if (epochDir.exists())
+        spark.read.parquet(corpusDir).filter(col("epoch") === epoch).count()
+      else 0L
+      return (n, true)
+    }
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // finally-released pins: a crashHook throw (the spec's simulated
+    // crash) must not leave the session holding the run's caches
+    try {
+    val (survivors, replay) =
+      if (epochDir.exists()) {
+        // corpus committed, index append unproven: the committed rows
+        // are the survivor set; re-derive their (deterministic) rows
+        (spark.read.parquet(corpusDir).filter(col("epoch") === epoch)
+          .select(col("doc_id"), col(textCol).as("text")), true)
+      } else {
+        val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol,
+          threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
+          pins)
+        // survivors persisted: the corpus write, the index append's two
+        // derivations, and the returned count all consume it
+        val s = g.survivors
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pins += s
+        // effectively-once corpus: epoch-keyed dynamic partition
+        // overwrite — a replayed epoch replaces its own output. The
+        // session's prior mode is restored (unlike the live loop this
+        // runs on the CALLER's session, not a foreachBatch clone).
+        val prior = spark.conf.getOption(
+          "spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.withColumn("epoch", lit(epoch))
+          .write.mode("overwrite").partitionBy("epoch").parquet(corpusDir)
+        finally prior match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        (s, false)
+      }
+    crashHook("corpus-committed") // failure-injection seam (spec'd)
+    val n = survivors.count()
+    if (n > 0) {
+      val sig = signaturesOf(survivors)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      appendMinHashIndexFrom(sig, bandsOf(sig), indexDir)
+      sig.unpersist(false)
+    }
+    crashHook("index-appended") // second seam: before the marker
+    marker.createNewFile()
+    if (compactAfter) compactMinHashIndex(spark, indexDir)
+    (n, replay)
+    } finally pins.foreach(_.unpersist(false))
   }
 
   /** Harness fixture for [[incrementalDedup]]: the "new crawl snapshot" —

@@ -231,6 +231,38 @@ object LlmQueries {
       dir
     }
 
+  /** The nightly delta's terminal-commit fixture: a stored LSH index over
+    * the base generation plus an epoch-partitioned corpus dir, then
+    * [[LlmOps.curateDeltaApply]] with EVERY gate on (the
+    * `llm_curate_delta_full` configuration) commits the snapshotCurate
+    * churn's survivors as epoch 1 and appends their signatures to the
+    * index. The registered query audits the committed partition —
+    * count-AND-content parity with the delta report's final stage.
+    * Its own index dir (never the shared [[mhIndexDir]]): the apply
+    * MUTATES the artifact.
+    */
+  private def deltaAppliedDir(s: SparkSession, d: String): String =
+    memo(s"deltaapply|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-delta-apply")
+      val docs = Tables.documents(s, d)
+      LlmOps.buildMinHashIndex(docs, s"$dir/ix")
+      LlmOps.curateDeltaApply(docs, LlmOps.snapshotCurate(docs),
+        s"$dir/corpus", s"$dir/ix", epoch = 1L,
+        lmDir = Some(lmDir(s, d)), fluencyThreshold = DeltaApplyBar,
+        decontamDir = Some(decontamIndexDir(s, d)), maxSharedGrams = 5L)
+      dir
+    }
+
+  /** The apply fixture's LM bar — deliberately LOWER than
+    * `llm_curate_delta_full`'s 0.0333: the harness fluency scores sit in
+    * [0.029, 0.037] and drift down with corpus size (richer vocabulary →
+    * smaller per-transition mass), so 0.0333 admits nothing at sf0.1 and
+    * a zero-row committed partition can't audit content parity. 0.031
+    * keeps the gate discriminative at every harness SF (drops 3/1/24 of
+    * the near-kept at sf0.001/0.01/0.1, keeps 58/56/21).
+    */
+  private val DeltaApplyBar = 0.031
+
   /** The stored benchmark-gram decontamination artifact: the harness
     * "evaluation suite" is the ≥95 split-bucket slice of documents (the
     * same deterministic split [[LlmOps.decontaminate]] uses), frozen
@@ -420,6 +452,16 @@ object LlmQueries {
         lmDir = Some(lmDir(s, d)),
         decontamDir = Some(decontamIndexDir(s, d)), maxSharedGrams = 5L)
     }),
+    // the nightly delta's TERMINAL ADMIT: the every-gate delta's
+    // survivors committed into the epoch-partitioned stored corpus (and
+    // their signatures appended to the index) behind one crash-windowed
+    // commit — the audit reads the committed epoch back, count-and-
+    // content parity with llm_curate_delta_full's final stage
+    "llm_curate_delta_apply" -> ((s, d) =>
+      s.read.parquet(s"${deltaAppliedDir(s, d)}/corpus")
+        .filter(col("epoch") === 1L)
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars"))),
     // the near-dup ingest gate: tailed copies survive the EXACT
     // incremental check above but are dropped here; reversed-word docs
     // (shingle-disjoint) survive both
@@ -708,6 +750,7 @@ object LlmQueries {
     "llm_pq_drift"      -> Seq(col("cell")),
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_full" -> Seq(col("stage")),
+    "llm_curate_delta_apply" -> Seq(col("doc_id")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
@@ -953,6 +996,46 @@ object LlmQueries {
     * join). Ends with `fl(doc_id, f)` — shared by the funnel-LM and
     * delta-LM oracles so the two can never drift on the arithmetic.
     */
+  /** The every-gate nightly chain (churn → quality → gram-bar decontam →
+    * exact → stored-index near probe → LM scores) as one CTE prefix —
+    * shared by the `llm_curate_delta_full` stage read-out and the
+    * `llm_curate_delta_apply` survivor dump so the two can never drift
+    * (the [[lmScoreCtes]] single-sourcing rule). Exposes `delta`, `q`,
+    * `clean`, `batch`, `nearkept`, and `fl` for the SELECT to read.
+    */
+  private lazy val deltaFullCtes: String =
+    s"""nxt AS (${LlmOps.SnapshotCurateSql}),
+       |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+       |delta AS (
+       |  SELECT n.doc_id, n.text
+       |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
+       |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+       |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+       |q AS (SELECT doc_id, text FROM delta
+       |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+       |dcqt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM q),
+       |dcqg AS (SELECT doc_id,
+       |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM dcqt),
+       |dcbt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
+       |dcbg AS (SELECT doc_id,
+       |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
+       |  FROM dcbt),
+       |bench AS (SELECT DISTINCT unnest(gs) AS h FROM dcbg),
+       |qex AS (SELECT doc_id, unnest(gs) AS h FROM dcqg),
+       |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
+       |          GROUP BY qex.doc_id HAVING count(*) > 5),
+       |clean AS (SELECT doc_id FROM dcqg
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |batch AS (SELECT doc_id, text FROM q
+       |  WHERE doc_id IN (SELECT doc_id FROM clean)
+       |    AND md5(text) NOT IN (SELECT md5(text) FROM documents)),
+       |${incGateCtes("batch", "documents", selfExcl = true)},
+       |nearkept AS (SELECT b.doc_id, b.text FROM batch b
+       |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)),
+       |${lmScoreCtes("SELECT doc_id, text FROM nearkept")}""".stripMargin
+
   private def lmScoreCtes(survivorsSql: String): String =
     s"""mtk AS (SELECT string_split(text, ' ') AS t FROM documents),
        |mbi AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
@@ -2493,39 +2576,10 @@ object LlmQueries {
     // lmScoreCtes chain (identical arithmetic to llm_curate_lm's stage)
     // the everything-gated nightly: delta_lm's chain with the gram-bar
     // decontam stage between quality and exact (bench fragments shared
-    // with the full-funnel oracle's construction)
+    // with the full-funnel oracle's construction; CTE prefix shared with
+    // the terminal-apply oracle — single-sourcing, the lmScoreCtes rule)
     "llm_curate_delta_full" ->
-      s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
-         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
-         |delta AS (
-         |  SELECT n.doc_id, n.text
-         |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
-         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
-         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
-         |q AS (SELECT doc_id, text FROM delta
-         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
-         |dcqt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM q),
-         |dcqg AS (SELECT doc_id,
-         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM dcqt),
-         |dcbt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |         WHERE ${h56Duck("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 >= 95),
-         |dcbg AS (SELECT doc_id,
-         |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
-         |  FROM dcbt),
-         |bench AS (SELECT DISTINCT unnest(gs) AS h FROM dcbg),
-         |qex AS (SELECT doc_id, unnest(gs) AS h FROM dcqg),
-         |dirty AS (SELECT qex.doc_id FROM qex JOIN bench USING (h)
-         |          GROUP BY qex.doc_id HAVING count(*) > 5),
-         |clean AS (SELECT doc_id FROM dcqg
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         |batch AS (SELECT doc_id, text FROM q
-         |  WHERE doc_id IN (SELECT doc_id FROM clean)
-         |    AND md5(text) NOT IN (SELECT md5(text) FROM documents)),
-         |${incGateCtes("batch", "documents", selfExcl = true)},
-         |nearkept AS (SELECT b.doc_id, b.text FROM batch b
-         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)),
-         |${lmScoreCtes("SELECT doc_id, text FROM nearkept")}
+      s"""WITH $deltaFullCtes
          |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
          |UNION ALL SELECT '1_quality', count(*) FROM q
          |UNION ALL SELECT '2_decontam', count(*) FROM clean
@@ -2534,6 +2588,17 @@ object LlmQueries {
          |UNION ALL SELECT '5_fluent',
          |  (SELECT count(*) FROM fl WHERE f >= CAST(0.0333 AS DOUBLE))
          |ORDER BY stage""".stripMargin,
+
+    // the terminal apply reads back exactly the every-gate chain's final
+    // survivors (near-kept docs clearing the LM bar) — same CTE prefix,
+    // dumped by the dedup-apply witness convention (doc_id, n_chars);
+    // the bar is the fixture's SF-robust DeltaApplyBar (see its scaladoc)
+    "llm_curate_delta_apply" ->
+      s"""WITH $deltaFullCtes
+         |SELECT n.doc_id, CAST(length(n.text) AS BIGINT) AS n_chars
+         |FROM nearkept n JOIN fl ON n.doc_id = fl.doc_id
+         |WHERE fl.f >= CAST($DeltaApplyBar AS DOUBLE)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "llm_curate_delta_lm" ->
       s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
