@@ -287,6 +287,42 @@ object LlmQueries {
       dir
     }
 
+  /** An epoch-partitioned stored MEDIA corpus (epoch = doc_id % 4, the
+    * [[graft.llm.StreamingMediaIngest]] sink layout) — read back by the
+    * media as-of query.
+    */
+  private def mediaEpochDir(s: SparkSession, d: String): String =
+    memo(s"mediaepochs|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-media-epochs")
+      Multimodal.media(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload"),
+          pmod(col("doc_id"), lit(4L)).as("epoch"))
+        .repartition(col("epoch"))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/media")
+      dir
+    }
+
+  /** The media GC fixture: the epoch-partitioned media corpus + a stored
+    * payload index, GC'd against the next media generation via
+    * [[Multimodal.mediaGc]] — the %11 takedowns' rows deleted from the
+    * corpus AND their chunk rows pruned from the index in one chained
+    * maintenance pass.
+    */
+  private def mediaGcDir(s: SparkSession, d: String): String =
+    memo(s"mediagc|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-media-gc")
+      val docs = Tables.documents(s, d)
+      val m = Multimodal.media(docs)
+      m.select(col("doc_id"), col("payload"),
+          pmod(col("doc_id"), lit(4L)).as("epoch"))
+        .repartition(col("epoch"))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/media")
+      Multimodal.buildPayloadIndex(m, s"$dir/pay")
+      Multimodal.mediaGc(s, Multimodal.mediaSnapshotNext(docs),
+        s"$dir/media", Some(s"$dir/pay"))
+      dir
+    }
+
   /** [[payIndexDir]]'s [[mhPrunedDir]] twin: built over the base media
     * corpus, pruned to the next media generation.
     */
@@ -703,6 +739,28 @@ object LlmQueries {
     "mm_payload_prune" -> ((s, d) => LlmOps.indexCoverage(
       Multimodal.mediaSnapshotNext(Tables.documents(s, d)),
       payPrunedDir(s, d), indexTable = "chunks")),
+    // content-level drift audit between two MEDIA generations: per asset,
+    // added / removed / changed (re-encode) / unchanged off md5 payload
+    // fingerprints — the payloads never join or shuffle
+    "mm_media_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Multimodal.mediaDiff(
+        Multimodal.media(docs).select("doc_id", "payload"),
+        Multimodal.mediaSnapshotDiff(docs))
+    }),
+    // media versioning's read side: the media corpus as of epoch 2 —
+    // pure partition pruning on the stored epoch layout (plan-asserted)
+    "mm_media_asof" -> ((s, d) =>
+      Multimodal.readMediaAsOf(s, s"${mediaEpochDir(s, d)}/media", 2L)
+        .select(col("doc_id"), col("epoch").cast("bigint").as("epoch"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes"))),
+    // the composed media GC read-back: takedowns (%11) deleted from the
+    // stored corpus, survivors byte-identical; the chained payload-index
+    // prune is spec'd (ghost-veto heals) and audited by mm_payload_prune
+    "mm_media_gc" -> ((s, d) =>
+      s.read.parquet(s"${mediaGcDir(s, d)}/media")
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes"))),
     // the production-direction decontamination gate: training candidates
     // (bucket < 90) probe the STORED benchmark gram set (bucket ≥ 95,
     // frozen into the artifact) — llm_decontaminate's roles inverted
@@ -742,6 +800,9 @@ object LlmQueries {
     "llm_corpus_gc"     -> Seq(col("doc_id")),
     "llm_corpus_asof"   -> Seq(col("doc_id")),
     "mm_payload_inc_idx" -> Seq(col("doc_id")),
+    "mm_media_diff"     -> Seq(col("doc_id")),
+    "mm_media_asof"     -> Seq(col("doc_id")),
+    "mm_media_gc"       -> Seq(col("doc_id")),
     "mm_payload_index_stats" -> Seq(col("chunk_idx")),
     "mm_payload_coverage" -> Seq(col("status")),
     "mm_payload_prune"  -> Seq(col("status")),
@@ -2522,6 +2583,39 @@ object LlmQueries {
          |SELECT CAST(chunk_idx AS BIGINT) AS chunk_idx, count(*) AS n_vals,
          |  max(bucket) AS max_bucket, CAST(sum(bucket) AS BIGINT) AS n_rows
          |FROM bk GROUP BY chunk_idx ORDER BY chunk_idx""".stripMargin,
+
+    // media diff: payload = UTF-8(text), so the payload md5s restate as
+    // text md5s — removed %11, changed %7-of-survivors (the ' rev2'
+    // re-encode), added +70000000 re-publications of %13
+    "mm_media_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS new_hash
+        |      FROM documents WHERE doc_id % 11 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 70000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'removed'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_hash, n.new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.old_hash IS NULL OR n.new_hash IS NULL OR o.old_hash <> n.new_hash
+        |ORDER BY doc_id""".stripMargin,
+
+    // the media as-of read restated from the fixture's construction:
+    // epoch = doc_id % 4, bound at 2 — later epochs simply absent
+    "mm_media_asof" ->
+      """SELECT doc_id, doc_id % 4 AS epoch,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 4 <= 2 ORDER BY doc_id""".stripMargin,
+
+    // media GC: exactly the base assets surviving the %11 takedown,
+    // byte sizes unchanged (removal is id-level)
+    "mm_media_gc" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin,
 
     // payload-index coverage: the chunk table holds the base media ids,
     // the next media generation removes %11 and adds +90000000 arrivals

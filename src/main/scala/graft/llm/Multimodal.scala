@@ -384,6 +384,78 @@ object Multimodal {
           encode(concat(lit("npay-"), col("doc_id").cast("string"),
             expr("repeat(' zqx', 40)")), "UTF-8").as("payload")))
 
+  // ------------------------------------------- media corpus versioning
+
+  /** [[mediaSnapshotNext]]'s content-diff sibling — the next media
+    * generation WITH re-encodes: every 11th payload removed, every 7th
+    * SURVIVOR re-encoded (a trailing edit — since payload = UTF-8(text)
+    * the oracle mirrors it as a text suffix), every 13th re-published
+    * under a new id (+70000000) — [[graft.llm.LlmOps.snapshotNext]]'s
+    * conventions applied to payload bytes.
+    */
+  def mediaSnapshotDiff(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        encode(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")), "UTF-8").as("payload"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")))
+
+  /** Content-level drift audit between two MEDIA generations —
+    * [[graft.llm.LlmOps.corpusDiff]] over payload bytes: per asset id,
+    * `added` / `removed` / `changed` (re-encode, retouch) / `unchanged`,
+    * decided on md5 content fingerprints so the payloads themselves
+    * never join or shuffle (16-byte hashes ride the full-outer join —
+    * the only shape that stands at 100 TB of media). Presence flags, not
+    * hash-nullness, classify null payloads — the text twin's contract.
+    */
+  def mediaDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload",
+      keepUnchanged: Boolean = false): DataFrame =
+    graft.llm.LlmOps.corpusDiff(oldSnap, newSnap, idCol, payloadCol,
+      keepUnchanged)
+
+  /** Reproducible as-of read of the epoch-partitioned stored MEDIA
+    * corpus ([[graft.llm.StreamingMediaIngest]]'s sink layout) —
+    * [[graft.llm.LlmOps.readCorpusAsOf]] verbatim: the epoch bound is
+    * pure partition pruning, later epoch directories never open, and
+    * reproducing the media a training run saw costs the size of ≤E.
+    */
+  def readMediaAsOf(spark: SparkSession, mediaDir: String,
+      epoch: Long): DataFrame =
+    graft.llm.LlmOps.readCorpusAsOf(spark, mediaDir, epoch)
+
+  /** Apply id-level removals (takedowns — the likeliest takedown class
+    * is media) to the stored media corpus —
+    * [[graft.llm.LlmOps.applyCorpusRemovals]] verbatim: rewrite keeping
+    * exactly the rows whose id is still in `current`, through the
+    * compaction swap, epoch directories restated. The payload bytes ride
+    * the rewrite but never the decision join.
+    */
+  def applyMediaRemovals(spark: SparkSession, mediaDir: String,
+      current: DataFrame, idCol: String = "doc_id"): (Long, Long) =
+    graft.llm.LlmOps.applyCorpusRemovals(spark, mediaDir, current, idCol)
+
+  /** The composed media GC — [[graft.llm.LlmOps.corpusGc]]'s media twin,
+    * closing the versioning parity gap: delete the removed assets from
+    * the stored media corpus, then prune the stored payload-simhash
+    * index to the surviving generation ([[prunePayloadIndexTo]]) so no
+    * taken-down asset's ghost can veto a re-encode's ingest. Corpus
+    * first, deliberately — a crash between the steps leaves index
+    * orphans the coverage audit still DETECTS (over-report) and a re-run
+    * converges; the reverse order could leave a corpus row the audit
+    * reads as the gate-blind `unindexed`. Returns the corpus
+    * (rows before, rows after).
+    */
+  def mediaGc(spark: SparkSession, current: DataFrame, mediaDir: String,
+      payIndexDir: Option[String] = None,
+      idCol: String = "doc_id"): (Long, Long) = {
+    val res = applyMediaRemovals(spark, mediaDir, current, idCol)
+    payIndexDir.foreach(prunePayloadIndexTo(current, _, idCol))
+    res
+  }
+
   /** The decode stage: typed per-partition batch iteration over binary
     * payloads — the Scala analog of `mapInPandas`. The actual pixel decode
     * is STUBBED with a deterministic fake (byte-sum "luma" over the first

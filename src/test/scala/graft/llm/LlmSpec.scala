@@ -2492,4 +2492,47 @@ class LlmSpec extends SparkSpec {
       "replay duplicates must be erased by the commit's compaction")
     assert(idxRows(ix5)._2 === cleanSigs)
   }
+
+  test("media GC: takedown leaves corpus and index clean; the ghost no longer vetoes a re-encode") {
+    import graft.llm.Multimodal
+    val mk = (seed: String) => (1 to 40).map(i => s"$seed$i").mkString(" ")
+    val d = docs(1L -> mk("aa"), 2L -> mk("bb"), 3L -> mk("cc"), 4L -> mk("dd"))
+    val m = Multimodal.media(d).select("doc_id", "payload")
+    val root = java.nio.file.Files.createTempDirectory("graft-mediagc").toString
+    m.withColumn("epoch", pmod(col("doc_id"), lit(2L)))
+      .write.mode("overwrite").partitionBy("epoch").parquet(s"$root/media")
+    Multimodal.buildPayloadIndex(m, s"$root/pay")
+    // the re-encode of asset 3 (one byte overwritten) — vetoed while 3's
+    // chunk rows are in the index
+    val reenc = d.filter(col("doc_id") === 3L)
+      .select((col("doc_id") + 500L).as("doc_id"),
+        encode(concat(substring(col("text"), 1, 10), lit("x"),
+          expr("substr(text, 12)")), "UTF-8").as("payload"))
+    assert(Multimodal.incrementalPayloadDedupIndexed(reenc, s"$root/pay")
+      .count() === 0L, "the live asset must veto its own re-encode")
+    // takedown: asset 3 leaves the corpus; GC chains corpus + index
+    val current = m.filter(col("doc_id") =!= 3L)
+    val (before, after) = Multimodal.mediaGc(spark, current,
+      s"$root/media", Some(s"$root/pay"))
+    assert(before === 4L && after === 3L)
+    assert(spark.read.parquet(s"$root/media").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 4L),
+      "survivors byte-identical, takedown gone, epoch layout preserved")
+    assert(spark.read.parquet(s"$root/pay/chunks")
+      .filter(col("doc_id") === 3L).count() === 0L,
+      "the chained prune must drop the takedown's chunk rows")
+    // the versioning point: after GC the ghost is gone and the re-encode
+    // gates through
+    assert(Multimodal.incrementalPayloadDedupIndexed(reenc, s"$root/pay")
+      .collect().map(_.getLong(0)).toSet === Set(503L),
+      "a taken-down asset's ghost must not veto its re-encode after GC")
+    // re-running the GC converges (prune of a pruned table is a no-op)
+    val (b2, a2) = Multimodal.mediaGc(spark, current,
+      s"$root/media", Some(s"$root/pay"))
+    assert(b2 === 3L && a2 === 3L)
+    // the as-of read returns exactly the ≤-bound epochs of what remains
+    val asof = Multimodal.readMediaAsOf(spark, s"$root/media", 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(asof === Set(2L, 4L), s"epoch-0 survivors only, got $asof")
+  }
 }

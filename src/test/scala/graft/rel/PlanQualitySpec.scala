@@ -510,10 +510,14 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("corpus as-of read is pure epoch partition pruning") {
-    val p = plan("llm_corpus_asof")
-    val at = p.indexOf("PartitionFilters: [")
-    assert(at >= 0 && p.substring(at, math.min(p.length, at + 120)).contains("epoch"),
-      s"the epoch bound must prune partitions, not filter rows:\n${p.take(1200)}")
+    // both as-of surfaces — the text corpus and its media twin — must
+    // plan the epoch bound into the scan's PartitionFilters
+    for (q <- Seq("llm_corpus_asof", "mm_media_asof")) {
+      val p = plan(q)
+      val at = p.indexOf("PartitionFilters: [")
+      assert(at >= 0 && p.substring(at, math.min(p.length, at + 120)).contains("epoch"),
+        s"$q: the epoch bound must prune partitions, not filter rows:\n${p.take(1200)}")
+    }
   }
 
   test("partitioned delivery log prunes partitions on entity filters") {
