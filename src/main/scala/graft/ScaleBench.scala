@@ -418,6 +418,46 @@ object ScaleBench {
     val qclfBase = qclfProbe(sfDir)
     val qclfScaled = qclfProbe(out)
 
+    // PER-LANGUAGE stored-LM probe — the flatness axis the language
+    // keying exists for: the model corpus is a FIXED language-"aa" slice
+    // (the batch's language) unioned with a language-"bb" corpus that
+    // scales with `dir`; the scored batch stays language-"aa" and
+    // base-SF-sized on both sides. Because the probe's (lang, wb)
+    // footprint prunes the model scan to the batch's OWN language, the
+    // scaled language's directories are never opened and the ratio must
+    // sit near 1 — the directly-measured form of "a Swahili batch never
+    // pays for the English model".
+    val langBatchDir = java.nio.file.Files.createTempDirectory("graft-scale-langb").toString
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), lit("aa").as("lang"))
+      .write.mode("overwrite").parquet(langBatchDir)
+    val langBatch = spark.read.parquet(langBatchDir)
+    def lmLangProbe(dir: String): Double = {
+      val mDir = java.nio.file.Files.createTempDirectory("graft-scale-lmlang").toString
+      val modelCorpus = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), lit("aa").as("lang"))
+        .unionByName(Tables.documents(spark, dir)
+          .select((col("doc_id") + 800000000L).as("doc_id"), col("text"),
+            lit("bb").as("lang")))
+      graft.llm.LlmOps.buildFluencyModelByLang(modelCorpus, mDir)
+      spark.sqlContext.clearCache()
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.fluencyStoredByLang(langBatch, mDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mDir))
+      med
+    }
+    val lmLangBase = lmLangProbe(sfDir)
+    val lmLangScaled = lmLangProbe(out)
+
     // delta-curation probe: the nightly incremental run with the CHURN
     // HELD FIXED (base-SF-sized arrivals) while the base corpus scales —
     // the steady-state economics of a growing corpus with a steady crawl
@@ -487,6 +527,47 @@ object ScaleBench {
     }
     val curDeltaLmBase = curDeltaLm(sfDir)
     val curDeltaLmScaled = curDeltaLm(out)
+
+    // the EVERY-GATE nightly (quality + benchmark decontam + exact +
+    // stored-index near + stored-LM bar) under the same fixed-churn
+    // regime — the composed nightly's cost invariant: every gate's work
+    // must track the churn (the gram artifact is eval-suite-bounded, the
+    // model generation-frozen, the index probe footprint-pruned), so the
+    // published ratio should stay near the curdelta/curdelta_lm band
+    // even with all five gates on.
+    def curDeltaFull(dir: String): Double = {
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-cdfx").toString
+      val lmDir = java.nio.file.Files.createTempDirectory("graft-scale-cdfm").toString
+      val dcDir = java.nio.file.Files.createTempDirectory("graft-scale-cdfd").toString
+      graft.llm.LlmOps.buildMinHashIndex(Tables.documents(spark, dir), ixDir)
+      graft.llm.LlmOps.buildFluencyModel(Tables.documents(spark, dir), lmDir)
+      graft.llm.LlmOps.buildDecontamIndex(
+        Tables.documents(spark, dir).filter(expr(
+          s"${graft.llm.LlmOps.h56("concat('split|', cast(doc_id as string))")} % 100") >= 95),
+        dcDir)
+      spark.sqlContext.clearCache()
+      val old = Tables.documents(spark, dir)
+      val next = old.select(col("doc_id"), col("text")).unionByName(
+        old.filter(col("doc_id") < keyShift && col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 90000000L).as("doc_id"),
+            concat(col("text"), lit(" drift")).as("text")))
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.LlmOps.curateDelta(old, next, ixDir, lmDir = Some(lmDir),
+            decontamDir = Some(dcDir), maxSharedGrams = 5L)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sqlContext.clearCache()
+        dt
+      }
+      probe() // warm
+      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
+      Seq(ixDir, lmDir, dcDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      med
+    }
+    val curDeltaFullBase = curDeltaFull(sfDir)
+    val curDeltaFullScaled = curDeltaFull(out)
 
     // hot-token probe for tokenFreqScore: every doc prefixed with 30
     // repeats of one stop word — the shape where a per-occurrence freq
@@ -561,9 +642,10 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"payload_indexed":{"base_sec":$pyBase,"scaled_sec":$pyScaled,"ratio":${pyScaled / pyBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"idf_stored":{"base_sec":$idfBase,"scaled_sec":$idfScaled,"ratio":${idfScaled / idfBase}},"qclf_stored":{"base_sec":$qclfBase,"scaled_sec":$qclfScaled,"ratio":${qclfScaled / qclfBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"payload_indexed":{"base_sec":$pyBase,"scaled_sec":$pyScaled,"ratio":${pyScaled / pyBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"idf_stored":{"base_sec":$idfBase,"scaled_sec":$idfScaled,"ratio":${idfScaled / idfBase}},"qclf_stored":{"base_sec":$qclfBase,"scaled_sec":$qclfScaled,"ratio":${qclfScaled / qclfBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"curdelta_full":{"base_sec":$curDeltaFullBase,"scaled_sec":$curDeltaFullScaled,"ratio":${curDeltaFullScaled / curDeltaFullBase}},"lmlang_stored":{"base_sec":$lmLangBase,"scaled_sec":$lmLangScaled,"ratio":${lmLangScaled / lmLangBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(langBatchDir))
     // the replicated corpus is multi-GB at factor 10 — repeated runs would
     // otherwise fill /tmp until the host errors on disk space
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))

@@ -1516,6 +1516,188 @@ object LlmOps {
     * back → per-doc window top-k. Ties break on the token string so both
     * engines agree.
     */
+  // ------------------------------ per-language stored fluency models
+
+  /** [[docBigrams]] with the document's language label riding every
+    * bigram row — the derivation the per-language model family shares.
+    */
+  private def docBigramsLang(corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String): DataFrame =
+    ensureBigramRle(corpus.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"), col(langCol).as("lang")))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("bigram_rle(text)")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"), col("bg.n").as("n"))
+
+  /** PER-LANGUAGE stored bigram LM — CCNet's actual regime (Wenzek et
+    * al. 2019 trains one KenLM per language; a single global bar
+    * systematically mis-scores minority languages because transition
+    * mass concentrates in the majority language's vocabulary): counts
+    * and prefix totals are computed WITHIN each language (c1 = Σ_w2 c2
+    * per (lang, w1)), so a document's score is its probability under
+    * ITS OWN language's model. One `bigrams/` table partitioned by
+    * (lang, wb) — the probe prunes to its batch's (language, bucket)
+    * footprint, so a Swahili batch never opens the English directories.
+    * `langCol` is the corpus' language label (upstream lang-id — compose
+    * [[TextAnalysis.langId]] when the corpus carries none). Same
+    * atomic-swap, rebuild-only generation discipline as
+    * [[buildFluencyModel]] (merging would change c1 denominators).
+    */
+  def buildFluencyModelByLang(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", minCount: Long = 1L): Unit = {
+    val bg = docBigramsLang(corpus, idCol, textCol, langCol)
+      .groupBy("lang", "w1", "w2").agg(sum(col("n")).as("c2"))
+      .withColumn("c1",
+        sum(col("c2")).over(Window.partitionBy("lang", "w1")))
+      .filter(col("c2") >= minCount)
+      .withColumn("wb", lmBucket(col("w1")))
+    graft.cdc.Compaction.swapDir(dir) { tmp =>
+      bg.repartition(col("lang"), col("wb")).write.mode("overwrite")
+        .partitionBy("lang", "wb").parquet(s"$tmp/bigrams")
+    }
+  }
+
+  /** Batch fluency against the stored PER-LANGUAGE LM — each document
+    * scores under its own language's transition model
+    * ([[fluencyStored]]'s arithmetic, language-keyed): the batch's
+    * bounded (lang, wb) footprint (≤ languages × [[LmBuckets]] pairs,
+    * ONE fused single-row aggregate with the token size gate) pins a
+    * STATIC partition filter on the model scan, the probability join
+    * keys on (lang, w1, w2) with the batch side broadcast when small,
+    * and unmatched transitions recover through the same union-mass
+    * value-sorted fold — bit-exact cross-engine, no libm. The model is
+    * streamed, pruned, and never a broadcast build side. Output carries
+    * the language so a per-language bar can apply downstream.
+    */
+  def fluencyStoredByLang(docs: DataFrame, modelDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bg = docBigramsLang(docs, idCol, textCol, langCol).persist(lvl)
+    val fp = bg.agg(
+        collect_set(struct(col("lang"), lmBucket(col("w1")).as("wb"))).as("lw"),
+        sum(col("n")).as("toks"))
+      .collect()(0)
+    val pairs = Option(fp.getSeq[org.apache.spark.sql.Row](fp.fieldIndex("lw")))
+      .getOrElse(Seq.empty).map(r => (r.getString(0), r.getInt(1)))
+    val toksAt = fp.fieldIndex("toks")
+    val small = broadcastMaxRows > 0 &&
+      (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val model = spark.read.parquet(s"$modelDir/bigrams").filter(
+      pairs.map { case (l, w) => col("lang") === l && col("wb") === w }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    val matched = model.join(hinted(bg), Seq("lang", "w1", "w2"))
+      .select(col("doc_id"), col("lang"),
+        (col("n").cast("double") *
+          (col("c2").cast("double") / col("c1").cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    val mass = docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"), col(textCol).as("text"))
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), lit(null).cast("double").as("v"),
+        (size(col("t")) - 1).cast("bigint").as("nn"))
+    matched.unionByName(mass)
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("nn")).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("f_sum"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
+  }
+
+  /** Calibrate PER-LANGUAGE CCNet tercile cuts against the stored
+    * per-language LM and freeze them — [[buildLmPartitioner]] with one
+    * cut pair PER LANGUAGE (k-th smallest (fluency, doc_id) within each
+    * language, k = ceil(n_l/3), ceil(2·n_l/3)), so minority languages
+    * get their own bar instead of the majority's. The rank window is
+    * partitioned by language over the CALIBRATION SLICE only — a sample
+    * bounded by `refMod`, never the corpus (the offline-calibration
+    * budget; the apply pass below is window-free). Cut tuples are exact
+    * scored rows, bit-identical cross-engine.
+    */
+  def buildLmPartitionerByLang(corpus: DataFrame, modelDir: String,
+      dir: String, refMod: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): Unit = {
+    val ref = fluencyStoredByLang(
+        corpus.filter(col(idCol) % refMod === 0), modelDir,
+        idCol, textCol, langCol)
+      .select(col("doc_id"), col("lang"), col("fluency"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(ref.limit(1).count() > 0,
+      s"empty calibration slice ($idCol % $refMod)")
+    val w = Window.partitionBy("lang").orderBy(col("fluency"), col("doc_id"))
+    val cnts = ref.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val cuts = ref.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .join(broadcast(cnts), Seq("lang"))
+      .withColumn("k1", expr("(cnt + 2) div 3"))
+      .withColumn("k2", expr("(2 * cnt + 2) div 3"))
+      .filter(col("rnk") === col("k1") || col("rnk") === col("k2"))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rnk") === col("k1"),
+          struct(col("fluency"), col("doc_id")))).as("c1"),
+        max(when(col("rnk") === col("k2"),
+          struct(col("fluency"), col("doc_id")))).as("c2"))
+      .select(col("lang"), col("c1.fluency").as("f1"), col("c1.doc_id").as("d1"),
+        col("c2.fluency").as("f2"), col("c2.doc_id").as("d2"))
+    graft.cdc.Compaction.swapDir(dir) { tmp =>
+      cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
+    }
+    ref.unpersist()
+  }
+
+  /** Apply the per-language partitioner: every document scores under
+    * its own language's stored LM and lands in head/middle/tail by ITS
+    * LANGUAGE's frozen cuts. One probe pass; the cuts table (one row per
+    * language — artifact-sized) joins by language under an explicit
+    * broadcast; the bucket CASE is the same (fluency, doc_id) row-value
+    * comparison as [[lmPartition]], struct-compared in-row. Corpus-wide
+    * scoring visits every (lang, wb) directory by construction, so no
+    * footprint job runs and no broadcast hint applies to the model scan
+    * (the [[lmPartition]] rationale). No window, no global sort.
+    */
+  def lmPartitionByLang(corpus: DataFrame, modelDir: String,
+      cutsDir: String, idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bg = docBigramsLang(corpus, idCol, textCol, langCol)
+    val model = spark.read.parquet(s"$modelDir/bigrams")
+    val matched = model.join(bg, Seq("lang", "w1", "w2"))
+      .select(col("doc_id"), col("lang"),
+        (col("n").cast("double") *
+          (col("c2").cast("double") / col("c1").cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    val mass = corpus.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"), col(textCol).as("text"))
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), lit(null).cast("double").as("v"),
+        (size(col("t")) - 1).cast("bigint").as("nn"))
+    val scored = matched.unionByName(mass)
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("nn")).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("f_sum"))
+      .select(col("doc_id"), col("lang"),
+        (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
+    val cuts = spark.read.parquet(s"$cutsDir/cuts")
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("fluency"),
+        when(struct(col("fluency"), col("doc_id")) <=
+            struct(col("f1").as("fluency"), col("d1").as("doc_id")),
+          lit("tail"))
+          .when(struct(col("fluency"), col("doc_id")) <=
+            struct(col("f2").as("fluency"), col("d2").as("doc_id")),
+            lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   def keywords(corpus: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // ONE occurrence-level pass, then everything derives from the
@@ -1888,6 +2070,119 @@ object LlmOps {
       .join(labels, "doc_id")
       .groupBy(col("keep"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // --------------------------- per-language stored quality classifier
+
+  /** [[qclfCorpus]] with the language label carried — junk twins inherit
+    * their base doc's language, so every language populates both label
+    * classes and the per-language tables train on real discriminations.
+    */
+  def qclfCorpusLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("lang")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 85000000L).as("doc_id"),
+          lit("zq zq zq zq zq zq zq zq zq zq zq zq").as("text"),
+          col("lang")))
+
+  val QclfCorpusLangSql: String =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL
+      |SELECT doc_id + 85000000, 'zq zq zq zq zq zq zq zq zq zq zq zq', lang
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** PER-LANGUAGE trained quality classifier —
+    * [[buildQualityClassifier]] with every count keyed by language:
+    * token counts per (lang, tok), class totals and vocabulary size per
+    * LANGUAGE (the likelihood ratios normalize within each language's
+    * own token distribution — the same minority-language fairness
+    * argument as [[buildFluencyModelByLang]]: under a global table a
+    * minority language's tokens are judged against the majority's class
+    * mass). One `w/` table partitioned by (lang, tb); same rebuild-only
+    * atomic-swap generation discipline (per-language denominators make
+    * merging wrong in the same way).
+    */
+  def buildQualityClassifierByLang(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): Unit =
+    graft.cdc.Compaction.swapDir(s"$dir/w") { tmp =>
+      val base = corpus.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"), col(langCol).as("lang"))
+        .filter(col("text").isNotNull)
+      val keep = TextAnalysis.qualityFilter(base)
+        .filter(col("keep")).select("doc_id")
+      val lab = base
+        .join(keep.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("lang"), coalesce(col("k"), lit(false)).as("keep"),
+          explode(split(col("text"), " ")).as("tok"))
+      val cnt = lab.groupBy("lang", "tok")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c_pos"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("c_neg"))
+      val tot = cnt.groupBy("lang").agg(sum(col("c_pos")).as("t_pos"),
+        sum(col("c_neg")).as("t_neg"), count(lit(1)).as("vv"))
+      cnt.join(broadcast(tot), Seq("lang"))
+        .withColumn("tb", expr(qclfTb("tok")))
+        .repartition(col("lang"), col("tb"))
+        .write.mode("overwrite").partitionBy("lang", "tb").parquet(tmp)
+    }
+
+  /** Score a batch against the stored PER-LANGUAGE classifier — each
+    * document's tokens weigh against ITS language's likelihood table:
+    * the batch's bounded (lang, tb) footprint (ONE fused single-row
+    * job with the token size gate, the [[fluencyStoredByLang]] shape)
+    * pins a static partition filter on the weight scan, the ratio join
+    * keys on (lang, tok) with the batch side size-gate-broadcast, and
+    * out-of-vocabulary occurrences contribute 0 through the matched-only
+    * union fold ([[qclfScore]]'s semantics, language-keyed). The
+    * artifact is streamed, pruned, never a broadcast build side.
+    */
+  def qualityScoreStoredByLang(batch: DataFrame, dir: String,
+      tau: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    val spark = batch.sparkSession
+    val base = batch.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"), col(langCol).as("lang"))
+      .filter(col("text").isNotNull)
+    // fused footprint: distinct (lang, tb) pairs (bucket sets dedup
+    // in-row) + the batch token count for the broadcast size gate
+    val fp = base
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("k"),
+        expr(s"array_distinct(transform(split(text, ' '), w -> ${h56("concat('qclf|', w)")} % $QclfBuckets))").as("bs"))
+      .select(col("lang"), col("k"), posexplode(col("bs")).as(Seq("p", "b")))
+      .agg(sum(when(col("p") === 0, col("k"))).as("toks"),
+        collect_set(struct(col("lang"), col("b"))).as("pairs"))
+      .collect()(0)
+    val pairs = Option(fp.getSeq[org.apache.spark.sql.Row](fp.fieldIndex("pairs")))
+      .getOrElse(Seq.empty).map(r => (r.getString(0), r.getLong(1)))
+    val toksAt = fp.fieldIndex("toks")
+    val small = broadcastMaxRows > 0 &&
+      (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val weights = spark.read.parquet(s"$dir/w").filter(
+      pairs.map { case (l, b) => col("lang") === l && col("tb") === b }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    val toks = base.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val matched = weights.join(hinted(toks), Seq("lang", "tok"))
+      .select(col("doc_id"), col("lang"),
+        (((col("c_pos") + 1).cast("double") *
+          (col("t_neg") + col("vv")).cast("double")) /
+          ((col("c_neg") + 1).cast("double") *
+            (col("t_pos") + col("vv")).cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    val mass = base.select(col("doc_id"), col("lang"),
+      lit(null).cast("double").as("v"),
+      size(split(col("text"), " ")).cast("bigint").as("nn"))
+    matched.unionByName(mass)
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("nn")).as("n_toks"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("r_sum"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        (col("r_sum") / col("n_toks").cast("double")).as("q_score"))
+      .withColumn("pred", col("q_score") >= tau)
   }
 
   // ------------------------------------------------- deterministic sample

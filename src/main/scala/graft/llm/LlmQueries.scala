@@ -163,6 +163,31 @@ object LlmQueries {
       dir
     }
 
+  /** The PER-LANGUAGE trained quality classifier over the lang-carrying
+    * label fixture — probed by the per-language classifier query.
+    */
+  private def qclfLangDir(s: SparkSession, d: String): String =
+    memo(s"qclflang|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-qclf-lang")
+      LlmOps.buildQualityClassifierByLang(
+        LlmOps.qclfCorpusLang(Tables.documents(s, d)), dir)
+      dir
+    }
+
+  /** The PER-LANGUAGE stored LM family: one bigram model per language
+    * (`lm/`, partitioned (lang, wb)) plus the per-language frozen
+    * tercile cuts (`pt/cuts`), both over `d`'s documents — probed by
+    * the per-language fluency and partition queries.
+    */
+  private def lmLangDir(s: SparkSession, d: String): String =
+    memo(s"lmlang|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-lm-lang")
+      val docs = Tables.documents(s, d)
+      LlmOps.buildFluencyModelByLang(docs, s"$dir/lm")
+      LlmOps.buildLmPartitionerByLang(docs, s"$dir/lm", s"$dir/pt")
+      dir
+    }
+
   /** A stored LSH index built over the BASE documents generation, then
     * PRUNED to the next crawl snapshot — the detect→repair lifecycle
     * under audit: the base build leaves the %11 removals as orphans,
@@ -623,6 +648,24 @@ object LlmQueries {
     // 500‰ by salted hash, tail dropped — the partition pass + a filter
     "llm_lm_partition_apply" -> ((s, d) => LlmOps.lmPartitionApply(
       Tables.documents(s, d), lmDir(s, d), lmCutsDir(s, d))),
+    // PER-LANGUAGE stored-LM probe: each %10-slice doc scores under its
+    // OWN language's frozen transition model — the (lang, wb) footprint
+    // prunes the model scan to the batch's languages and buckets
+    "llm_fluency_lang" -> ((s, d) => LlmOps.fluencyStoredByLang(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+      s"${lmLangDir(s, d)}/lm")),
+    // CCNet head/middle/tail with PER-LANGUAGE calibrated cuts: every
+    // doc buckets by its own language's frozen tercile bar — the
+    // minority-language fairness fix over llm_lm_partition's global bar
+    "llm_lm_partition_lang" -> ((s, d) => LlmOps.lmPartitionByLang(
+      Tables.documents(s, d), s"${lmLangDir(s, d)}/lm",
+      s"${lmLangDir(s, d)}/pt")),
+    // PER-LANGUAGE trained quality gate: each %10-slice doc's tokens
+    // weigh against its OWN language's likelihood table — (lang, tb)
+    // footprint prunes the weight scan, ratios normalize within-language
+    "llm_quality_clf_lang" -> ((s, d) => LlmOps.qualityScoreStoredByLang(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+      qclfLangDir(s, d))),
     // PII injected deterministically (every 5th doc gets an email + a long
     // number appended), then scrubbed — the corpus itself is PII-free.
     "llm_scrub_pii"     -> ((s, d) => TextAnalysis.scrubPii(
@@ -846,6 +889,9 @@ object LlmQueries {
     "llm_fluency_idx"   -> Seq(col("doc_id")),
     "llm_lm_partition"  -> Seq(col("doc_id")),
     "llm_lm_partition_apply" -> Seq(col("doc_id")),
+    "llm_fluency_lang"  -> Seq(col("doc_id")),
+    "llm_lm_partition_lang" -> Seq(col("doc_id")),
+    "llm_quality_clf_lang" -> Seq(col("doc_id")),
     "llm_dedup_ngram"   -> Seq(col("id_a"), col("id_b")),
     "llm_dedup_cosine"  -> Seq(col("id_a"), col("id_b")),
     "llm_ann_topk"      -> Seq(col("qid"), col("rnk")),
@@ -1116,6 +1162,27 @@ object LlmQueries {
        |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
        |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
        |       FROM nb LEFT JOIN fm USING (doc_id))""".stripMargin
+
+  /** The PER-LANGUAGE scoring chain ending with
+    * `lflc(doc_id, lang, nbg, fluency)` — [[lmScoreCtes]]'s arithmetic
+    * with every model count keyed by lang; shared by the per-language
+    * fluency and partition oracles (single-sourcing).
+    */
+  private lazy val lmLangScoreCtes: String =
+    """ltk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |lbi AS (SELECT doc_id, lang, t[i.i] AS w1, t[i.i + 1] AS w2
+      |        FROM ltk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+      |        WHERE len(t) >= 2),
+      |lbic AS (SELECT doc_id, lang, w1, w2, count(*) AS n FROM lbi GROUP BY 1, 2, 3, 4),
+      |lc2 AS (SELECT lang, w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM lbic GROUP BY 1, 2, 3),
+      |lc1 AS (SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lc2 GROUP BY 1, 2),
+      |lflc AS (SELECT doc_id, lang, CAST(SUM(n) AS BIGINT) AS nbg,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_sort(list(CAST(n AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))))),
+      |    (a, v) -> a + v) / CAST(SUM(n) AS DOUBLE) AS fluency
+      |  FROM lbic JOIN lc2 USING (lang, w1, w2) JOIN lc1 USING (lang, w1)
+      |  GROUP BY doc_id, lang)""".stripMargin
 
   /** The CCNet partition chain through per-doc bucket assignment, ending
     * with `prt(doc_id, fluency, bucket)` — shared by the partition and
@@ -1609,6 +1676,37 @@ object LlmQueries {
         |  ${h56Duck("concat('lmsamp|', CAST(doc_id AS VARCHAR))")} % 1000 < 500)
         |ORDER BY doc_id""".stripMargin,
 
+    // per-language stored-LM probe: llm_fluency_idx's chain with every
+    // count keyed by lang (c2 per (lang,w1,w2), c1 per (lang,w1)) — a
+    // doc's score is its probability under its own language's model
+    "llm_fluency_lang" ->
+      s"""WITH $lmLangScoreCtes
+        |SELECT doc_id, lang, nbg AS n_bigrams, fluency
+        |FROM lflc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    // per-language CCNet partition: the same lang-keyed scoring chain,
+    // cuts from the %10 slice via a lang-partitioned row_number
+    // (k = ceil(n_l/3), ceil(2n_l/3) per language), bucket CASE as the
+    // row-value comparison against the language's own cut tuples
+    "llm_lm_partition_lang" ->
+      s"""WITH $lmLangScoreCtes,
+        |lref AS (SELECT lang, fluency, doc_id FROM lflc WHERE doc_id % 10 = 0),
+        |lrk AS (SELECT lang, fluency, doc_id,
+        |          row_number() OVER (PARTITION BY lang ORDER BY fluency, doc_id) AS rnk,
+        |          count(*) OVER (PARTITION BY lang) AS cnt
+        |        FROM lref),
+        |lcuts AS (SELECT lang,
+        |    max(CASE WHEN rnk = (cnt + 2) // 3 THEN fluency END) AS f1,
+        |    max(CASE WHEN rnk = (cnt + 2) // 3 THEN doc_id END) AS d1,
+        |    max(CASE WHEN rnk = (2 * cnt + 2) // 3 THEN fluency END) AS f2,
+        |    max(CASE WHEN rnk = (2 * cnt + 2) // 3 THEN doc_id END) AS d2
+        |  FROM lrk GROUP BY lang)
+        |SELECT f.doc_id, f.lang, f.fluency,
+        |  CASE WHEN (f.fluency, f.doc_id) <= (c.f1, c.d1) THEN 'tail'
+        |       WHEN (f.fluency, f.doc_id) <= (c.f2, c.d2) THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM lflc f JOIN lcuts c USING (lang) ORDER BY f.doc_id""".stripMargin,
+
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
@@ -1676,6 +1774,43 @@ object LlmQueries {
     "llm_quality_clf_idx" ->
       s"""WITH ${qclfScoreSql("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0")}
          |SELECT doc_id, n_toks, q_score, pred FROM qsc ORDER BY doc_id""".stripMargin,
+
+    // per-language classifier probe: the lang-keyed chain — counts per
+    // (lang, tok), class totals per LANGUAGE, ratios joined on
+    // (lang, tok) — over the lang-carrying label fixture, scoring the
+    // %10 documents slice
+    "llm_quality_clf_lang" ->
+      s"""WITH lqb AS (SELECT doc_id, text, lang FROM (${LlmOps.QclfCorpusLangSql}) qcc
+         |             WHERE text IS NOT NULL),
+         |lqk AS (${qualityKeepIdsSql("SELECT doc_id, text FROM lqb")}),
+         |lqo AS (SELECT b.lang, (k.doc_id IS NOT NULL) AS keep,
+         |          unnest(string_split(b.text, ' ')) AS tok
+         |        FROM lqb b LEFT JOIN lqk k ON b.doc_id = k.doc_id),
+         |lqc AS (SELECT lang, tok,
+         |          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+         |        FROM lqo GROUP BY 1, 2),
+         |lqt AS (SELECT lang, CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+         |          CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+         |          CAST(count(*) AS BIGINT) AS vv FROM lqc GROUP BY lang),
+         |lbb AS (SELECT doc_id, text, lang FROM documents
+         |        WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+         |lbt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM lbb),
+         |lbm AS (SELECT doc_id, lang,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM lbb),
+         |lfm AS (SELECT t.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_sort(list(
+         |            (CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
+         |            (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE))))),
+         |          (a, x) -> a + x) AS fs
+         |        FROM lbt t JOIN lqc c ON t.lang = c.lang AND t.tok = c.tok
+         |        JOIN lqt qt ON t.lang = qt.lang
+         |        GROUP BY t.doc_id)
+         |SELECT m.doc_id, m.lang, m.n_toks,
+         |  COALESCE(f.fs, CAST(0.0 AS DOUBLE)) / CAST(m.n_toks AS DOUBLE) AS q_score,
+         |  COALESCE(f.fs, CAST(0.0 AS DOUBLE)) / CAST(m.n_toks AS DOUBLE) >= CAST(1.0 AS DOUBLE) AS pred
+         |FROM lbm m LEFT JOIN lfm f ON m.doc_id = f.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
 
     // the weight table re-derived from the corpus, reduced to the
     // per-tb gauge — the builder's salted bucket restated

@@ -2493,6 +2493,55 @@ class LlmSpec extends SparkSpec {
     assert(idxRows(ix5)._2 === cleanSigs)
   }
 
+  test("per-language LM: a doc scores under its own language's model, and minority languages keep their own bar") {
+    import org.apache.spark.sql.functions.lit
+    // majority language 'en' (20 docs) vs minority 'xx' (3 docs). The
+    // languages SHARE the prefix token 'the' but transition differently
+    // from it — the dilution case: under a GLOBAL model c1('the') pools
+    // both languages' mass, so P(zub|the) deflates by en's the→dog/cat/
+    // bird transitions; the per-language model normalizes within xx and
+    // the minority docs score their true in-language probability.
+    val en = (1L to 20L).map(i =>
+      (i * 10, "the dog runs and the cat sleeps and the bird sings now", "en"))
+    val xx = Seq(
+      (5L, "the zub mira the zub mira the zub mira dun", "xx"),
+      (15L, "the zub mira dun the zub mira the zub dun", "xx"),
+      (25L, "the zub dun mira the zub mira the zub mira", "xx"))
+    val d = (en ++ xx).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+    val mDir = java.nio.file.Files.createTempDirectory("graft-lmlang").toString
+    LlmOps.buildFluencyModelByLang(d, mDir)
+    val perLang = LlmOps.fluencyStoredByLang(d, mDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    assert(perLang.size === 23)
+    // a global model built over the SAME mixed corpus
+    val gDir = java.nio.file.Files.createTempDirectory("graft-lmglob").toString
+    LlmOps.buildFluencyModel(d, gDir)
+    val global = LlmOps.fluencyStored(d, gDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // per-language scoring must LIFT the minority docs relative to the
+    // global model (their transitions stop being diluted by en's mass)
+    xx.foreach { case (id, _, _) =>
+      assert(perLang(id)._2 > global(id),
+        s"xx doc $id: per-lang ${perLang(id)._2} must exceed global ${global(id)}")
+    }
+    // per-language partitioner: calibrate on the WHOLE fixture (refMod 1)
+    // — every language gets its own tercile cuts, so the 3-doc minority
+    // still lands one doc per bucket instead of being judged on en's bar
+    val pDir = java.nio.file.Files.createTempDirectory("graft-lmlang-pt").toString
+    LlmOps.buildLmPartitionerByLang(d, mDir, pDir, refMod = 1)
+    val parts = LlmOps.lmPartitionByLang(d, mDir, pDir).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val xxBuckets = parts.filter(_._1 == "xx").map(_._2).sorted.toSeq
+    assert(xxBuckets === Seq("head", "middle", "tail"),
+      s"3-doc minority must fill its own terciles, got $xxBuckets")
+    val enCounts = parts.filter(_._1 == "en").groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    // 20 en docs → ceil terciles 7/7/6 by the k = ceil(n/3) cut rule
+    assert(enCounts === Map("tail" -> 7, "middle" -> 7, "head" -> 6),
+      s"en terciles off: $enCounts")
+  }
+
   test("media GC: takedown leaves corpus and index clean; the ghost no longer vetoes a re-encode") {
     import graft.llm.Multimodal
     val mk = (seed: String) => (1 to 40).map(i => s"$seed$i").mkString(" ")
