@@ -4137,11 +4137,13 @@ object LlmOps {
     */
   private def budgetCum(corpus: DataFrame, sourceCol: String,
       idCol: String, textCol: String,
-      budgets: Map[String, Long]): DataFrame = {
+      budgets: Map[String, Long],
+      tokenCountExpr: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val base = ensureH56(corpus).filter(col(idCol).isNotNull)
       .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
-        size(split(col(textCol), " ")).cast("bigint").as("n_toks"))
+        expr(tokenCountExpr.getOrElse(s"size(split($textCol, ' '))"))
+          .cast("bigint").as("n_toks"))
       .withColumn("pri", expr(h56("concat('budget|', cast(doc_id as string))")))
     val docs = (if (budgets.nonEmpty) {
       import spark.implicits._
@@ -4170,8 +4172,9 @@ object LlmOps {
 
   def sampleByTokenBudget(corpus: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text",
-      budgets: Map[String, Long] = Map.empty): DataFrame =
-    budgetCum(corpus, sourceCol, idCol, textCol, budgets)
+      budgets: Map[String, Long] = Map.empty,
+      tokenCountExpr: Option[String] = None): DataFrame =
+    budgetCum(corpus, sourceCol, idCol, textCol, budgets, tokenCountExpr)
       .filter(col("cum_toks") <= col("b"))
       .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
 
@@ -4204,8 +4207,10 @@ object LlmOps {
     */
   def upsampleToTokenBudget(corpus: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text",
-      budgets: Map[String, Long] = Map.empty): DataFrame = {
-    val cum0 = budgetCum(corpus, sourceCol, idCol, textCol, budgets)
+      budgets: Map[String, Long] = Map.empty,
+      tokenCountExpr: Option[String] = None): DataFrame = {
+    val cum0 = budgetCum(corpus, sourceCol, idCol, textCol, budgets,
+      tokenCountExpr)
     val cum = if (budgets.nonEmpty) cum0
       else cum0.withColumn("b", expr(upBudgetSql("source")).cast("bigint"))
     val totals = cum.groupBy("source").agg(sum("n_toks").as("t_s"))
@@ -4403,10 +4408,18 @@ object LlmOps {
 
   def packSequences(corpus: DataFrame, budget: Int = 2048,
       shardSize: Long = 1000L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = textCorpus(corpus, idCol, textCol)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      textCol: String = "text",
+      tokenCountExpr: Option[String] = None): DataFrame = {
+    // tokenCountExpr makes the packer TOKENIZER-CONSISTENT: real budgets
+    // are tokenizer tokens, not whitespace splits — pass a column a
+    // tokenizer produced (e.g. [[bpeApplyStored]]'s n_tokens joined onto
+    // the corpus) or any SQL expression over the corpus row. The default
+    // keeps the historical whitespace count byte-identical. One narrow
+    // projection either way — the two-level prefix-sum shape is
+    // count-source-agnostic.
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      expr(tokenCountExpr.getOrElse(s"size(split($textCol, ' '))"))
+        .cast("bigint").as("n_tokens"))
     // both the window branch and the shard-totals branch read this frame —
     // persist it (ids + counts only, text never cached) or the corpus gets
     // scanned and tokenized twice
@@ -4436,8 +4449,9 @@ object LlmOps {
     */
   def packApply(corpus: DataFrame, budget: Int = 2048,
       shardSize: Long = 1000L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    packSequences(corpus, budget, shardSize, idCol, textCol)
+      textCol: String = "text",
+      tokenCountExpr: Option[String] = None): DataFrame =
+    packSequences(corpus, budget, shardSize, idCol, textCol, tokenCountExpr)
       .select(col("doc_id"), col("n_tokens"), col("start_off"),
         explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
       .withColumn("tok_start",
@@ -4464,10 +4478,11 @@ object LlmOps {
     */
   def packShards(corpus: DataFrame, shards: Int = ShuffleShards,
       shardSize: Long = 1000L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCountExpr: Option[String] = None): DataFrame = {
     require(shards > 0, "shards must be positive")
     val off = packSequences(corpus, shardSize = shardSize,
-        idCol = idCol, textCol = textCol)
+        idCol = idCol, textCol = textCol, tokenCountExpr = tokenCountExpr)
       .select("doc_id", "n_tokens", "start_off")
     val total = off.agg(sum(col("n_tokens")).as("total"))
     off.crossJoin(broadcast(total))

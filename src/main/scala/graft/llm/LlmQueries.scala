@@ -439,6 +439,14 @@ object LlmQueries {
     // recipes are written in; two-level bucketed prefix sum inside
     // each domain (plan-asserted, no domain-wide window)
     "llm_domain_budget" -> ((s, d) => LlmOps.sampleByTokenBudget(Tables.documents(s, d))),
+    // the TOKENIZER-CONSISTENT budget variant: the same bucketed-cumsum
+    // prefix law with n_toks plugged from the BPE-ish regex tokenizer
+    // (llm_token_count's re_tokens) instead of the whitespace split —
+    // the pluggable-count contract (a bpeApplyStored n_tokens column
+    // rides the same parameter; spec'd, not oracle-expressible)
+    "llm_budget_tok" -> ((s, d) => LlmOps.sampleByTokenBudget(
+      Tables.documents(s, d), tokenCountExpr =
+        Some("cast(regexp_count(text, '[a-z0-9]+|[^a-z0-9 ]') as bigint)"))),
     // token-budget domain UPSAMPLING: fill each domain's budget by
     // cyclic repetition — b div T full epochs per doc plus the
     // remainder's hash-order prefix, closed-form off the same bucketed
@@ -831,6 +839,7 @@ object LlmQueries {
     "llm_domain_mix"    -> Seq(col("source"), col("doc_id")),
     "llm_domain_upsample" -> Seq(col("doc_id"), col("epoch")),
     "llm_domain_budget" -> Seq(col("source"), col("doc_id")),
+    "llm_budget_tok"    -> Seq(col("source"), col("doc_id")),
     "llm_budget_upsample" -> Seq(col("source"), col("doc_id"), col("epoch")),
     "llm_dedup_incremental" -> Seq(col("doc_id")),
     "llm_corpus_diff"   -> Seq(col("doc_id")),
@@ -2328,6 +2337,23 @@ object LlmQueries {
       s"""WITH d AS (
          |  SELECT source, doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    ${h56Duck("concat('budget|', CAST(doc_id AS VARCHAR))")} AS pri,
+         |    CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 400 AS BIGINT) AS b
+         |  FROM documents
+         |),
+         |c AS (SELECT source, doc_id, n_toks, b,
+         |        SUM(n_toks) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |      FROM d)
+         |SELECT source, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+         |FROM c WHERE cum_toks <= b ORDER BY source, doc_id""".stripMargin,
+
+    // the tokenizer-consistent variant: the identical prefix law with
+    // n_toks from the regex tokenizer (llm_token_count's re_tokens)
+    "llm_budget_tok" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_toks,
          |    ${h56Duck("concat('budget|', CAST(doc_id AS VARCHAR))")} AS pri,
          |    CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 400 AS BIGINT) AS b
          |  FROM documents

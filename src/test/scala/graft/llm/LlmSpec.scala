@@ -2493,6 +2493,42 @@ class LlmSpec extends SparkSpec {
     assert(idxRows(ix5)._2 === cleanSigs)
   }
 
+  test("pluggable token accounting: packer and budget sampler consume a tokenizer's counts") {
+    import org.apache.spark.sql.functions.lit
+    // a corpus with a tokenizer-produced count column (stands in for
+    // bpeApplyStored's n_tokens joined back) that deliberately disagrees
+    // with the whitespace count
+    val d = docs(1L -> "a b c", 2L -> "d e", 3L -> "f g h i", 4L -> "j")
+      .withColumn("n_bpe", (col("doc_id") * 3 + 1).cast("bigint"))
+    // packer: start offsets must be prefix sums of the PLUGGED counts
+    val packed = LlmOps.packSequences(d, budget = 8,
+        tokenCountExpr = Some("n_bpe")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(1L) === ((4L, 0L)) && packed(2L) === ((7L, 4L)) &&
+      packed(3L) === ((10L, 11L)) && packed(4L) === ((13L, 21L)),
+      s"offsets must cumsum the plugged counts, got $packed")
+    // shard manifest rides the same counts
+    val sh = LlmOps.packShards(d, shards = 2,
+        tokenCountExpr = Some("n_bpe")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sh(1L) === 0L && sh(4L) === 1L, s"token-balanced split: $sh")
+    // budget sampler: the maximal prefix under the PLUGGED counts
+    // (salted-hash order); with budget map src t -> 12 and counts
+    // 4/7/10/13 the prefix law keeps docs until the running sum crosses
+    val kept = LlmOps.sampleByTokenBudget(d.withColumn("source", lit("t")),
+        budgets = Map("t" -> 12L), tokenCountExpr = Some("n_bpe")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.forall(_._3 <= 12L) && kept.nonEmpty,
+      s"inclusive running sums must stay within the budget: ${kept.toSeq}")
+    assert(kept.map(_._2).toSet.subsetOf(Set(4L, 7L, 10L, 13L)),
+      "n_toks must be the plugged counts")
+    // default path unchanged: explicit whitespace expression ≡ default
+    val a = LlmOps.packSequences(d).collect().map(_.toSeq).toSet
+    val b = LlmOps.packSequences(d,
+      tokenCountExpr = Some("size(split(text, ' '))")).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("per-language LM: a doc scores under its own language's model, and minority languages keep their own bar") {
     import org.apache.spark.sql.functions.lit
     // majority language 'en' (20 docs) vs minority 'xx' (3 docs). The
