@@ -1521,7 +1521,7 @@ object LlmOps {
   /** [[docBigrams]] with the document's language label riding every
     * bigram row — the derivation the per-language model family shares.
     */
-  private def docBigramsLang(corpus: DataFrame, idCol: String,
+  private[llm] def docBigramsLang(corpus: DataFrame, idCol: String,
       textCol: String, langCol: String): DataFrame =
     ensureBigramRle(corpus.select(col(idCol).as("doc_id"),
         col(textCol).as("text"), col(langCol).as("lang")))
@@ -1575,9 +1575,23 @@ object LlmOps {
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang",
       broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
-    val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bg = docBigramsLang(docs, idCol, textCol, langCol).persist(lvl)
+    fluencyStoredByLangFrom(docs, bg, modelDir, idCol, textCol, langCol,
+      broadcastMaxRows)
+  }
+
+  /** [[fluencyStoredByLang]] over a caller-derived (caller-persisted,
+    * caller-released) [[docBigramsLang]] frame — the live loop's form
+    * ([[fluencyStoredFrom]]'s per-language twin): the epoch owns the
+    * shared lang-bigram cache, and the footprint job here materializes
+    * it as a side effect.
+    */
+  def fluencyStoredByLangFrom(docs: DataFrame, bg: DataFrame,
+      modelDir: String, idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    val spark = docs.sparkSession
     val fp = bg.agg(
         collect_set(struct(col("lang"), lmBucket(col("w1")).as("wb"))).as("lw"),
         sum(col("n")).as("toks"))

@@ -95,7 +95,12 @@ object StreamingIngest {
     * index and appends nothing, so it adds NO crash window: a replayed
     * epoch scores identically against the generation-frozen model.
     * Short docs (< 2 tokens, no transition evidence) drop with the
-    * disfluent ones.
+    * disfluent ones. `lmLangDir` swaps the gate's artifact for the
+    * PER-LANGUAGE model family ([[LlmOps.buildFluencyModelByLang]]):
+    * each doc scores under its own language's frozen model (`langCol`
+    * labels the batch), the probe prunes by (lang, wb), and the crash
+    * reasoning is unchanged — mutually exclusive with `lmDir` (it
+    * REPLACES the global bar, it doesn't stack a second one).
     *
     * `pqIndexDir` keeps a stored [[LlmOps.buildPqIndex]] serving index in
     * lockstep as well: survivors' vectors are encoded against the FROZEN
@@ -144,6 +149,8 @@ object StreamingIngest {
       semanticThreshold: Option[Double] = None,
       pqIndexDir: Option[String] = None,
       lmDir: Option[String] = None,
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang",
       fluencyThreshold: Option[Double] = None,
       qualityGate: Boolean = false,
       qualityModelDir: Option[String] = None,
@@ -153,8 +160,11 @@ object StreamingIngest {
       epochHook: Long => Unit = _ => ()): StreamingQuery = {
     require(semanticThreshold.isEmpty || annIndexDir.nonEmpty,
       "semanticThreshold needs annIndexDir: the semantic gate probes the stored cell table")
-    require(fluencyThreshold.isEmpty || lmDir.nonEmpty,
-      "fluencyThreshold needs lmDir: the fluency gate scores against the stored bigram LM")
+    require(fluencyThreshold.isEmpty || lmDir.nonEmpty || lmLangDir.nonEmpty,
+      "fluencyThreshold needs lmDir or lmLangDir: the fluency gate scores against a stored bigram LM")
+    require(lmDir.isEmpty || lmLangDir.isEmpty,
+      "lmDir and lmLangDir are mutually exclusive: one fluency bar per loop " +
+        "(the per-language model IS the global model's replacement, not a second gate)")
     // startup recovery: a previous run may have died INSIDE a compaction
     // swap (table level) or a PQ REBUILD swap (parent level — the whole
     // artifact renamed away mid-generation-change), leaving an index
@@ -171,6 +181,7 @@ object StreamingIngest {
     // (generation artifacts), but a REBUILD that crashed mid-swap leaves
     // the parent renamed away — same recovery as the PQ artifact parent
     lmDir.foreach(graft.cdc.Compaction.recoverDir)
+    lmLangDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/grams"))
     // the trained quality classifier is read-only in the loop too — but a
@@ -258,13 +269,28 @@ object StreamingIngest {
         // scores identically. Docs with fewer than two tokens have no
         // transition evidence and drop with the disfluent ones — the
         // short-doc discipline of a production LM filter.
+        // global (lmDir) or PER-LANGUAGE (lmLangDir) reference model:
+        // same gate slot, same frozen-artifact replay reasoning — only
+        // the bigram derivation (language label rides each row) and the
+        // probe's pruning key ((lang, wb) instead of wb) differ. The
+        // per-language form is the CCNet regime: each doc scores under
+        // ITS language's model, so a minority-language batch never pays
+        // (or gets judged by) the majority's transition mass.
         val bgF = fluencyThreshold.map { _ =>
-          LlmOps.docBigrams(kept0, idCol, textCol).persist(lvl)
+          (if (lmLangDir.isDefined)
+            LlmOps.docBigramsLang(kept0, idCol, textCol, langCol)
+          else LlmOps.docBigrams(kept0, idCol, textCol)).persist(lvl)
         }
         val kept1 = (fluencyThreshold, bgF) match {
           case (Some(ft), Some(bgf)) =>
-            val fluent = LlmOps.fluencyStoredFrom(bgf, lmDir.get)
-              .filter(col("fluency") >= ft)
+            val scored = lmLangDir match {
+              case Some(ld) => LlmOps.fluencyStoredByLangFrom(
+                kept0.select(col(idCol).as("doc_id"),
+                  col(textCol).as("text"), col(langCol).as("lang")),
+                bgf, ld)
+              case None => LlmOps.fluencyStoredFrom(bgf, lmDir.get)
+            }
+            val fluent = scored.filter(col("fluency") >= ft)
               .select(col("doc_id").as(idCol))
             kept0.join(fluent, Seq(idCol), "left_semi")
           case _ => kept0

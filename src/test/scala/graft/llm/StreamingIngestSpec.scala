@@ -231,6 +231,73 @@ class StreamingIngestSpec extends SparkSpec {
       "index must grow by the fluency-gate survivors only")
   }
 
+  test("per-language fluency gate in the live loop: the minority doc its own model admits is not judged on the majority's bar") {
+    val idx = Files.createTempDirectory("graft-sil-idx").toString
+    val lm = Files.createTempDirectory("graft-sil-lm").toString
+    val lmG = Files.createTempDirectory("graft-sil-lmg").toString
+    val src = Files.createTempDirectory("graft-sil-src").toString
+    val out = Files.createTempDirectory("graft-sil-out").toString
+    val outG = Files.createTempDirectory("graft-sil-outg").toString
+    val ckp = Files.createTempDirectory("graft-sil-ckp").toString
+    val ckpG = Files.createTempDirectory("graft-sil-ckpg").toString
+
+    def langDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+    // trusted corpus: en majority shares the prefix 'the' with the xx
+    // minority but transitions differently from it — the dilution shape
+    // (the per-language LM spec's fixture, live)
+    val trusted = langDocs(
+      (1L to 20L).map(i =>
+        (i * 10, "the dog runs and the cat sleeps and the bird sings now", "en")) ++ Seq(
+        (5L, "the zub mira the zub mira the zub mira dun", "xx"),
+        (15L, "the zub mira dun the zub mira the zub dun", "xx")): _*)
+    LlmOps.buildMinHashIndex(trusted, idx)
+    LlmOps.buildFluencyModelByLang(trusted, lm)
+    LlmOps.buildFluencyModel(trusted, lmG)
+
+    val batchFile = new java.io.File(src, "b0.parquet")
+    val tmp = s"$src/_b0"
+    // arriving xx doc: every transition is in the xx model (per-lang
+    // fluency high), but the global model's pooled c1('the') dilutes it
+    // under the 0.5 bar — plus an en control that passes either way
+    langDocs(
+      (200L, "the zub mira the zub mira the zub dun mira", "xx"),
+      (201L, "the dog runs and the cat sleeps now", "en"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, batchFile.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+    StreamingIngest.start(spark, src, idx, out, ckp,
+      lmLangDir = Some(lm), fluencyThreshold = Some(0.5))
+      .awaitTermination()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(200L, 201L),
+      s"the per-language bar must admit the fluent xx doc, got $admitted")
+
+    // control: the SAME batch under the GLOBAL model drops the xx doc —
+    // the dilution the per-language deployment exists to fix
+    val idxG = Files.createTempDirectory("graft-sil-idx2").toString
+    LlmOps.buildMinHashIndex(trusted, idxG)
+    StreamingIngest.start(spark, src, idxG, outG, ckpG,
+      lmDir = Some(lmG), fluencyThreshold = Some(0.5))
+      .awaitTermination()
+    val admittedG = spark.read.parquet(outG)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedG === Set(201L),
+      s"the global bar must drop the diluted xx doc, got $admittedG")
+    // mutual-exclusion contract
+    intercept[IllegalArgumentException] {
+      StreamingIngest.start(spark, src, idx, out, ckp,
+        lmDir = Some(lmG), lmLangDir = Some(lm),
+        fluencyThreshold = Some(0.5))
+    }
+  }
+
   test("ANN index rides the gate: an epoch-0 survivor's vector is probe-visible post-drain") {
     val idx = Files.createTempDirectory("graft-si3-idx").toString
     val ann = Files.createTempDirectory("graft-si3-ann").toString
