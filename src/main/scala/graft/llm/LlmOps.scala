@@ -2078,10 +2078,33 @@ object LlmOps {
     */
   def qclfAgreement(corpus: DataFrame, tau: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val labels = TextAnalysis.qualityFilter(qclfBase(corpus, idCol, textCol))
-      .select(col("doc_id"), col("keep"))
-    qualityClassify(corpus, tau, idCol, textCol)
-      .join(labels, "doc_id")
+    // the label RIDES the scoring chain instead of joining back by
+    // doc_id: keep is an in-row projection (qualityFlags) on both the
+    // occurrence and mass frames, and since it is constant per doc the
+    // (doc_id, keep) grouping reproduces qclfScore's per-doc fold
+    // bit-for-bit — same confusion counts, one whole shuffle join
+    // (labels × scored, corpus-keyed) gone from the plan
+    val base = TextAnalysis.qualityFlags(qclfBase(corpus, idCol, textCol))
+      .select(col("doc_id"), col("text"), col("keep"))
+    val toks = base.select(col("doc_id"), col("keep"),
+      explode(split(col("text"), " ")).as("tok"))
+    val mass = base.select(col("doc_id"), col("keep"),
+      lit(null).cast("double").as("v"),
+      size(split(col("text"), " ")).cast("bigint").as("nn"))
+    val matched = qclfCounts(corpus, idCol, textCol).join(toks, "tok")
+      .select(col("doc_id"), col("keep"),
+        (((col("c_pos") + 1).cast("double") *
+          (col("t_neg") + col("vv")).cast("double")) /
+          ((col("c_neg") + 1).cast("double") *
+            (col("t_pos") + col("vv")).cast("double"))).as("v"),
+        lit(0L).as("nn"))
+    matched.unionByName(mass)
+      .groupBy("doc_id", "keep")
+      .agg(sum(col("nn")).as("n_toks"),
+        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("r_sum"))
+      .select(col("keep"),
+        (col("r_sum") / col("n_toks").cast("double") >= tau).as("pred"))
       .groupBy(col("keep"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
   }
