@@ -2078,38 +2078,19 @@ object LlmOps {
     */
   def qclfAgreement(corpus: DataFrame, tau: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // the label RIDES the scoring chain instead of joining back by
-    // doc_id — but ONLY on the per-doc mass rows: the heuristic flags
-    // chain (qualityFlags — trigram-shingle arrays per row) is priced
-    // once per DOCUMENT there, while the per-OCCURRENCE frame stays the
-    // bare (doc_id, tok) projection (a first attempt put the flags on
-    // both branches and re-evaluated the shingle arrays per occurrence —
-    // 1.26 → 1.52 s, worse than the join it replaced). Exactly one mass
-    // row per doc carries a non-null keep, so max() recovers it at the
-    // fold and the confusion counts are bit-identical to the join form;
-    // the corpus-keyed labels-x-scored shuffle join is gone.
-    val base = qclfBase(corpus, idCol, textCol)
-    val toks = base.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val mass = TextAnalysis.qualityFlags(base)
-      .select(col("doc_id"), col("keep"),
-        lit(null).cast("double").as("v"),
-        size(split(col("text"), " ")).cast("bigint").as("nn"))
-    val matched = qclfCounts(corpus, idCol, textCol).join(toks, "tok")
-      .select(col("doc_id"), lit(null).cast("boolean").as("keep"),
-        (((col("c_pos") + 1).cast("double") *
-          (col("t_neg") + col("vv")).cast("double")) /
-          ((col("c_neg") + 1).cast("double") *
-            (col("t_pos") + col("vv")).cast("double"))).as("v"),
-        lit(0L).as("nn"))
-    matched.unionByName(mass)
-      .groupBy("doc_id")
-      .agg(max(col("keep")).as("keep"),
-        sum(col("nn")).as("n_toks"),
-        expr("aggregate(array_sort(collect_list(v)), cast(0.0 as double), (a, x) -> a + x)")
-          .as("r_sum"))
-      .select(col("keep"),
-        (col("r_sum") / col("n_toks").cast("double") >= tau).as("pred"))
+    // the label frame joins back by doc_id — DELIBERATELY: two measured
+    // alternatives that thread `keep` through the scoring chain itself
+    // both lose (same quiet window, interleaved A/B medians): flags on
+    // the occurrence frame re-evaluate the trigram-shingle arrays per
+    // occurrence (1.26 → 1.52 s), and flags on the mass rows alone force
+    // the per-doc fold to carry a nullable keep through the union and a
+    // max() recovery (join 1.55 vs fold-carried 1.79 s). The labels join
+    // ships (doc_id, boolean) against (doc_id, score) — cheap — while
+    // the scoring aggregate stays the lean shared shape.
+    val labels = TextAnalysis.qualityFilter(qclfBase(corpus, idCol, textCol))
+      .select(col("doc_id"), col("keep"))
+    qualityClassify(corpus, tau, idCol, textCol)
+      .join(labels, "doc_id")
       .groupBy(col("keep"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
   }
