@@ -1587,18 +1587,28 @@ object LlmOps {
     * shared lang-bigram cache, and the footprint job here materializes
     * it as a side effect.
     */
+  /** The per-language probe's one-row eager payload over a
+    * [[docBigramsLang]] frame: the distinct (lang, wb) footprint (`lm_lw`,
+    * ≤ languages × [[LmBuckets]] pairs) and the batch transition mass
+    * (`lm_lt`, the size gate) — the [[lmFpAgg]] shape, language-keyed.
+    * Exposed so an orchestrator ([[curateDelta]]'s by-lang path) can
+    * crossJoin it into its ONE fused driver barrier.
+    */
+  def lmLangFpAgg(bg: DataFrame): DataFrame =
+    bg.agg(
+      collect_set(struct(col("lang"), lmBucket(col("w1")).as("wb"))).as("lm_lw"),
+      sum(col("n")).as("lm_lt"))
+
   def fluencyStoredByLangFrom(docs: DataFrame, bg: DataFrame,
       modelDir: String, idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang",
-      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = GateBroadcastMaxRows,
+      fpRow: Option[org.apache.spark.sql.Row] = None): DataFrame = {
     val spark = docs.sparkSession
-    val fp = bg.agg(
-        collect_set(struct(col("lang"), lmBucket(col("w1")).as("wb"))).as("lw"),
-        sum(col("n")).as("toks"))
-      .collect()(0)
-    val pairs = Option(fp.getSeq[org.apache.spark.sql.Row](fp.fieldIndex("lw")))
+    val fp = fpRow.getOrElse(lmLangFpAgg(bg).collect()(0))
+    val pairs = Option(fp.getSeq[org.apache.spark.sql.Row](fp.fieldIndex("lm_lw")))
       .getOrElse(Seq.empty).map(r => (r.getString(0), r.getInt(1)))
-    val toksAt = fp.fieldIndex("toks")
+    val toksAt = fp.fieldIndex("lm_lt")
     val small = broadcastMaxRows > 0 &&
       (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -2905,6 +2915,32 @@ object LlmOps {
        |UNION ALL
        |SELECT doc_id + 90000000, text || ' drift' FROM documents WHERE doc_id % 17 = 0""".stripMargin
 
+  /** [[snapshotCurate]] with the language label carried — re-crawls and
+    * near-dup arrivals inherit their source doc's language, the fixture
+    * the PER-LANGUAGE nightly bar scores.
+    */
+  def snapshotCurateLang(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"), col("lang"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"), col("text"),
+          col("lang")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 90000000L).as("doc_id"),
+          concat(col("text"), lit(" drift")).as("text"), col("lang")))
+
+  val SnapshotCurateLangSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+      |       lang
+      |FROM documents WHERE doc_id % 11 <> 0
+      |UNION ALL
+      |SELECT doc_id + 70000000, text, lang FROM documents WHERE doc_id % 13 = 0
+      |UNION ALL
+      |SELECT doc_id + 90000000, text || ' drift', lang FROM documents WHERE doc_id % 17 = 0""".stripMargin
+
   /** Incremental curation between crawl generations — what a production
     * pipeline runs NIGHTLY once [[curationFunnel]] has signed off the
     * initial corpus: only the new generation's churn (added/changed docs,
@@ -2942,10 +2978,13 @@ object LlmOps {
       lmDir: Option[String] = None,
       fluencyThreshold: Double = 0.0333,
       decontamDir: Option[String] = None,
-      maxSharedGrams: Long = 0L): DataFrame =
+      maxSharedGrams: Long = 0L,
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang"): DataFrame =
     curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
       lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
-      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame],
+      lmLangDir, langCol)
 
   /** [[curateDelta]] for a LONG-LIVED service: materializes the stage
     * counts, releases every cache the run pinned, and returns the report
@@ -2962,10 +3001,13 @@ object LlmOps {
       lmDir: Option[String] = None,
       fluencyThreshold: Double = 0.0333,
       decontamDir: Option[String] = None,
-      maxSharedGrams: Long = 0L): Seq[(String, Long)] = {
+      maxSharedGrams: Long = 0L,
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang"): Seq[(String, Long)] = {
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val out = curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol,
-      threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins)
+      threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins,
+      lmLangDir, langCol)
     val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     pins.foreach(_.unpersist(false))
     rows
@@ -3020,11 +3062,23 @@ object LlmOps {
       indexDir: String, idCol: String, textCol: String, threshold: Double,
       lmDir: Option[String], fluencyThreshold: Double,
       decontamDir: Option[String], maxSharedGrams: Long,
-      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DeltaGates = {
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame],
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang"): DeltaGates = {
+    require(lmDir.isEmpty || lmLangDir.isEmpty,
+      "lmDir and lmLangDir are mutually exclusive: one fluency bar per " +
+        "run (the per-language model replaces the global one)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def pin(df: DataFrame): DataFrame = { pins += df.persist(lvl); df }
     val oldC = textCorpus(oldSnap, idCol, textCol)
-    val newC = textCorpus(newSnap, idCol, textCol)
+    // with the PER-LANGUAGE bar on, the churn carries its language label
+    // through the chain (the scoring and its (lang, wb) footprint need
+    // it); every other gate ignores the extra column
+    val newC =
+      if (lmLangDir.isDefined)
+        ensureH56(newSnap).select(col(idCol).as("doc_id"),
+          col(textCol).as("text"), col(langCol).as("lang"))
+      else textCorpus(newSnap, idCol, textCol)
     val oldFp = pin(oldC.select(col("doc_id"), md5(col("text")).as("oh")))
     // churn = added ∪ changed: the corpusDiff decision, inlined over the
     // shared fingerprints (removed docs don't ingest, so the left join
@@ -3066,8 +3120,13 @@ object LlmOps {
     // driver barrier instead of two or three sequential ones. Each
     // barrier here is a full stage chain over the churn derivation —
     // fusing them is the difference between this query and its oracle.
+    // the per-language bar's shared bigram frame (pinned: the fused
+    // footprint agg AND the scoring probe both read it)
+    val bgLang = lmLangDir.map(_ =>
+      pin(docBigramsLang(eC, "doc_id", "text", "lang")))
     val aggs = Seq(mhFpAgg(bBands)) ++
       lmDir.map(_ => lmFpAgg(eC)) ++
+      bgLang.map(lmLangFpAgg) ++
       cleanIds.map(_.agg(count(lit(1)).as("dc_n")))
     val fused = aggs.reduce(_ crossJoin _).collect()(0)
     val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
@@ -3079,9 +3138,14 @@ object LlmOps {
     // the optional NIGHTLY LM bar — scores the cached exact survivors
     // (the round-12 restructure: the LM chain runs concurrently with the
     // probe chain inside the final job instead of sitting behind it)
-    val fluentIds = lmDir.map { lm =>
-      fluencyStored(eC, lm, fpRow = Some(fused))
-        .filter(col("fluency") >= fluencyThreshold).select("doc_id")
+    val fluentIds = (lmDir, lmLangDir, bgLang) match {
+      case (Some(lm), _, _) => Some(
+        fluencyStored(eC, lm, fpRow = Some(fused))
+          .filter(col("fluency") >= fluencyThreshold).select("doc_id"))
+      case (_, Some(ld), Some(bgl)) => Some(
+        fluencyStoredByLangFrom(eC, bgl, ld, fpRow = Some(fused))
+          .filter(col("fluency") >= fluencyThreshold).select("doc_id"))
+      case _ => None
     }
     val survivorIds0 = fluentIds match {
       case Some(fl) => kept.join(fl, Seq("doc_id"), "left_semi")
@@ -3100,9 +3164,12 @@ object LlmOps {
       indexDir: String, idCol: String, textCol: String, threshold: Double,
       lmDir: Option[String], fluencyThreshold: Double,
       decontamDir: Option[String], maxSharedGrams: Long,
-      pins: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame],
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang"): DataFrame = {
     val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
-      lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins)
+      lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins,
+      lmLangDir, langCol)
     val spark = g.delta.sparkSession
     import spark.implicits._
     def stage(name: String, df: DataFrame) =
@@ -3194,9 +3261,12 @@ object LlmOps {
       decontamDir: Option[String] = None,
       maxSharedGrams: Long = 0L,
       compactAfter: Boolean = true,
-      crashHook: String => Unit = _ => ()): (Long, Boolean) = {
+      crashHook: String => Unit = _ => (),
+      lmLangDir: Option[String] = None,
+      langCol: String = "lang"): (Long, Boolean) = {
     val spark = newSnap.sparkSession
     graft.cdc.Compaction.recoverDir(corpusDir)
+    lmLangDir.foreach(graft.cdc.Compaction.recoverDir)
     graft.cdc.Compaction.recoverDir(indexDir)
     Seq(s"$indexDir/signatures", s"$indexDir/bands")
       .foreach(graft.cdc.Compaction.recoverDir)
@@ -3225,7 +3295,7 @@ object LlmOps {
       } else {
         val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol,
           threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
-          pins)
+          pins, lmLangDir, langCol)
         // survivors persisted: the corpus write, the index append's two
         // derivations, and the returned count all consume it
         val s = g.survivors

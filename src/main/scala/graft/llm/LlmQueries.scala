@@ -521,6 +521,17 @@ object LlmQueries {
         lmDir = Some(lmDir(s, d)),
         decontamDir = Some(decontamIndexDir(s, d)), maxSharedGrams = 5L)
     }),
+    // the nightly delta with the PER-LANGUAGE bar: churn-only gates as
+    // llm_curate_delta, then survivors score under their OWN language's
+    // stored model — the live loop's lmLangDir deployment, nightly
+    // (bar 0.034: per-lang scores sit in [0.027, 0.051] across SFs and
+    // 0.034 is discriminative at all three — the DeltaApplyBar lesson)
+    "llm_curate_delta_lang" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.curateDelta(base, LlmOps.snapshotCurateLang(base),
+        mhIndexDir(s, d), lmLangDir = Some(s"${lmLangDir(s, d)}/lm"),
+        fluencyThreshold = 0.034)
+    }),
     // the nightly delta's TERMINAL ADMIT: the every-gate delta's
     // survivors committed into the epoch-partitioned stored corpus (and
     // their signatures appended to the index) behind one crash-windowed
@@ -864,6 +875,7 @@ object LlmQueries {
     "llm_curate_delta"  -> Seq(col("stage")),
     "llm_curate_delta_full" -> Seq(col("stage")),
     "llm_curate_delta_apply" -> Seq(col("doc_id")),
+    "llm_curate_delta_lang" -> Seq(col("stage")),
     "llm_curate_delta_lm" -> Seq(col("stage")),
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
@@ -1171,6 +1183,36 @@ object LlmQueries {
        |nb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM sbic GROUP BY 1),
        |fl AS (SELECT nb.doc_id, COALESCE(fm.fs, CAST(0.0 AS DOUBLE)) / CAST(nb.nbg AS DOUBLE) AS f
        |       FROM nb LEFT JOIN fm USING (doc_id))""".stripMargin
+
+  /** [[lmScoreCtes]]'s per-language form over an arbitrary survivor set:
+    * model counts keyed by lang from `documents`, the survivors of
+    * `survivorsSql` (must expose doc_id, text, lang) scored under their
+    * own language's transitions — ends with `lfl(doc_id, f)`. Used by
+    * the per-language nightly oracle; kept separate from
+    * [[lmLangScoreCtes]] (which scores the corpus against itself) so
+    * each stays a drop-in for its global sibling.
+    */
+  private def lmLangScoreCtesFor(survivorsSql: String): String =
+    s"""lmtk AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+       |lmbi AS (SELECT lang, t[i.i] AS w1, t[i.i + 1] AS w2
+       |        FROM lmtk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+       |        WHERE len(t) >= 2),
+       |lmc2 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM lmbi GROUP BY 1, 2, 3),
+       |lmc1 AS (SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lmc2 GROUP BY 1, 2),
+       |lstk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM ($survivorsSql) sv),
+       |lsbi AS (SELECT doc_id, lang, t[i.i] AS w1, t[i.i + 1] AS w2
+       |        FROM lstk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+       |        WHERE len(t) >= 2),
+       |lsbic AS (SELECT doc_id, lang, w1, w2, count(*) AS n FROM lsbi GROUP BY 1, 2, 3, 4),
+       |lfm AS (SELECT s.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_sort(list(CAST(s.n AS DOUBLE) * (CAST(lmc2.c2 AS DOUBLE) / CAST(lmc1.c1 AS DOUBLE))))),
+       |         (a, v) -> a + v) AS fs
+       |       FROM lsbic s JOIN lmc2 ON s.lang = lmc2.lang AND s.w1 = lmc2.w1 AND s.w2 = lmc2.w2
+       |       JOIN lmc1 ON s.lang = lmc1.lang AND s.w1 = lmc1.w1
+       |       GROUP BY s.doc_id),
+       |lnb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nbg FROM lsbic GROUP BY 1),
+       |lfl AS (SELECT lnb.doc_id, COALESCE(lfm.fs, CAST(0.0 AS DOUBLE)) / CAST(lnb.nbg AS DOUBLE) AS f
+       |       FROM lnb LEFT JOIN lfm USING (doc_id))""".stripMargin
 
   /** The PER-LANGUAGE scoring chain ending with
     * `lflc(doc_id, lang, nbg, fluency)` — [[lmScoreCtes]]'s arithmetic
@@ -2854,6 +2896,35 @@ object LlmQueries {
          |FROM nearkept n JOIN fl ON n.doc_id = fl.doc_id
          |WHERE fl.f >= CAST($DeltaApplyBar AS DOUBLE)
          |ORDER BY n.doc_id""".stripMargin,
+
+    // the per-language nightly: the delta chain with the language label
+    // carried (churn/quality/exact/near identical to llm_curate_delta —
+    // lang is a passenger), stage 4 scoring survivors against the
+    // LANG-KEYED model counts (lmLangScoreCtesFor — the lmScoreCtes
+    // arithmetic with c2/c1 per (lang, w1[, w2]))
+    "llm_curate_delta_lang" ->
+      s"""WITH nxt AS (${LlmOps.SnapshotCurateLangSql}),
+         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         |delta AS (
+         |  SELECT n.doc_id, n.text, n.lang
+         |  FROM (SELECT doc_id, text, lang, md5(text) AS nh FROM nxt) n
+         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+         |q AS (SELECT doc_id, text, lang FROM delta
+         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+         |batch AS (SELECT doc_id, text, lang FROM q
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+         |${incGateCtes("batch", "documents", selfExcl = true)},
+         |nearkept AS (SELECT b.doc_id, b.text, b.lang FROM batch b
+         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)),
+         |${lmLangScoreCtesFor("SELECT doc_id, text, lang FROM nearkept")}
+         |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '2_exact', count(*) FROM batch
+         |UNION ALL SELECT '3_near', count(*) FROM nearkept
+         |UNION ALL SELECT '4_fluent',
+         |  (SELECT count(*) FROM lfl WHERE f >= CAST(0.034 AS DOUBLE))
+         |ORDER BY stage""".stripMargin,
 
     "llm_curate_delta_lm" ->
       s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),

@@ -2406,6 +2406,57 @@ class LlmSpec extends SparkSpec {
     bystander.unpersist()
   }
 
+  test("per-language nightly bar: the minority update its own model admits is not judged on the majority's") {
+    import org.apache.spark.sql.functions.lit
+    def langDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang").withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+    // the dilution fixture, nightly: base corpus with a shared 'the'
+    // prefix transitioning differently per language
+    val base = langDocs(
+      (1L to 20L).map(i =>
+        (i * 10, "the dog runs and the cat sleeps and the bird sings now", "en")) ++ Seq(
+        (5L, "the zub mira the zub mira the zub mira dun", "xx"),
+        (15L, "the zub mira dun the zub mira the zub dun", "xx")): _*)
+    val ix = java.nio.file.Files.createTempDirectory("graft-cdl-ix").toString
+    val lm = java.nio.file.Files.createTempDirectory("graft-cdl-lm").toString
+    val lmG = java.nio.file.Files.createTempDirectory("graft-cdl-lmg").toString
+    LlmOps.buildMinHashIndex(base, ix)
+    LlmOps.buildFluencyModelByLang(base, lm)
+    LlmOps.buildFluencyModel(base, lmG)
+    // the nightly churn: an xx arrival (shingle-novel under LSH — the
+    // kelo filler breaks trigram overlap with both base xx docs at
+    // Jaccard 0.2/0.36; transition-modeled enough for per-lang fluency
+    // ≈0.71 but globally diluted to ≈0.43 by en's the→dog/cat/bird
+    // mass) + an en control (reordered walk, Jaccard 0.58 vs the shared
+    // base text, fluent ≈0.8 per-lang / ≈0.69 global — passes both bars)
+    val next = langDocs(
+      (200L, "the zub mira dun the zub kelo dun the kelo mira", "xx"),
+      (201L, "the bird sings now the dog runs and the cat sleeps", "en"))
+    val perLang = LlmOps.curateDelta(base, next, ix,
+        lmLangDir = Some(lm), fluencyThreshold = 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang("4_fluent") === 2L,
+      s"both updates clear their own language's bar, got $perLang")
+    val global = LlmOps.curateDelta(base, next, ix,
+        lmDir = Some(lmG), fluencyThreshold = 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(global("4_fluent") === 1L,
+      s"the global bar drops the diluted xx update, got $global")
+    // the terminal commit takes the per-language bar too
+    val c = java.nio.file.Files.createTempDirectory("graft-cdl-c").toString
+    val (n, _) = LlmOps.curateDeltaApply(base, next, c, ix, epoch = 1L,
+      lmLangDir = Some(lm), fluencyThreshold = 0.5)
+    assert(n === 2L, "the apply must commit the per-language survivors")
+    assert(spark.read.parquet(c).filter(col("epoch") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(200L, 201L))
+    // mutual exclusion holds across the nightly surfaces
+    intercept[IllegalArgumentException] {
+      LlmOps.curateDelta(base, next, ix, lmDir = Some(lmG),
+        lmLangDir = Some(lm)).collect()
+    }
+  }
+
   test("curateDeltaApply: survivors commit once; every crash window replays to convergence") {
     val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
     val base = docs(1L -> mk("alpha"), 2L -> mk("beta"),

@@ -304,8 +304,11 @@ class PlanQualitySpec extends SparkSpec {
   test("delta curation with the LM bar: both stored scans pruned, neither artifact a broadcast build side") {
     // the every-gate nightly (delta_full) must keep the identical shape:
     // its extra gram probe is the inverted-broadcast artifact and is
-    // deliberately NOT in the forbidden-leaf list below
-    for (q <- Seq("llm_curate_delta_lm", "llm_curate_delta_full"))
+    // deliberately NOT in the forbidden-leaf list below. The per-language
+    // nightly (delta_lang) swaps the model artifact — its bigrams scan
+    // must carry the (lang, wb) footprint the same way.
+    for (q <- Seq("llm_curate_delta_lm", "llm_curate_delta_full",
+        "llm_curate_delta_lang"))
       assertDeltaShape(q)
   }
 
@@ -317,10 +320,20 @@ class PlanQualitySpec extends SparkSpec {
     // the near gate's band scan carries the churn's STATIC bucket set
     val bandsAt = p.indexOf("/bands], PartitionFilters: [")
     assert(bandsAt >= 0, s"bands scan missing partition filters:\n${p.take(1500)}")
-    // the LM probe's model scan carries the churn's bucket footprint
+    // the LM probe's model scan carries the churn's bucket footprint.
+    // Checked on the scan EXEC's partitionFilters expressions, not the
+    // plan text: the scan node's metadata string truncates at 100 chars
+    // and the per-language form's nested (lang = x AND wb = y)
+    // disjunction blows that budget with parentheses alone.
     val lmAt = p.indexOf("/bigrams], PartitionFilters: [")
     assert(lmAt >= 0, s"model scan missing partition filters:\n${p.take(1500)}")
-    assert(p.substring(lmAt, math.min(p.length, lmAt + 120)).contains("wb"),
+    val lmScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/bigrams")) => s
+    }
+    assert(lmScans.nonEmpty, "expected a file scan of the stored model")
+    assert(lmScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "wb"))),
       "model partition filter must pin the wb bucket set")
     // neither stored artifact may be a broadcast build side (all-index-
     // leaf build subtree = raw artifact broadcast, the at-scale killer)
