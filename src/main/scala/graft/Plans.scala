@@ -53,7 +53,8 @@ object Plans {
       "llm_quality_clf_idx" -> "batch scoring off the STORED quality classifier: the batch's token-bucket footprint pinned as a static partition filter on the weight scan, per-occurrence likelihood ratios joined with the batch tokens broadcast (size-gated), unmatched tokens recovered by unioning plain token-count mass rows into ONE per-doc value-sorted fold — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",
       "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage applied as an END-STAGE id intersection (per-doc gates commute) — the exact-survivor/footprint chain no longer waits on the gram join + groupBy; the fused barrier crossJoins band footprint × LM footprint × decontam count into ONE collected row, so the shingle chain and the gram-gate chain materialize concurrently; bare anti-membership gram gate (AQE build side), near probe re-shingling the cached exact survivors as in-stage map work, band and model scans partition-pruned, no text on any top-level exchange",
-      "llm_curate_delta_apply" -> "the nightly's TERMINAL ADMIT read-back: the committed epoch partition scanned with a single epoch partition filter (pure pruning — sibling epochs never opened); the commit itself reuses the delta chain verbatim plus one dynamic-partition-overwrite write of the survivors and one index append ∝ survivors — the stored corpus is never rewritten, the index never rebuilt")
+      "llm_curate_delta_apply" -> "the nightly's TERMINAL ADMIT read-back: the committed epoch partition scanned with a single epoch partition filter (pure pruning — sibling epochs never opened); the commit itself reuses the delta chain verbatim plus one dynamic-partition-overwrite write of the survivors and one index append ∝ survivors — the stored corpus is never rewritten, the index never rebuilt",
+      "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) pairs (a batch never opens another language's directories; asserted on the scan exec since the nested disjunction exceeds the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `runMain graft.Plans`, sf0.1)\n")
     sb.append("\nRegenerate after plan-shape changes; the judge-visible evidence for the\nscale claims in README.\n")
