@@ -1575,11 +1575,40 @@ object LlmOps {
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang",
       broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bg = docBigramsLang(docs, idCol, textCol, langCol).persist(lvl)
-    fluencyStoredByLangFrom(docs, bg, modelDir, idCol, textCol, langCol,
-      broadcastMaxRows)
+    // Footprint from in-row projections over the corpus scan — the
+    // [[lmFpAgg]] shape, language-keyed — so the bigram frame has
+    // exactly ONE consumer (the probability join) and NOTHING is
+    // cached, matching [[fluencyStored]]'s discipline (the previous
+    // form persisted bg with no release path: an unbounded pin in a
+    // long-lived session). Per language, token buckets are a superset
+    // of prefix buckets (pruning stays sound, at most one extra
+    // directory opens per language) and the token total bounds the
+    // bigram mass from above (the size gate only degrades toward the
+    // safe, unhinted side). Orchestrators that own a shared bigram
+    // cache use [[fluencyStoredByLangFrom]] with their own footprint.
+    val fp = lmLangFpAggDocs(docs, textCol, langCol).collect()(0)
+    fluencyStoredByLangFrom(docs,
+      docBigramsLang(docs, idCol, textCol, langCol),
+      modelDir, idCol, textCol, langCol, broadcastMaxRows, Some(fp))
   }
+
+  /** The per-language footprint derived from the CORPUS scan itself
+    * (no bigram encode): distinct (lang, token-bucket) pairs as `lm_lw`
+    * and the batch token total as `lm_lt` — field-compatible with
+    * [[lmLangFpAgg]] (name-based row access downstream), with the two
+    * documented over-approximations of [[lmFpAgg]]: token buckets ⊇
+    * prefix buckets, token total ≥ bigram mass.
+    */
+  def lmLangFpAggDocs(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs.select(col(langCol).as("lang"), col(textCol).as("text"))
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("k"),
+        expr(s"array_distinct(transform(split(text, ' '), w -> pmod(hash(w), $LmBuckets)))").as("bs"))
+      .select(col("lang"), col("k"), posexplode(col("bs")).as(Seq("p", "b")))
+      .agg(
+        collect_set(struct(col("lang"), col("b").as("wb"))).as("lm_lw"),
+        sum(when(col("p") === 0, col("k"))).as("lm_lt"))
 
   /** [[fluencyStoredByLang]] over a caller-derived (caller-persisted,
     * caller-released) [[docBigramsLang]] frame — the live loop's form
@@ -1711,9 +1740,18 @@ object LlmOps {
       .select(col("doc_id"), col("lang"),
         (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
     val cuts = spark.read.parquet(s"$cutsDir/cuts")
-    scored.join(broadcast(cuts), Seq("lang"))
+    // LEFT join — the cut-less-language contract: a language present in
+    // the corpus but absent from the calibration slice (tiny minority +
+    // a sparse refMod slice — precisely who this feature protects) gets
+    // NO cuts row; an inner join would silently drop every one of its
+    // documents. Such languages route whole to 'head' (the keep bucket
+    // under [[lmPartitionApply]]'s selection rule — the conservative
+    // default: an uncalibrated language is retained, never dropped),
+    // stated explicitly rather than through null-comparison fallthrough.
+    scored.join(broadcast(cuts), Seq("lang"), "left_outer")
       .select(col("doc_id"), col("lang"), col("fluency"),
-        when(struct(col("fluency"), col("doc_id")) <=
+        when(col("f1").isNull, lit("head"))
+          .when(struct(col("fluency"), col("doc_id")) <=
             struct(col("f1").as("fluency"), col("d1").as("doc_id")),
           lit("tail"))
           .when(struct(col("fluency"), col("doc_id")) <=
@@ -2139,7 +2177,10 @@ object LlmOps {
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang"): Unit =
     graft.cdc.Compaction.swapDir(s"$dir/w") { tmp =>
-      val base = corpus.select(col(idCol).as("doc_id"),
+      // ensureH56: the tb bucket expr below interpolates h56 — the
+      // builder must resolve on extension-less sessions like every
+      // other h56 surface (the textCorpus discipline)
+      val base = ensureH56(corpus).select(col(idCol).as("doc_id"),
           col(textCol).as("text"), col(langCol).as("lang"))
         .filter(col("text").isNotNull)
       val keep = TextAnalysis.qualityFilter(base)
@@ -2174,7 +2215,10 @@ object LlmOps {
       textCol: String = "text", langCol: String = "lang",
       broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
     val spark = batch.sparkSession
-    val base = batch.select(col(idCol).as("doc_id"),
+    // ensureH56: the footprint expr below interpolates h56 — the probe
+    // must resolve on extension-less sessions (the textCorpus
+    // discipline; every other h56 surface routes through it)
+    val base = ensureH56(batch).select(col(idCol).as("doc_id"),
         col(textCol).as("text"), col(langCol).as("lang"))
       .filter(col("text").isNotNull)
     // fused footprint: distinct (lang, tb) pairs (bucket sets dedup
@@ -2242,16 +2286,21 @@ object LlmOps {
     * correcting it. Same salted-hash priority as [[sampleByHash]], so both
     * samplers agree doc-by-doc and across engines.
     *
-    * Scale: the rank-window path shuffles EVERY row of a stratum onto one
-    * partition — with few huge strata that is the classic low-cardinality
-    * window skew. Whenever the quota fits a heap (`perStratum ≤ heapMaxK`
-    * and the id is integral), the bounded-buffer
-    * [[graft.functions.MinKAgg]] runs instead: per-stratum heaps combine
+    * Scale: a stratum-wide rank window shuffles EVERY row of a stratum
+    * onto one partition — with few huge strata that is the classic
+    * low-cardinality window skew, so NO branch plans one. Whenever the
+    * quota fits a heap (`perStratum ≤ heapMaxK`), the bounded-buffer
+    * [[graft.functions.MinKAgg]] runs: per-stratum heaps combine
     * map-side, nothing larger than perStratum crosses the wire, and the
-    * biggest stratum costs the same as the smallest. Output is identical
-    * to the window path row-for-row (same (pri, id) ascending order, same
-    * ranks — proven by the equivalence spec); `heapMaxK = 0` forces the
-    * window path.
+    * biggest stratum costs the same as the smallest — integral ids ride
+    * in the heap directly, string/decimal ids ride as a second salted
+    * 56-bit hash and join back (see the branch comment). Past the
+    * threshold the bucketed two-level rank runs ([[domainMix]]'s
+    * fallback scheme): in-bucket row_number plus per-bucket count
+    * offsets, never a stratum-wide per-doc window. Output is identical
+    * across all three branches row-for-row (same (pri, id) ascending
+    * order, same ranks — proven by the equivalence specs);
+    * `heapMaxK = 0` forces the two-level-rank path.
     *
     * Contract: rows with a NULL id are dropped up-front, on BOTH paths —
     * the heap path binds (pri, id) into a primitive (Long, Long)
@@ -2277,9 +2326,59 @@ object LlmOps {
         .select(col(stratumCol), posexplode(col("mins")).as(Seq("i", "pv")))
         .select(col(stratumCol), col("pv._2").cast(idType).as(idCol),
           col("pv._1").as("pri"), (col("i") + 1).cast("bigint").as("rnk"))
+    } else if (perStratum <= heapMaxK) {
+      // NON-INTEGRAL ids (string URLs/UUIDs — the common key shape of a
+      // real web corpus) take the SAME bounded-heap path: the heap can't
+      // carry the id itself, so it carries a second, independently
+      // salted 56-bit id hash (`hkey`) as the payload and the ids join
+      // back on (stratum, pri, hkey) afterwards — an equi-join on a
+      // high-cardinality key (no skew; the selected side is bounded by
+      // strata × perStratum). Rank ties under a 56-bit pri collision
+      // break by hkey instead of the raw id — both hashes colliding at
+      // once is the 2⁻¹¹²-class event the dedup family already accepts.
+      // Before this branch existed, EVERY string-id call fell into the
+      // stratum-wide rank window below regardless of quota.
+      val keyed = docs.withColumn("hkey",
+        expr(h56(s"concat('sampk|', cast($idCol as string))")))
+      keyed.groupBy(col(stratumCol))
+        .agg(graft.functions.MinKAgg.udf(perStratum)(
+          col("pri"), col("hkey")).as("mins"))
+        .select(col(stratumCol), posexplode(col("mins")).as(Seq("i", "pv")))
+        .select(col(stratumCol), col("pv._1").as("pri"),
+          col("pv._2").as("hkey"), (col("i") + 1).cast("bigint").as("rnk"))
+        .join(keyed.select(col(stratumCol), col(idCol), col("pri"),
+          col("hkey")), Seq(stratumCol, "pri", "hkey"))
+        .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
     } else {
-      val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
-      docs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      // large-quota fallback: the per-stratum rank via the SAME bucketed
+      // two-level scheme as [[domainMix]]/[[budgetCum]] — a plain
+      // Window.partitionBy(stratum) would serialize a possibly
+      // corpus-sized stratum onto one task (strata are LOW-cardinality
+      // by construction: sources/languages number in the dozens,
+      // documents in the billions). The hash priority's top
+      // [[BudgetBucketBits]] bits form balanced pre-sorted range
+      // buckets; row_number runs inside (stratum, bucket) — parallel —
+      // and per-bucket COUNTS (strata × 64 one-row aggregates) take the
+      // running offset that makes ranks global to the stratum. Bucket =
+      // pri's top bits ⇒ cross-bucket order IS (pri, id) order, so the
+      // stitched ranks equal the single-window form row-for-row
+      // (equivalence spec'd). Nothing is persisted: the frame is a
+      // narrow projection over the corpus scan, and rescanning it for
+      // the tiny offsets aggregate is cheaper than writing a
+      // corpus-sized cache (the domainMix pin-hygiene rule).
+      val bdocs = docs
+        .withColumn("bk", expr(s"pri div ${1L << (56 - BudgetBucketBits)}"))
+      val wIn = Window.partitionBy(col(stratumCol), col("bk"))
+        .orderBy(col("pri"), col(idCol))
+      val wOff = Window.partitionBy(col(stratumCol)).orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bdocs.groupBy(col(stratumCol), col("bk"))
+        .agg(count(lit(1)).as("n_b"))
+        .withColumn("off", coalesce(sum("n_b").over(wOff), lit(0L)))
+        .select(col(stratumCol), col("bk"), col("off"))
+      bdocs.withColumn("rnk_in", row_number().over(wIn).cast("bigint"))
+        .join(broadcast(offsets), Seq(stratumCol, "bk"))
+        .withColumn("rnk", col("off") + col("rnk_in"))
         .filter(col("rnk") <= perStratum)
         .select(col(stratumCol), col(idCol), col("pri"), col("rnk"))
     }
@@ -3289,9 +3388,13 @@ object LlmOps {
     val (survivors, replay) =
       if (epochDir.exists()) {
         // corpus committed, index append unproven: the committed rows
-        // are the survivor set; re-derive their (deterministic) rows
+        // are the survivor set; re-derive their (deterministic) rows.
+        // The committed layout is CANONICAL (doc_id, text) — deltaGates
+        // renames textCol before the write — so the replay read must
+        // select the canonical name too, or a non-default textCol run
+        // would break exactly when recovery is needed.
         (spark.read.parquet(corpusDir).filter(col("epoch") === epoch)
-          .select(col("doc_id"), col(textCol).as("text")), true)
+          .select(col("doc_id"), col("text")), true)
       } else {
         val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol,
           threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
@@ -4110,10 +4213,13 @@ object LlmOps {
       // global to the domain. Bucket = pri's top bits ⇒ cross-bucket
       // order IS (pri, doc_id) order, so the stitched ranks equal the
       // single-window form row-for-row (equivalence spec'd against the
-      // heap path, which already equals the old window form).
+      // heap path, which already equals the old window form). NOT
+      // persisted: the frame is a narrow projection over the corpus
+      // scan with no release path from this lazy builder (an unbounded
+      // pin in a long-lived session), and rescanning it for the tiny
+      // offsets aggregate is cheaper than writing a corpus-sized cache.
       val bdocs = docs
         .withColumn("bk", expr(s"pri div ${1L << (56 - BudgetBucketBits)}"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wIn = Window.partitionBy("source", "bk").orderBy(col("pri"), col("doc_id"))
       val wOff = Window.partitionBy("source").orderBy("bk")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -1753,10 +1753,11 @@ object LlmQueries {
         |    max(CASE WHEN rnk = (2 * cnt + 2) // 3 THEN doc_id END) AS d2
         |  FROM lrk GROUP BY lang)
         |SELECT f.doc_id, f.lang, f.fluency,
-        |  CASE WHEN (f.fluency, f.doc_id) <= (c.f1, c.d1) THEN 'tail'
+        |  CASE WHEN c.f1 IS NULL THEN 'head'
+        |       WHEN (f.fluency, f.doc_id) <= (c.f1, c.d1) THEN 'tail'
         |       WHEN (f.fluency, f.doc_id) <= (c.f2, c.d2) THEN 'middle'
         |       ELSE 'head' END AS bucket
-        |FROM lflc f JOIN lcuts c USING (lang) ORDER BY f.doc_id""".stripMargin,
+        |FROM lflc f LEFT JOIN lcuts c USING (lang) ORDER BY f.doc_id""".stripMargin,
 
     "llm_tok_freq" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1082,6 +1082,29 @@ class LlmSpec extends SparkSpec {
     assert(heap.count(_._1 == "big") === 5)
   }
 
+  test("stratified sample: string ids ride the bounded heap and match the rank form row-for-row") {
+    // the real-web-corpus key shape (string URLs): the heap carries a
+    // second salted id hash and joins the ids back — output must equal
+    // the two-level-rank form (heapMaxK = 0) on every column, and the
+    // quota law must hold on the skewed 200/10/3 shape
+    val rows = (1L to 200L).map(i => (s"url://big/$i", s"t$i", "big")) ++
+      (301L to 310L).map(i => (s"url://mid/$i", s"t$i", "mid")) ++
+      (401L to 403L).map(i => (s"url://tiny/$i", s"t$i", "tiny"))
+    val d = rows.toDF("doc_id", "text", "source")
+    def dump(heapMaxK: Int) =
+      LlmOps.sampleStratified(d, perStratum = 5, heapMaxK = heapMaxK)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(x => (x._1, x._4))
+    val heap = dump(LlmOps.SamplerHeapMaxK)
+    val rank = dump(0)
+    assert(heap === rank)
+    assert(heap.count(_._1 == "tiny") === 3)
+    assert(heap.count(_._1 == "big") === 5)
+    assert(heap.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._4).sorted == (1L to g.length) },
+      s"ranks must be dense 1..k within each stratum: $heap")
+  }
+
   test("domain mix: bounded-heap path ≡ rank-window path on a skewed corpus") {
     // src1 weight 2 over 120 docs, src2 weight 3 over 9, src3 weight 1
     // over 5 → caps 60/3/5 → t = 3 → quotas 6/9/3, with src1 the huge
@@ -2627,6 +2650,18 @@ class LlmSpec extends SparkSpec {
     // 20 en docs → ceil terciles 7/7/6 by the k = ceil(n/3) cut rule
     assert(enCounts === Map("tail" -> 7, "middle" -> 7, "head" -> 6),
       s"en terciles off: $enCounts")
+    // the CUT-LESS-LANGUAGE contract: calibrate on the %10 slice — en's
+    // ids are all multiples of 10, xx's (5, 15, 25) never are, so xx has
+    // NO cuts row. The partition pass must still emit every xx doc
+    // (left join), routed whole to 'head' (uncalibrated languages are
+    // retained, never silently dropped — the minority-protection point)
+    val pDir10 = java.nio.file.Files.createTempDirectory("graft-lmlang-p10").toString
+    LlmOps.buildLmPartitionerByLang(d, mDir, pDir10, refMod = 10)
+    val parts10 = LlmOps.lmPartitionByLang(d, mDir, pDir10).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    assert(parts10.length === 23, "no document may vanish on a cut-less language")
+    assert(parts10.filter(_._1 == "xx").map(_._2).toSeq === Seq("head", "head", "head"),
+      "a language absent from the calibration slice routes whole to the keep bucket")
   }
 
   test("media GC: takedown leaves corpus and index clean; the ghost no longer vetoes a re-encode") {
@@ -2670,5 +2705,64 @@ class LlmSpec extends SparkSpec {
     val asof = Multimodal.readMediaAsOf(spark, s"$root/media", 0L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(asof === Set(2L, 4L), s"epoch-0 survivors only, got $asof")
+  }
+
+  test("curateDeltaApply: non-default text column — crash replay reads the canonical committed layout") {
+    val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val base = docs(1L -> mk("alpha"), 2L -> mk("beta"))
+      .withColumnRenamed("text", "body")
+    val next = docs(2L -> (mk("beta") + " tail"), 7L -> mk("fresh"))
+      .withColumnRenamed("text", "body")
+    val root = java.nio.file.Files.createTempDirectory("graft-cda-col").toString
+    LlmOps.buildMinHashIndex(base, s"$root/ix", textCol = "body")
+    intercept[RuntimeException] {
+      LlmOps.curateDeltaApply(base, next, s"$root/corpus", s"$root/ix",
+        epoch = 1L, textCol = "body",
+        crashHook = at => if (at == "corpus-committed")
+          throw new RuntimeException("crash"))
+    }
+    // the replay window that used to throw column-not-found under a
+    // non-default textCol: the committed partition is canonical
+    // (doc_id, text) regardless of the caller's column name
+    val (n, r) = LlmOps.curateDeltaApply(base, next, s"$root/corpus",
+      s"$root/ix", epoch = 1L, textCol = "body")
+    assert(r && n === 2L, s"replay must converge, got ($n, $r)")
+    assert(spark.read.parquet(s"$root/corpus").filter(col("epoch") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 7L))
+  }
+
+  test("fluencyStoredByLang pins nothing: no persistent RDDs survive the probe") {
+    val d = Seq((10L, "the dog runs and the cat sleeps", "en"),
+        (20L, "the zub mira dun the zub mira", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val mDir = java.nio.file.Files.createTempDirectory("graft-lmpin").toString
+    LlmOps.buildFluencyModelByLang(d, mDir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = LlmOps.fluencyStoredByLang(d, mDir).collect()
+    assert(out.length === 2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"the convenience probe must cache nothing (fluencyStored's shape), leaked RDD ids $leaked")
+  }
+
+  test("per-language classifier resolves h56 on a session without GraftExtensions") {
+    // newSession clones a fresh FunctionRegistry — dropping h56 there
+    // models a session built without the extensions, without touching
+    // the shared suite session
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("h56"))
+    assert(!s2.catalog.functionExists("h56"))
+    import s2.implicits._
+    val d = Seq(
+        (1L, "solid useful prose with plenty of ordinary words here", "en"),
+        (2L, "zq zq zq zq zq zq zq zq zq zq zq zq", "en"),
+        (3L, "another perfectly reasonable document of normal text", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qclf-noext").toString
+    LlmOps.buildQualityClassifierByLang(d, dir)
+    val out = LlmOps.qualityScoreStoredByLang(d, dir).collect()
+    assert(out.length === 3,
+      "builder and probe must run on the extension-less session via the UDF fallback")
   }
 }

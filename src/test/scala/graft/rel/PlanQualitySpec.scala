@@ -72,6 +72,33 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: no stratum-wide per-doc window in any branch") {
+    // all FOUR reachable branches — integral/string id × heap/two-level
+    // rank — must avoid Window.partitionBy(stratum) over the doc frame
+    // (the low-cardinality skew trap: a corpus-sized stratum on one
+    // task). Trap shape = a window spec partitioned by source with pri
+    // as the FIRST order key; the two-level rank's in-bucket window is
+    // keyed (source, bk) and its offset window orders the 64-per-stratum
+    // bucket aggregates by bk — both fine (the domainMix pin's rule).
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val ds = d.withColumn("doc_id", col("doc_id").cast("string"))
+    for {
+      frame <- Seq(d, ds)
+      heapK <- Seq(graft.llm.LlmOps.SamplerHeapMaxK, 0)
+    } {
+      val p = graft.llm.LlmOps.sampleStratified(frame, perStratum = 5,
+        heapMaxK = heapK).queryExecution.executedPlan.toString
+      assert(!"windowspecdefinition\\(source#\\d+[L]?, pri#".r
+          .findFirstIn(p).isDefined,
+        s"heapMaxK=$heapK planned a stratum-wide per-doc window:\n${p.take(1200)}")
+      if (heapK > 0)
+        assert(p.contains("ObjectHashAggregate"),
+          s"heapMaxK=$heapK must plan the bounded-heap aggregator:\n${p.take(1200)}")
+    }
+  }
+
   test("domain upsample is one narrow generator pass: no exchange at all") {
     // the scaladoc's scale claim made falsifiable: hash, copy count, and
     // the sequence explode all fuse into the scan stage — zero shuffles
