@@ -97,6 +97,21 @@ object LlmOps {
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 10000000, text || ' graft near dup tail' FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** [[nearDupCorpus]] with the language label carried — injected near
+    * copies inherit their base doc's language: the fixture the
+    * PER-LANGUAGE batch funnel scores.
+    */
+  def nearDupCorpusLang(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text", "lang").unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" graft near dup tail")).as("text"),
+          col("lang")))
+
+  val NearCorpusLangSql: String =
+    """SELECT doc_id, text, lang FROM documents
+      |UNION ALL SELECT doc_id + 10000000, text || ' graft near dup tail', lang FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   /** vectors (as array<double>) ∪ perturbed copies of every 10th. */
   def cosineCorpus(base: DataFrame): DataFrame =
     base.select("vec_id", "e").unionByName(
@@ -2853,10 +2868,19 @@ object LlmOps {
     */
   private def fullStages(corpus: DataFrame, lmDir: String,
       decontamDir: String, threshold: Double, maxSharedGrams: Long,
-      idCol: String, textCol: String)
+      idCol: String, textCol: String,
+      lmLangDir: Option[String] = None, langCol: String = "lang")
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val raw = textCorpus(corpus, idCol, textCol)
+    // with the PER-LANGUAGE bar on, the corpus carries its language
+    // label through the chain (the deltaGates convention): the stage-5
+    // scorer and its (lang, wb) footprint need it, every earlier gate
+    // ignores the extra column
+    val raw =
+      if (lmLangDir.isDefined)
+        ensureH56(corpus).select(col(idCol).as("doc_id"),
+          col(textCol).as("text"), col(langCol).as("lang"))
+      else textCorpus(corpus, idCol, textCol)
     val qIds = TextAnalysis.qualityFilter(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id").persist(lvl)
     // ONE shingling of the quality survivors (the [[StreamingIngest]]
@@ -2890,8 +2914,17 @@ object LlmOps {
       .filter(col("jaccard") >= 0.6)
     val eCorpus = raw.join(eIds, Seq("doc_id"), "left_semi")
     val kept = dedupApply(eCorpus, verified).persist(lvl)
-    val fluent = fluencyStored(kept, lmDir)
-      .filter(col("fluency") >= threshold).select("doc_id")
+    // the LM bar — global model, or each survivor under its OWN
+    // language's stored model (the three-surface parity rule: the live
+    // loop and the nightly delta already accept lmLangDir). The
+    // per-language probe's footprint job and bigram encode both read
+    // the persisted stage-4 cache.
+    val fluent = lmLangDir match {
+      case Some(ld) => fluencyStoredByLang(kept, ld)
+        .filter(col("fluency") >= threshold).select("doc_id")
+      case None => fluencyStored(kept, lmDir)
+        .filter(col("fluency") >= threshold).select("doc_id")
+    }
     (raw, qIds, clean, eIds, kept, fluent)
   }
 
@@ -2901,6 +2934,35 @@ object LlmOps {
       textCol: String = "text"): DataFrame = {
     val (raw, qIds, clean, eIds, kept, fluent) = fullStages(
       corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    stage("0_raw", raw)
+      .unionByName(stage("1_quality", qIds))
+      .unionByName(stage("2_decontam", clean))
+      .unionByName(stage("3_exact_dedup", eIds))
+      .unionByName(stage("4_near_dedup", kept))
+      .unionByName(stage("5_fluent", fluent))
+  }
+
+  /** [[curationFunnelFull]] with the PER-LANGUAGE fluency bar — the last
+    * of the three curation surfaces to take `lmLangDir` (live ingest
+    * loop and nightly delta already do — the three-surface parity rule):
+    * stage-4 survivors score under their OWN language's stored
+    * [[buildFluencyModelByLang]] transitions, so a minority-language doc
+    * is judged against its own bar instead of being diluted by the
+    * majority's transition mass. Same chain, same one-shingling
+    * discipline, same six stage counts — only the stage-5 scorer
+    * differs ([[fluencyStoredByLang]]: (lang, wb)-pruned model scan,
+    * batch-side size-gated broadcast, never the artifact).
+    */
+  def curationFunnelFullLang(corpus: DataFrame, lmLangDir: String,
+      decontamDir: String, threshold: Double = 0.0333,
+      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val (raw, qIds, clean, eIds, kept, fluent) = fullStages(
+      corpus, "", decontamDir, threshold, maxSharedGrams, idCol, textCol,
+      lmLangDir = Some(lmLangDir), langCol = langCol)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))

@@ -488,6 +488,15 @@ object LlmQueries {
     "llm_curate_full_apply" -> ((s, d) => LlmOps.curationApplyFull(
       LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
       decontamIndexDir(s, d), maxSharedGrams = 5L)),
+    // the COMPLETE batch pipeline under the PER-LANGUAGE bar — closing
+    // the three-surface parity (live loop and nightly delta already
+    // accept lmLangDir): the same six gates as llm_curate_full, stage 5
+    // scoring each survivor against its OWN language's stored model
+    // (bar 0.034, the llm_curate_delta_lang convention)
+    "llm_curate_full_lang" -> ((s, d) => LlmOps.curationFunnelFullLang(
+      LlmOps.nearDupCorpusLang(Tables.documents(s, d)),
+      s"${lmLangDir(s, d)}/lm", decontamIndexDir(s, d),
+      threshold = 0.034, maxSharedGrams = 5L)),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -880,6 +889,7 @@ object LlmQueries {
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_full"   -> Seq(col("stage")),
+    "llm_curate_full_lang" -> Seq(col("stage")),
     "llm_curate_full_apply" -> Seq(col("doc_id")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
@@ -2288,6 +2298,27 @@ object LlmQueries {
          |UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM corpus)
          |UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv)
          |UNION ALL SELECT '5_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
+         |ORDER BY stage""".stripMargin,
+
+    // the PER-LANGUAGE full pipeline: the SAME shared chain through
+    // stage 4 (fullPipelineCtes verbatim — single-sourcing), survivors
+    // re-labeled with their language from the lang-carrying fixture,
+    // stage 5 scored by the LANG-KEYED model counts (lmLangScoreCtesFor,
+    // shared with llm_curate_delta_lang — the lmScoreCtes discipline)
+    "llm_curate_full_lang" ->
+      s"""WITH RECURSIVE $fullPipelineCtes,
+         |lcorp AS (${LlmOps.NearCorpusLangSql}),
+         |lsurv AS (SELECT s.doc_id, s.text, lc.lang
+         |          FROM surv s JOIN lcorp lc USING (doc_id)),
+         |${lmLangScoreCtesFor("SELECT doc_id, text, lang FROM lsurv")}
+         |SELECT '0_raw' AS stage,
+         |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
+         |UNION ALL SELECT '1_quality', (SELECT count(*) FROM qtok)
+         |UNION ALL SELECT '2_decontam', (SELECT count(*) FROM clean)
+         |UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM corpus)
+         |UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv)
+         |UNION ALL SELECT '5_fluent',
+         |  (SELECT count(*) FROM lfl WHERE f >= CAST(0.034 AS DOUBLE))
          |ORDER BY stage""".stripMargin,
 
     // the full pipeline's terminal corpus over the SAME chain: stage-4

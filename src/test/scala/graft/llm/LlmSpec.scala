@@ -2707,6 +2707,46 @@ class LlmSpec extends SparkSpec {
     assert(asof === Set(2L, 4L), s"epoch-0 survivors only, got $asof")
   }
 
+  test("per-language batch funnel: the minority survivor clears its own bar where the global funnel drops it") {
+    import org.apache.spark.sql.functions.lit
+    def langDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang").withColumn("source", lit("t"))
+    // the per-language LM fixture (dilution case): en majority sharing
+    // the 'the' prefix with a 3-doc xx minority whose transitions the
+    // GLOBAL model deflates below the bar
+    val en = (1L to 20L).map(i =>
+      (i * 10, "the dog runs and the cat sleeps and the bird sings now", "en"))
+    val xx = Seq(
+      (5L, "the zub mira the zub mira the zub mira dun", "xx"),
+      (15L, "the zub mira dun the zub mira the zub dun", "xx"),
+      (25L, "the zub dun mira the zub mira the zub mira", "xx"))
+    val d = langDocs((en ++ xx): _*)
+    val lmL = java.nio.file.Files.createTempDirectory("graft-ffl-lml").toString
+    val lmG = java.nio.file.Files.createTempDirectory("graft-ffl-lmg").toString
+    val dc = java.nio.file.Files.createTempDirectory("graft-ffl-dc").toString
+    LlmOps.buildFluencyModelByLang(d, lmL)
+    LlmOps.buildFluencyModel(d, lmG)
+    LlmOps.buildDecontamIndex(
+      docs(900L -> "totally unrelated benchmark prose sharing no trigram at all"), dc)
+    def stages(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = stages(LlmOps.curationFunnelFullLang(d, lmL, dc, threshold = 0.5))
+    val glob = stages(LlmOps.curationFunnelFull(d, lmG, dc, threshold = 0.5))
+    // gates 0-4 are bar-independent: both funnels agree stage for stage
+    for (s <- Seq("0_raw", "1_quality", "2_decontam", "3_exact_dedup", "4_near_dedup"))
+      assert(perLang(s) === glob(s), s"stage $s must not depend on the bar")
+    assert(perLang("4_near_dedup") >= 2L,
+      s"fixture must carry an en and an xx survivor into stage 5, got $perLang")
+    // the parity point: under its own language's model every survivor
+    // clears 0.5; under the global model the xx survivor is diluted
+    // below it and drops — the exact asymmetry the per-language family
+    // exists to fix, now closed on the batch surface too
+    assert(perLang("5_fluent") === perLang("4_near_dedup"),
+      s"every survivor must clear its own language's bar, got $perLang")
+    assert(glob("5_fluent") < glob("4_near_dedup"),
+      s"the global bar must drop the diluted minority survivor, got $glob")
+  }
+
   test("curateDeltaApply: non-default text column — crash replay reads the canonical committed layout") {
     val mk = (seed: String) => (1 to 30).map(i => s"$seed$i").mkString(" ")
     val base = docs(1L -> mk("alpha"), 2L -> mk("beta"))

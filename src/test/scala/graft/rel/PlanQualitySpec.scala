@@ -535,18 +535,51 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     // the ONE deliberately inverted broadcast rule: benchmark gram sets
     // are eval-suite-bounded (megabytes vs a 100 TB probe side), so THIS
-    // stored table must broadcast where every other artifact must not
-    val df = SparkEntry.queries("llm_curate_full")(spark, sf)
-    val joins = df.queryExecution.sparkPlan
-      .collect { case j: BroadcastHashJoinExec => j }
-    val gramBuild = joins.exists { j =>
+    // stored table must broadcast where every other artifact must not —
+    // on the global AND the per-language form of the full pipeline
+    for (q <- Seq("llm_curate_full", "llm_curate_full_lang")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val joins = df.queryExecution.sparkPlan
+        .collect { case j: BroadcastHashJoinExec => j }
+      val gramBuild = joins.exists { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        build.collectLeaves().exists(_.toString.contains("/grams"))
+      }
+      assert(gramBuild, s"$q: the gram membership probe must broadcast the artifact")
+    }
+  }
+
+  test("per-language full funnel: model scan carries the (lang, wb) footprint, artifact never a build side") {
+    // the delta pin (assertDeltaShape's model half) extended to the
+    // batch surface: stage 5's stored per-language bigrams scan must be
+    // partition-pruned by the survivors' (lang, wb) footprint and must
+    // never be a broadcast build side (the at-scale killer)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = SparkEntry.queries("llm_curate_full_lang")(spark, sf)
+    val lmScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("/bigrams")) => s
+    }
+    assert(lmScans.nonEmpty, "expected a file scan of the stored per-language model")
+    assert(lmScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "wb"))),
+      "model partition filter must pin the wb bucket set")
+    assert(lmScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "lang"))),
+      "model partition filter must pin the language set")
+    for (j <- df.queryExecution.sparkPlan.collect { case x: BroadcastHashJoinExec => x }) {
       val build = j.buildSide match {
         case BuildLeft => j.left
         case BuildRight => j.right
       }
-      build.collectLeaves().exists(_.toString.contains("/grams"))
+      assert(!build.collectLeaves().forall(
+          _.toString.contains("/bigrams")),
+        "the stored model must never be a broadcast build side")
     }
-    assert(gramBuild, "the gram membership probe must broadcast the artifact")
   }
 
   test("corpus as-of read is pure epoch partition pruning") {
