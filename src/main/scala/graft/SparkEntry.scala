@@ -6,9 +6,9 @@ import graft.Ord._
 /** Driver contract — see /root/repo/SURVEY.md §7 (build plan) and §8
   * (operator → query/spec coverage matrix).
   *
-  * 159 queries across four domains, every SQL-expressible one paired with
-  * DuckDB oracle SQL (verified bit-exact at sf0.001/0.01/0.1; the five
-  * rows-only entries are mm_decode_stub, q_approx_distinct, llm_bpe_train,
+  * 160 queries across four domains, every SQL-expressible one paired with
+  * DuckDB oracle SQL (verified bit-exact at sf0.001/0.01/0.1; the four
+  * rows-only entries are q_approx_distinct, llm_bpe_train,
   * llm_bpe_apply and llm_bpe_apply_idx):
   *   - [[graft.cdc.CdcQueries]]      — the CDC dataflow (SURVEY §2.2-2.4)
   *   - [[graft.admin.ControlPlane]]  — relational control-plane ops (§2.3-2.8)

@@ -1417,6 +1417,24 @@ object LlmOps {
         sum(col("c2")).as("total_mass"),
         max(col("c1")).as("max_prefix_mass"))
 
+  /** PER-LANGUAGE health of a stored [[buildFluencyModelByLang]]
+    * artifact — the read [[lmStats]] cannot provide: the same four
+    * aggregates grouped by language over the (lang, wb)-partitioned
+    * table, so a collapsed minority-language model (a handful of rows,
+    * vanishing mass — the exact failure the per-language family exists
+    * to prevent, and one a global total averages away) reads as its own
+    * row. One combinable groupBy on the partition column itself
+    * (languages number in the dozens — bounded output); maintenance-
+    * cadence scan of the artifact, never in the probe path.
+    */
+  def lmStatsLang(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/bigrams")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w1")).as("n_prefixes"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("total_mass"),
+        max(col("c1")).as("max_prefix_mass"))
+
   /** Calibrate a CCNet-style head/middle/tail partitioner (Wenzek et
     * al. 2019) and freeze it as a stored artifact: the calibration
     * slice scores against the stored reference LM, its exact tercile
@@ -1679,21 +1697,60 @@ object LlmOps {
         (col("f_sum") / col("n_bigrams").cast("double")).as("fluency"))
   }
 
+  /** Largest per-language calibration sample [[buildLmPartitionerByLang]]
+    * scores: the [[SamplerHeapMaxK]] rationale (a 64k-entry heap ≈ 1 MiB
+    * per language buffer), and 64k docs per language estimate a tercile
+    * bar far inside the noise of the slice itself.
+    */
+  val LmCalibMaxPerLang = 65536
+
+  /** The ABSOLUTE-BOUNDED per-language calibration slice: the `refMod`
+    * sample capped at `maxPerLang` docs per language — bottom-k by a
+    * salted 56-bit id hash via the bounded-buffer
+    * [[graft.functions.MinKAgg]] (heaps combine map-side; nothing larger
+    * than the cap crosses the wire), ids joined back by semi join. At
+    * 100 TB a fraction-only slice puts 10% of the majority language
+    * behind the rank window — the cap bounds both the scoring cost and
+    * the window's largest partition by a CONSTANT, not a corpus
+    * fraction. When the cap exceeds a language's slice the selection is
+    * the identity and the frozen cuts are unchanged (spec'd).
+    */
+  def lmCalibSlice(corpus: DataFrame, refMod: Int = 10,
+      maxPerLang: Int = LmCalibMaxPerLang, idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val slice = corpus.filter(col(idCol) % refMod === 0)
+    val picked = ensureH56(slice)
+      .select(col(langCol).as("lang"),
+        col(idCol).cast("bigint").as("did"),
+        expr(h56(s"concat('lmcal|', cast($idCol as string))")).as("pri"))
+      .groupBy("lang")
+      .agg(graft.functions.MinKAgg.udf(maxPerLang)(
+        col("pri"), col("did")).as("mins"))
+      .select(posexplode(col("mins")).as(Seq("i", "pv")))
+      .select(col("pv._2").as("did"))
+    slice.join(picked, col(idCol) === col("did"), "left_semi")
+  }
+
   /** Calibrate PER-LANGUAGE CCNet tercile cuts against the stored
     * per-language LM and freeze them — [[buildLmPartitioner]] with one
     * cut pair PER LANGUAGE (k-th smallest (fluency, doc_id) within each
     * language, k = ceil(n_l/3), ceil(2·n_l/3)), so minority languages
     * get their own bar instead of the majority's. The rank window is
-    * partitioned by language over the CALIBRATION SLICE only — a sample
-    * bounded by `refMod`, never the corpus (the offline-calibration
-    * budget; the apply pass below is window-free). Cut tuples are exact
-    * scored rows, bit-identical cross-engine.
+    * partitioned by language over the CALIBRATION SLICE only — the
+    * `refMod` sample ABSOLUTE-BOUNDED at `maxPerLang` docs per language
+    * ([[lmCalibSlice]]: MinKAgg bottom-k by a salted id hash), so both
+    * the scoring pass and the window's largest partition are bounded by
+    * the cap, never a corpus fraction (the offline-calibration budget;
+    * the apply pass below is window-free). Cut tuples are exact scored
+    * rows, bit-identical cross-engine; a cap above the slice size leaves
+    * them byte-identical to the uncapped build.
     */
   def buildLmPartitionerByLang(corpus: DataFrame, modelDir: String,
       dir: String, refMod: Int = 10, idCol: String = "doc_id",
-      textCol: String = "text", langCol: String = "lang"): Unit = {
+      textCol: String = "text", langCol: String = "lang",
+      maxPerLang: Int = LmCalibMaxPerLang): Unit = {
     val ref = fluencyStoredByLang(
-        corpus.filter(col(idCol) % refMod === 0), modelDir,
+        lmCalibSlice(corpus, refMod, maxPerLang, idCol, langCol), modelDir,
         idCol, textCol, langCol)
       .select(col("doc_id"), col("lang"), col("fluency"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -7,8 +7,8 @@ import graft.Tables
 /** LLM-pipeline query registry + DuckDB oracle SQL. Each oracle mirrors the
   * Spark formula construct-for-construct (same hash derivation, same
   * ordered FP folds) — see [[LlmOps]] for the cross-engine determinism
-  * rules. `mm_decode_stub` is typed mapPartitions (not SQL-expressible) and
-  * is intentionally absent from the oracle map → rows-only check.
+  * rules. The BPE trio's merge loop is outside static SQL → rows-only;
+  * everything else, the byte-level media decode included, is oracled.
   */
 object LlmQueries {
   import LlmOps.{h56Duck, ExactCorpusSql, NearCorpusSql, NumHashes, Bands, SimHashBits}
@@ -639,6 +639,12 @@ object LlmQueries {
     "llm_fluency_idx"   -> ((s, d) => LlmOps.fluencyStored(
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0), lmDir(s, d))),
     "llm_lm_stats"      -> ((s, d) => LlmOps.lmStats(s, lmDir(s, d))),
+    // PER-LANGUAGE model health: the same four aggregates grouped by
+    // lang over the (lang, wb)-partitioned stored table — a collapsed
+    // minority-language model reads as its own row instead of being
+    // averaged into the global gauge
+    "llm_lm_stats_lang" -> ((s, d) =>
+      LlmOps.lmStatsLang(s, s"${lmLangDir(s, d)}/lm")),
     // batch keyword scoring off the STORED IDF model (the fluency_idx
     // convention: the %10 batch slice against the full-corpus artifact,
     // df scan pruned to the batch's token buckets, batch broadcast)
@@ -717,7 +723,13 @@ object LlmQueries {
 
     "mm_media_meta"     -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "mm_frame_sample"   -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
-    "mm_decode_stub"    -> ((s, d) => Multimodal.decodeStub(s, Tables.documents(s, d))),
+    // REAL byte-level media decode: payloads carry genuine PNG/JPEG/GIF
+    // headers (every 4th headerless), format from the magic, dims from
+    // each format's own layout — all codegen'd builtins, the typed-map
+    // twin (decodeMediaBatch) spec'd byte-identical
+    "mm_decode_header"  -> ((s, d) => Multimodal.decodeMediaHeader(
+      Multimodal.mediaEncoded(Tables.documents(s, d)))
+      .select("doc_id", "format", "width_px", "height_px", "n_bytes")),
     // media dedup — exact byte-hash groups and simhash-over-byte-grams
     // near pairs, over the injected exact+near payload-copy corpus
     // sliding-window chunking: 64-token chunks every 48 tokens (16-token
@@ -915,6 +927,7 @@ object LlmQueries {
     "llm_quality_clf"   -> Seq(col("doc_id")),
     "llm_quality_clf_idx" -> Seq(col("doc_id")),
     "llm_qclf_stats"    -> Seq(col("tb")),
+    "llm_lm_stats_lang" -> Seq(col("lang")),
     "llm_qclf_agreement" -> Seq(col("keep"), col("pred")),
     "llm_fluency"       -> Seq(col("doc_id")),
     "llm_fluency_idx"   -> Seq(col("doc_id")),
@@ -953,7 +966,7 @@ object LlmQueries {
     "mm_embed_join"     -> Seq(col("label")),
     "mm_media_meta"     -> Seq(col("doc_id")),
     "mm_frame_sample"   -> Seq(col("doc_id"), col("frame_idx")),
-    "mm_decode_stub"    -> Seq(col("doc_id")),
+    "mm_decode_header"  -> Seq(col("doc_id")),
     "mm_payload_dedup"  -> Seq(col("keeper_id")),
     "mm_payload_near"   -> Seq(col("id_a"), col("id_b")),
     "mm_payload_apply"  -> Seq(col("doc_id")),
@@ -1714,6 +1727,22 @@ object LlmQueries {
         |  CAST(SUM(c2) AS BIGINT) AS total_mass,
         |  CAST(MAX(c1) AS BIGINT) AS max_prefix_mass
         |FROM c2 JOIN c1 USING (w1)""".stripMargin,
+
+    // the per-language gauge: the same rederivation with every count
+    // keyed by lang — one row per language of the stored artifact
+    "llm_lm_stats_lang" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT lang, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |       WHERE len(t) >= 2),
+        |c2 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2, 3),
+        |c1 AS (SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1, 2)
+        |SELECT lang, CAST(count(DISTINCT w1) AS BIGINT) AS n_prefixes,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(c2) AS BIGINT) AS total_mass,
+        |  CAST(MAX(c1) AS BIGINT) AS max_prefix_mass
+        |FROM c2 JOIN c1 USING (lang, w1)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // CCNet head/middle/tail: the full-corpus scoring chain is
     // llm_fluency's (model = the stored artifact's defining corpus, so
@@ -2549,6 +2578,54 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the REAL header decode: the oracle BUILDS the same encoded payload
+    // blob (header hex assembled textually, unhex'd, body appended) and
+    // then PARSES it with its own hex/position/substr chain — a mirrored
+    // decoder over byte-identical inputs, not a fixture echo. Magic and
+    // dim layouts: PNG sig+IHDR (BE u32 at hex 33-48 of the 32-byte
+    // window), JPEG SOF0 located via the FFC0 quad (byte-aligned ⇔ odd
+    // 1-based hex position), GIF89a LE u16s (byte-swapped hex pairs)
+    "mm_decode_header" ->
+      """WITH m AS (SELECT doc_id,
+        |    64 + (doc_id % 16) * 8 AS width,
+        |    64 + ((doc_id // 16) % 16) * 8 AS height, text FROM documents),
+        |hx AS (SELECT doc_id,
+        |    upper(lpad(to_hex(width), 8, '0')) AS w8,
+        |    upper(lpad(to_hex(height), 8, '0')) AS h8,
+        |    upper(lpad(to_hex(width), 4, '0')) AS w4,
+        |    upper(lpad(to_hex(height), 4, '0')) AS h4, text FROM m),
+        |enc AS (SELECT doc_id,
+        |    unhex(CASE doc_id % 4
+        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452' || w8 || h8 || '0806000000' || '00000000'
+        |      WHEN 1 THEN 'FFD8FFC0' || '001108' || h4 || w4 || '03'
+        |      WHEN 2 THEN '474946383961' || substr(w4, 3, 2) || substr(w4, 1, 2) || substr(h4, 3, 2) || substr(h4, 1, 2) || 'F70000'
+        |      ELSE '' END) || encode(text) AS payload FROM hx),
+        |hdrs AS (SELECT doc_id, payload,
+        |    substr(hex(payload), 1, 64) AS hdr FROM enc),
+        |dec AS (SELECT doc_id, payload, hdr,
+        |    CASE WHEN substr(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |         WHEN substr(hdr, 1, 4) = 'FFD8' THEN 'jpeg'
+        |         WHEN substr(hdr, 1, 12) = '474946383961' THEN 'gif'
+        |         ELSE 'unknown' END AS format,
+        |    COALESCE(position('FFC0' IN hdr), 0) AS sof FROM hdrs)
+        |SELECT doc_id, format,
+        |  CASE WHEN format = 'png' AND length(hdr) >= 48
+        |         THEN CAST('0x' || substr(hdr, 33, 8) AS BIGINT)
+        |       WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1 AND length(hdr) >= sof + 17
+        |         THEN CAST('0x' || substr(hdr, sof + 14, 4) AS BIGINT)
+        |       WHEN format = 'gif' AND length(hdr) >= 20
+        |         THEN CAST('0x' || substr(hdr, 15, 2) || substr(hdr, 13, 2) AS BIGINT)
+        |  END AS width_px,
+        |  CASE WHEN format = 'png' AND length(hdr) >= 48
+        |         THEN CAST('0x' || substr(hdr, 41, 8) AS BIGINT)
+        |       WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1 AND length(hdr) >= sof + 17
+        |         THEN CAST('0x' || substr(hdr, sof + 10, 4) AS BIGINT)
+        |       WHEN format = 'gif' AND length(hdr) >= 20
+        |         THEN CAST('0x' || substr(hdr, 19, 2) || substr(hdr, 17, 2) AS BIGINT)
+        |  END AS height_px,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        |FROM dec ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -2,13 +2,13 @@ package graft
 
 /** The driver-contract invariants the correctness gate relies on:
   * every oracle names a registered query, every query without an
-  * oracle is one of the five documented rows-only entries (each
+  * oracle is one of the four documented rows-only entries (each
   * spec-verified against an independent single-node reference), and
   * every verify-dump sort key names a registered query. Guards the
   * registry drift the per-round hygiene check tracks.
   */
 class EntryContractSpec extends org.scalatest.funsuite.AnyFunSuite {
-  private val rowsOnly = Set("mm_decode_stub", "q_approx_distinct",
+  private val rowsOnly = Set("q_approx_distinct",
     "llm_bpe_train", "llm_bpe_apply", "llm_bpe_apply_idx")
 
   test("every oracle names a registered query; every oracle-less query is documented rows-only") {

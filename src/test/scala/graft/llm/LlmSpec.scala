@@ -1364,11 +1364,43 @@ class LlmSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L, 1L))
   }
 
-  test("multimodal decode stub preserves row count and schema") {
-    val d = docs(1L -> "abc", 2L -> "defg")
-    val out = Multimodal.decodeStub(spark, d)
-    assert(out.columns.toSeq === Seq("doc_id", "fake_luma", "width", "height", "n_bytes"))
-    assert(out.count() === 2L)
+  test("media header decode: real magic + dims for all three formats, unknown contract, typed map ≡ SQL form") {
+    // ids picked to hit all four doc_id % 4 arms: 0=png, 1=jpeg, 2=gif,
+    // 3=headerless; dims derive from the id (width 64+(id%16)*8 etc.)
+    val d = docs(4L -> "png body", 5L -> "jpeg body", 6L -> "gif body",
+      7L -> "raw body")
+    val enc = Multimodal.mediaEncoded(d)
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "format", "width_px", "height_px", "n_bytes")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4))).sortBy(_._1).toSeq
+    val sql = dump(Multimodal.decodeMediaHeader(enc))
+    // the decoded values are the fixture's ground truth, read back from
+    // REAL header bytes (PNG BE u32, JPEG SOF0 u16s, GIF LE u16s)
+    assert(sql === Seq(
+      (4L, "png", Some(96L), Some(64L), 33L + 8L),
+      (5L, "jpeg", Some(104L), Some(64L), 12L + 9L),
+      (6L, "gif", Some(112L), Some(64L), 13L + 8L),
+      (7L, "unknown", None, None, 8L)), s"got $sql")
+    // the typed per-partition form (the real-codec seam) is
+    // byte-for-byte identical to the declarative form
+    assert(dump(Multimodal.decodeMediaBatch(spark, enc)) === sql)
+    // edge payloads: magic-only truncations decode to format + NULL
+    // dims on BOTH forms; empty is unknown
+    import org.apache.spark.sql.functions.{col, expr}
+    val edges = Seq(
+      (1L, "89504E470D0A1A0A"),            // png sig only
+      (2L, "FFD8"),                        // jpeg SOI only
+      (3L, "474946383961F0"),              // gif magic + 1 byte
+      (4L, "")).toDF("doc_id", "hx")
+      .select(col("doc_id"), expr("unhex(hx)").as("payload"))
+    val se = dump(Multimodal.decodeMediaHeader(edges))
+    assert(se.map(x => (x._1, x._2, x._3, x._4)) === Seq(
+      (1L, "png", None, None), (2L, "jpeg", None, None),
+      (3L, "gif", None, None), (4L, "unknown", None, None)), s"got $se")
+    assert(dump(Multimodal.decodeMediaBatch(spark, edges)) === se)
   }
 
   test("edit dedup: empty documents never pair (0/0 rel_edit stays out on both engines)") {
@@ -2783,6 +2815,72 @@ class LlmSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty,
       s"the convenience probe must cache nothing (fluencyStored's shape), leaked RDD ids $leaked")
+  }
+
+  test("lm calibration cap: an above-slice cap reproduces the full-rank cuts; a binding cap stays valid") {
+    import org.apache.spark.sql.functions.lit
+    val en = (1L to 20L).map(i =>
+      (i * 10, "the dog runs and the cat sleeps and the bird sings now", "en"))
+    val xx = Seq(
+      (5L, "the zub mira the zub mira the zub mira dun", "xx"),
+      (15L, "the zub mira dun the zub mira the zub dun", "xx"),
+      (25L, "the zub dun mira the zub mira the zub mira", "xx"))
+    val d = (en ++ xx).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+    val mDir = java.nio.file.Files.createTempDirectory("graft-calib-m").toString
+    LlmOps.buildFluencyModelByLang(d, mDir)
+    // EXPECTED cuts, derived independently: rank the FULL slice per
+    // language by (fluency, doc_id), take the ceil(n/3)/ceil(2n/3) rows
+    val scored = LlmOps.fluencyStoredByLang(d, mDir).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getLong(0)))
+    val expected = scored.groupBy(_._1).map { case (lang, g) =>
+      val s = g.map(x => (x._2, x._3)).sorted
+      val (k1, k2) = ((s.length + 2) / 3, (2 * s.length + 2) / 3)
+      lang -> (s(k1 - 1), s(k2 - 1))
+    }
+    // cap ABOVE every language's slice: the MinKAgg selection is the
+    // identity and the frozen cuts equal the full-rank cuts exactly
+    val pA = java.nio.file.Files.createTempDirectory("graft-calib-a").toString
+    LlmOps.buildLmPartitionerByLang(d, mDir, pA, refMod = 1,
+      maxPerLang = 65536)
+    val cutsA = spark.read.parquet(s"$pA/cuts").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)),
+        (r.getDouble(3), r.getLong(4)))).toMap
+    assert(cutsA === expected,
+      s"above-slice cap must freeze the uncapped cuts, got $cutsA vs $expected")
+    // BINDING cap (2 per language): calibration sees ≤2 docs per
+    // language — the cut rows must come from the slice and the apply
+    // pass still buckets EVERY document
+    val pB = java.nio.file.Files.createTempDirectory("graft-calib-b").toString
+    LlmOps.buildLmPartitionerByLang(d, mDir, pB, refMod = 1, maxPerLang = 2)
+    val cutsB = spark.read.parquet(s"$pB/cuts").collect()
+    assert(cutsB.length === 2, "one cuts row per language")
+    val ids = (en ++ xx).map(_._1).toSet
+    assert(cutsB.forall(r => ids.contains(r.getLong(2)) && ids.contains(r.getLong(4))),
+      "capped cuts must be real sampled rows")
+    assert(LlmOps.lmPartitionByLang(d, mDir, pB).count() === 23L,
+      "a binding cap must still bucket the whole corpus")
+  }
+
+  test("per-language LM gauge: a collapsed minority model is visible as its own (missing) row") {
+    // 'en' trains normally; every 'yy' doc is sub-bigram (one token), so
+    // yy's model collapses to ZERO stored rows — the failure the gauge
+    // exists to surface. The global lmStats would fold en's healthy mass
+    // over the hole; the per-language gauge shows en nonzero and yy GONE.
+    val d = Seq(
+        (1L, "the dog runs and the cat sleeps", "en"),
+        (2L, "the bird sings and the dog naps", "en"),
+        (3L, "solo", "yy"), (4L, "tok", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val mDir = java.nio.file.Files.createTempDirectory("graft-lmgauge").toString
+    LlmOps.buildFluencyModelByLang(d, mDir)
+    val rows = LlmOps.lmStatsLang(spark, mDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.get("en").exists(_ > 0L), s"healthy language must read nonzero mass, got $rows")
+    assert(!rows.contains("yy"),
+      s"a collapsed language must surface as a missing/zero row, not be averaged away: $rows")
+    // and the global gauge over the same artifact indeed hides it
+    assert(LlmOps.lmStats(spark, mDir).collect()(0).getLong(2) > 0L)
   }
 
   test("per-language classifier resolves h56 on a session without GraftExtensions") {

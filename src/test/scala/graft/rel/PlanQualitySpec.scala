@@ -99,6 +99,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("lm calibration slice plans the bounded heap, never a language-wide pri window") {
+    // the scaladoc scale claim made falsifiable (the promised-claims
+    // rule): the per-language calibration sample is absolute-bounded via
+    // the MinKAgg heap — the plan must carry the ObjectHashAggregate and
+    // no window partitioned by lang with pri as the first order key
+    val p = graft.llm.LlmOps.lmCalibSlice(graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"calibration cap must plan the bounded-heap aggregator:\n${p.take(1200)}")
+    assert(!"windowspecdefinition\\(lang#\\d+, pri#".r.findFirstIn(p).isDefined,
+      s"calibration must not rank language-wide per doc:\n${p.take(1200)}")
+  }
+
   test("domain upsample is one narrow generator pass: no exchange at all") {
     // the scaladoc's scale claim made falsifiable: hash, copy count, and
     // the sequence explode all fuse into the scan stage — zero shuffles
