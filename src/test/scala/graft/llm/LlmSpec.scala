@@ -2777,6 +2777,12 @@ class LlmSpec extends SparkSpec {
       s"every survivor must clear its own language's bar, got $perLang")
     assert(glob("5_fluent") < glob("4_near_dedup"),
       s"the global bar must drop the diluted minority survivor, got $glob")
+    // the terminal apply writes exactly the funnel's stage-5 survivors
+    val applied = LlmOps.curationApplyFullLang(d, lmL, dc, threshold = 0.5)
+      .collect()
+    assert(applied.length.toLong === perLang("5_fluent"),
+      "the witness dump must carry the per-language survivor set")
+    assert(applied.forall(r => r.getLong(1) > 0L), "n_chars witnesses real rows")
   }
 
   test("curateDeltaApply: non-default text column — crash replay reads the canonical committed layout") {
