@@ -54,7 +54,10 @@ object Plans {
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",
       "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage applied as an END-STAGE id intersection (per-doc gates commute) — the exact-survivor/footprint chain no longer waits on the gram join + groupBy; the fused barrier crossJoins band footprint × LM footprint × decontam count into ONE collected row, so the shingle chain and the gram-gate chain materialize concurrently; bare anti-membership gram gate (AQE build side), near probe re-shingling the cached exact survivors as in-stage map work, band and model scans partition-pruned, no text on any top-level exchange",
       "llm_curate_delta_apply" -> "the nightly's TERMINAL ADMIT read-back: the committed epoch partition scanned with a single epoch partition filter (pure pruning — sibling epochs never opened); the commit itself reuses the delta chain verbatim plus one dynamic-partition-overwrite write of the survivors and one index append ∝ survivors — the stored corpus is never rewritten, the index never rebuilt",
-      "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) pairs (a batch never opens another language's directories; asserted on the scan exec since the nested disjunction exceeds the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions")
+      "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) pairs (a batch never opens another language's directories; asserted on the scan exec since the nested disjunction exceeds the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions",
+      "llm_curate_full_lang" -> "the COMPLETE batch pipeline under the PER-LANGUAGE bar (three-surface parity closed): llm_curate_full's chain stage for stage, stage 5 swapped for the per-language probe — the (lang, wb) footprint pinned as a static partition filter on the model scan, survivor lang-bigrams size-gate-broadcast, the artifact streamed and never a build side",
+      "llm_dedup_spans_apply" -> "span cutting without the count join: occ ≥ 2 under the per-hash rank already implies duplication, so the fingerprint table shuffles ONCE into the rank window and the count aggregate + join + persist of the report form drop out — cut lists are (doc_id, positions) only, the text is rebuilt by one per-row higher-order filter",
+      "mm_decode_header" -> "REAL byte-level media decode fully inside WholeStageCodegen: format from magic bytes, dims from each format's own header layout (PNG BE u32s, JPEG SOF0 marker scan, GIF LE u16s) — only the first 32 payload bytes are ever hexed, so per-row cost is independent of asset size; no UDF, no custom expression, no shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `runMain graft.Plans`, sf0.1)\n")
     sb.append("\nRegenerate after plan-shape changes; the judge-visible evidence for the\nscale claims in README.\n")

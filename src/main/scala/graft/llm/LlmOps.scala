@@ -301,6 +301,16 @@ object LlmOps {
     * ~n_docs×4 and bucket sizes stay tiny, so no quadratic blowup;
     * signatures travel without the text (arrays re-joined only for
     * surviving candidate pairs).
+    *
+    * Production form at scale: this IN-QUERY shape re-derives signatures
+    * and bands every run and re-shuffles both — its 10× fixed-core wall
+    * ratio has measured 2.4–3.3 across rounds (shuffle-volume-bound;
+    * round 14 removed the band-table cache write, ScaleBench 3.3 → 2.8).
+    * A real pipeline builds the index ONCE ([[buildMinHashIndex]]) and
+    * gates batches through the stored probe
+    * ([[incrementalDedupMinHashIndexed]] — ScaleBench ~0.9, flat): use
+    * the in-query form for one-shot corpus audits, the stored index for
+    * anything recurring.
     */
   def dedupMinHash(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.6): DataFrame = {
@@ -2683,8 +2693,8 @@ object LlmOps {
     * doc, the resulting token count (the number a token-budgeted data
     * build actually needs). Per-row iterative logic — genuinely outside
     * SQL — so this is the documented typed-map extension point (the
-    * [[Multimodal.decodeStub]] precedent): merge ranks broadcast once,
-    * encoding embarrassingly parallel, no shuffle.
+    * [[Multimodal.decodeMediaBatch]] precedent): merge ranks broadcast
+    * once, encoding embarrassingly parallel, no shuffle.
     */
   /** Per-partition word-encode memo cap: BPE encode is a pure function
     * of the word, and word frequency is Zipfian — the same few thousand

@@ -604,8 +604,8 @@ object LlmQueries {
     // the encode step a tokenizer consumer actually calls: merges trained
     // on the 5% doc_id slice (a tokenizer is trained on a sample, then
     // encodes the whole corpus), applied per-doc. The per-word iterative
-    // merge loop is outside static SQL → rows-only (the mm_decode_stub
-    // precedent); token totals cross-checked against the trained merge
+    // merge loop is outside static SQL → rows-only; token totals
+    // cross-checked against the trained merge
     // table by spec (LlmSpec "bpe apply")
     "llm_bpe_apply"     -> ((s, d) => {
       val docs = Tables.documents(s, d)

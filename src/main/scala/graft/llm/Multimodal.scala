@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling: image/audio/video as opaque `binary`
-  * payloads with typed metadata. The container has no media codecs, so the
-  * *decode step is a clearly-marked deterministic fake* (see
-  * [[decodeStub]]); the Spark-side plumbing — binary columns, metadata
-  * schema, per-partition batch iteration, frame-sampling fan-out — is real
-  * and oracle-tested where SQL-expressible.
+  * payloads with typed metadata. The header decode is REAL byte-level
+  * parsing (PNG/JPEG/GIF magic + dimensions — [[decodeMediaHeader]],
+  * oracle-verified; [[decodeMediaBatch]] is the typed per-partition seam
+  * where a deployment swaps in a full pixel codec, which this container
+  * does not ship); binary columns, metadata schema, batch iteration, and
+  * frame-sampling fan-out are all real and oracle-tested where
+  * SQL-expressible.
   */
 object Multimodal {
 
