@@ -163,11 +163,19 @@ object Bench {
     // and the next judge have no quiet median for the missing ones —
     // WARN so the end-of-round snapshot knows to regenerate it AFTER
     // the last query lands.
-    if (priorMedians.nonEmpty && priorMedians.size != SparkEntry.queries.size)
-      System.err.println(
-        s"WARN bench: bench_detail.json covers ${priorMedians.size} queries " +
-          s"but the tree registers ${SparkEntry.queries.size} — the quiet " +
-          "baseline is stale; rerun the full suite on this tree")
+    // compare KEY SETS, not sizes: a same-size rename (adds and drops
+    // balancing out — the round-14 mm_decode_stub → mm_decode_header
+    // case) must not slip through
+    if (priorMedians.nonEmpty) {
+      val missing = SparkEntry.queries.keySet.diff(priorMedians.keySet)
+      val extra = priorMedians.keySet.diff(SparkEntry.queries.keySet)
+      if (missing.nonEmpty || extra.nonEmpty)
+        System.err.println(
+          s"WARN bench: bench_detail.json is stale vs the tree — " +
+            s"missing=[${missing.toSeq.sorted.mkString(",")}] " +
+            s"extra=[${extra.toSeq.sorted.mkString(",")}]; rerun the " +
+            "full suite on this tree")
+    }
     val rereppedPrior = scala.collection.mutable.ArrayBuffer.empty[String]
     if (reps > 1 && priorMedians.nonEmpty) {
       def medOf(runs: Seq[(Double, Boolean)]): Option[Double] = {

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * native [[graft.functions.BigramRle]] output struct).
   */
 case class BigramRow(w1: String, w2: String, n: Long)
+case class TokRow(tok: String, tf: Long)
 
 /** LLM-training-data pipeline operators (north-star extensions; SURVEY §7.2
   * step 6): deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -1206,6 +1207,55 @@ object LlmOps {
     df
   }
 
+  /** [[bigramRleFallback]]'s unigram sibling — the `token_rle` UDF body
+    * for extension-less sessions; same UTF-8 BYTE sort-order contract as
+    * the native [[graft.functions.TokenRle]] (spec-compared).
+    */
+  private[graft] def tokenRleFallback(text: String): Seq[TokRow] =
+    if (text == null) null
+    else {
+      def u8(s: String): Array[Byte] =
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def cmpU8(a: String, b: String): Int = {
+        val (x, y) = (u8(a), u8(b))
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
+      }
+      text.split(" ", -1).toSeq
+        .groupBy(identity).toSeq
+        .map { case (tok, g) => TokRow(tok, g.size.toLong) }
+        .sortWith((a, b) => cmpU8(a.tok, b.tok) < 0)
+    }
+
+  def ensureTokenRle(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (!s.catalog.functionExists("token_rle"))
+      s.udf.register("token_rle", (text: String) => tokenRleFallback(text))
+    df
+  }
+
+  /** The per-doc reduced token-frequency frame (doc_id, tok, tf) —
+    * [[docBigrams]]' unigram sibling, the one derivation every
+    * token-weight scorer starts from: the reduce happens entirely WITHIN
+    * each document's row ([[graft.functions.TokenRle]] — a doc's tokens
+    * all live in its own text, so a per-row sort + run-length encode
+    * replaces a corpus-wide groupBy; pure scan-stage projection, no
+    * exchange). `Σ tf` per doc equals `size(split(text, ' '))`, so the
+    * mass side of a matched-only fold stays derivable from the same
+    * split.
+    */
+  def docTokens(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    ensureTokenRle(textCorpus(corpus, idCol, textCol))
+      .select(col("doc_id"), explode(expr("token_rle(text)")).as("tk"))
+      .select(col("doc_id"), col("tk.tok").as("tok"), col("tk.tf").as("tf"))
+
   // ----------------------------------------------- stored fluency model
 
   /** Directory-partition fan-out of the stored LM's bigram table, and the
@@ -1511,15 +1561,43 @@ object LlmOps {
     * bucket CASE is a literal struct comparison fused into the probe's
     * output projection. No global sort, no window, no second pass.
     */
+  /** The frozen cut tuples as literal comparison structs — one reader
+    * shared by every surface that applies a [[buildLmPartitioner]]
+    * artifact (field names must mirror the probe side's
+    * struct(fluency, doc_id): struct comparison requires same-named
+    * field types).
+    */
+  private def lmCutStructs(spark: SparkSession,
+      cutsDir: String): (Column, Column) = {
+    val c = spark.read.parquet(s"$cutsDir/cuts").collect()(0)
+    (struct(lit(c.getDouble(0)).as("fluency"), lit(c.getLong(1)).as("doc_id")),
+      struct(lit(c.getDouble(2)).as("fluency"), lit(c.getLong(3)).as("doc_id")))
+  }
+
+  /** The head/middle/tail label over a scored (doc_id, fluency) row —
+    * the ONE bucket definition [[lmPartition]], [[lmPartitionApply]]
+    * and the live loop's cuts gate all fuse (single-sourced so the
+    * surfaces can never drift on tie handling).
+    */
+  private def lmBucketCol(cut1: Column, cut2: Column): Column =
+    when(struct(col("fluency"), col("doc_id")) <= cut1, lit("tail"))
+      .when(struct(col("fluency"), col("doc_id")) <= cut2, lit("middle"))
+      .otherwise(lit("head"))
+
+  /** The CCNet selection predicate over a bucketed row: keep the `head`
+    * whole, keep `midPermille`/1000 of the `middle` by salted doc-id
+    * hash (reproducible, order-free, the [[sampleByHash]] discipline),
+    * drop the `tail`.
+    */
+  private def ccnetKeep(midPermille: Int): Column =
+    col("bucket") === "head" || (col("bucket") === "middle" &&
+      expr(s"${h56("concat('lmsamp|', cast(doc_id as string))")} % 1000")
+        < midPermille)
+
   def lmPartition(corpus: DataFrame, modelDir: String, cutsDir: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = corpus.sparkSession
-    val c = spark.read.parquet(s"$cutsDir/cuts").collect()(0)
-    // field names must mirror the probe side's struct(fluency, doc_id)
-    // — struct comparison requires same-named field types
-    val (cut1, cut2) = (
-      struct(lit(c.getDouble(0)).as("fluency"), lit(c.getLong(1)).as("doc_id")),
-      struct(lit(c.getDouble(2)).as("fluency"), lit(c.getLong(3)).as("doc_id")))
+    val (cut1, cut2) = lmCutStructs(spark, cutsDir)
     val mass = textCorpus(corpus, idCol, textCol)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 2)
@@ -1528,19 +1606,13 @@ object LlmOps {
     probeStored(docBigrams(corpus, idCol, textCol), mass, modelDir,
         (0 until LmBuckets).toArray, small = false)
       .select(col("doc_id"), col("fluency"),
-        when(struct(col("fluency"), col("doc_id")) <= cut1, lit("tail"))
-          .when(struct(col("fluency"), col("doc_id")) <= cut2,
-            lit("middle"))
-          .otherwise(lit("head")).as("bucket"))
+        lmBucketCol(cut1, cut2).as("bucket"))
   }
 
   /** Terminal materialization of the stored partition — the CCNet
-    * selection rule: keep the `head` whole, keep `midPermille`/1000 of
-    * the `middle` by salted doc-id hash (reproducible, order-free, the
-    * [[sampleByHash]] discipline — both engines state the identical
-    * md5-derived priority), drop the `tail`. A stateless filter fused
-    * onto [[lmPartition]]'s one probe pass — same plan plus a
-    * predicate, nothing new shuffles.
+    * selection rule ([[ccnetKeep]]): a stateless filter fused onto
+    * [[lmPartition]]'s one probe pass — same plan plus a predicate,
+    * nothing new shuffles.
     */
   def lmPartitionApply(corpus: DataFrame, modelDir: String,
       cutsDir: String, midPermille: Int = 500, idCol: String = "doc_id",
@@ -1548,9 +1620,28 @@ object LlmOps {
     require(midPermille >= 0 && midPermille <= 1000,
       "midPermille is a per-mille keep rate in [0, 1000]")
     lmPartition(corpus, modelDir, cutsDir, idCol, textCol)
-      .filter(col("bucket") === "head" || (col("bucket") === "middle" &&
-        expr(s"${h56("concat('lmsamp|', cast(doc_id as string))")} % 1000")
-          < midPermille))
+      .filter(ccnetKeep(midPermille))
+  }
+
+  /** The frozen-cuts CCNet selection applied to an ALREADY-SCORED
+    * (doc_id, fluency) frame — the rule [[lmPartitionApply]] fuses onto
+    * its own corpus-wide probe, exposed so the live ingest loop can
+    * apply the SAME artifact (same bucket ties, same salted middle
+    * sample) to its per-epoch footprint-pruned score without a second
+    * scoring pass. Returns the kept doc_id frame. Stateless: the cuts
+    * row is a frozen two-tuple artifact, the sample hash is
+    * deterministic in the id — a replayed epoch selects identically,
+    * zero new crash windows.
+    */
+  def lmSelectIdsFrom(scored: DataFrame, cutsDir: String,
+      midPermille: Int = 500): DataFrame = {
+    require(midPermille >= 0 && midPermille <= 1000,
+      "midPermille is a per-mille keep rate in [0, 1000]")
+    val (cut1, cut2) = lmCutStructs(scored.sparkSession, cutsDir)
+    ensureH56(scored)
+      .withColumn("bucket", lmBucketCol(cut1, cut2))
+      .filter(ccnetKeep(midPermille))
+      .select(col("doc_id"))
   }
 
   // --------------------------------------------------- keyword extraction
@@ -1978,6 +2069,110 @@ object LlmOps {
         max(col("df")).as("max_df"),
         sum(col("df")).cast("bigint").as("df_rows"))
 
+  // ------------------------------------------ per-language stored IDF
+
+  /** PER-LANGUAGE stored IDF — [[buildIdfModel]] with the document
+    * frequencies keyed by language: df per (lang, tok), doc count N per
+    * LANGUAGE, one `df/` table partitioned (lang, tb). The
+    * [[buildFluencyModelByLang]] minority-fairness argument applied to
+    * the last global-only frozen-statistics artifact: under POOLED df a
+    * minority language's own stopwords look globally rare (few absolute
+    * documents contain them) and rank as "distinctive" keywords for
+    * every one of its documents, drowning the genuinely document-
+    * specific terms; per-language df restores Zipf's head where the
+    * document actually lives. Rebuild-only through the same atomic swap
+    * (per-language denominators make merging wrong the same way the
+    * global N does). The df derivation explodes the in-row
+    * [[docTokens]] RLE — presence per (doc, tok) is distinct by
+    * construction, so NO (doc, tok) groupBy shuffle precedes the
+    * (lang, tok) count.
+    */
+  def buildIdfModelByLang(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): Unit =
+    graft.cdc.Compaction.swapDir(s"$dir/df") { tmp =>
+      // ensureH56/ensureTokenRle: the tb expr and the RLE must resolve
+      // on extension-less sessions (the textCorpus discipline)
+      val base = ensureTokenRle(ensureH56(corpus))
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          col(langCol).as("lang"))
+        .filter(col("text").isNotNull)
+      val dfreq = base
+        .select(col("lang"), explode(expr("token_rle(text)")).as("tk"))
+        .groupBy(col("lang"), col("tk.tok").as("tok"))
+        .agg(count(lit(1)).as("df"))
+      val nDocs = base.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      dfreq.join(broadcast(nDocs), Seq("lang"))
+        .withColumn("tb", expr(idfTb("tok")))
+        .repartition(col("lang"), col("tb"))
+        .write.mode("overwrite").partitionBy("lang", "tb").parquet(tmp)
+    }
+
+  /** Top-k keywords for a batch against the stored PER-LANGUAGE IDF —
+    * each document's terms weigh against ITS language's df/N: the
+    * batch's bounded (lang, tb) footprint plus its row count collect as
+    * ONE single-row job (the [[qualityScoreStoredByLang]] shape), the
+    * footprint pins a static partition filter on the `df/` scan, the
+    * scored join keys on (lang, tok) with the batch side
+    * size-gate-broadcast — the artifact streamed, pruned, never a
+    * broadcast build side. The batch tf frame is the in-row
+    * [[docTokens]] RLE (no reduce shuffle) and backs the lazy return
+    * (the [[keywordsStored]] cache contract). Same frozen-vocabulary
+    * contract: a (lang, tok) the model never saw cannot be ranked.
+    */
+  def keywordsStoredByLang(batch: DataFrame, dir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang",
+      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+    val spark = batch.sparkSession
+    val base = ensureTokenRle(ensureH56(batch))
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(langCol).as("lang"))
+      .filter(col("text").isNotNull)
+    val tf = base
+      .select(col("doc_id"), col("lang"),
+        explode(expr("token_rle(text)")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        col("tk.tok").as("tok"), col("tk.tf").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpRow = tf
+      .agg(collect_set(struct(col("lang"),
+          expr(idfTb("tok")).as("tb"))).as("pairs"),
+        count(lit(1)).as("n"))
+      .head
+    val pairs = Option(fpRow.getSeq[org.apache.spark.sql.Row](
+        fpRow.fieldIndex("pairs"))).getOrElse(Seq.empty)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val small = broadcastMaxRows > 0 &&
+      fpRow.getLong(fpRow.fieldIndex("n")) <= broadcastMaxRows
+    val model = spark.read.parquet(s"$dir/df").filter(
+      pairs.map { case (l, b) => col("lang") === l && col("tb") === b }
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    val scored = model
+      .join(if (small) broadcast(tf) else tf, Seq("lang", "tok"))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "lang", "rnk", "tok", "tf", "df", "score")
+  }
+
+  /** [[idfModelStats]] grouped by language — the per-language health
+    * read ([[lmStatsLang]]'s IDF twin): a collapsed minority-language
+    * df table (a handful of rows, max_df ≈ its n_docs everywhere)
+    * reads as its own row instead of averaging into the global gauge.
+    * One combinable groupBy on the partition columns; maintenance-
+    * cadence, never in the probe path.
+    */
+  def idfModelStatsByLang(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/df")
+      .groupBy(col("lang"), col("tb").cast("bigint").as("tb"))
+      .agg(count(lit(1)).as("n_toks"),
+        max(col("df")).as("max_df"),
+        sum(col("df")).cast("bigint").as("df_rows"))
+
   // ------------------------------------------ stored quality classifier
 
   /** Token-bucket count for the stored classifier weight table (the
@@ -2077,19 +2272,25 @@ object LlmOps {
     }
 
   /** The scorer shared by [[qualityClassify]] and [[qualityScoreStored]]:
-    * per matched token occurrence, the Laplace-smoothed class-conditional
-    * likelihood ratio r = P(tok|keep)/P(tok|drop) =
+    * per matched DISTINCT (doc, token), the Laplace-smoothed
+    * class-conditional likelihood ratio r = P(tok|keep)/P(tok|drop) =
     * ((c_pos+1)·(t_neg+V)) / ((c_neg+1)·(t_pos+V)) — a ratio of exact
     * integers lifted to double only for the final products (BIGINT
     * products would overflow at corpus scale; the two double
     * multiplications and one division are single IEEE operations, exact
-    * across engines) — and the doc's score the mean ratio over its
-    * tokens via the [[fluencyScore]] value-sorted fold. No ln()/exp():
-    * the mean-ratio score is a monotone per-token transform of the
-    * Naive Bayes evidence that stays inside exactly-reproducible
+    * across engines) — weighted by the token's in-doc frequency in ONE
+    * further multiply (v = tf · r), and the doc's score the mean over
+    * its token OCCURRENCES via the [[fluencyScore]] value-sorted fold.
+    * The probe side arrives reduced to (doc, tok, tf) by the in-row
+    * [[docTokens]] RLE — the [[fluencyScore]] (doc, w1, w2, n)
+    * discipline: the weights join and the per-doc fold pay per distinct
+    * doc-token, never per occurrence (the round-10 tokenFreqScore
+    * regression this family had re-grown on its scoring side). No
+    * ln()/exp(): the mean-ratio score is a monotone per-token transform
+    * of the Naive Bayes evidence that stays inside exactly-reproducible
     * arithmetic (the [[keywords]] rational-idf rationale — libm
     * transcendentals differ across engines and would break hashes).
-    * Unmatched (out-of-vocabulary) occurrences contribute 0 through the
+    * Unmatched (out-of-vocabulary) tokens contribute 0 through the
     * matched-only union — the [[fluencyStored]] semantics: a token the
     * reference corpus never produced is evidence of neither class, and
     * an all-unseen doc scores 0 (below any sane τ), which is the
@@ -2100,10 +2301,11 @@ object LlmOps {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val matched = weights.join(hinted(toks), "tok")
       .select(col("doc_id"),
-        (((col("c_pos") + 1).cast("double") *
-          (col("t_neg") + col("vv")).cast("double")) /
-          ((col("c_neg") + 1).cast("double") *
-            (col("t_pos") + col("vv")).cast("double"))).as("v"),
+        (col("tf").cast("double") *
+          (((col("c_pos") + 1).cast("double") *
+            (col("t_neg") + col("vv")).cast("double")) /
+            ((col("c_neg") + 1).cast("double") *
+              (col("t_pos") + col("vv")).cast("double")))).as("v"),
         lit(0L).as("nn"))
     matched.unionByName(mass)
       .groupBy("doc_id")
@@ -2128,13 +2330,11 @@ object LlmOps {
   def qualityClassify(corpus: DataFrame, tau: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = qclfBase(corpus, idCol, textCol)
-    val toks = base.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
     val mass = base.select(col("doc_id"),
       lit(null).cast("double").as("v"),
       size(split(col("text"), " ")).cast("bigint").as("nn"))
-    qclfScore(toks, mass, qclfCounts(corpus, idCol, textCol), tau,
-      small = false)
+    qclfScore(docTokens(base), mass, qclfCounts(corpus, idCol, textCol),
+      tau, small = false)
   }
 
   /** The probe's one-row eager payload over `docs`: total token count
@@ -2142,7 +2342,10 @@ object LlmOps {
     * (≤ [[QclfBuckets]] values) — the [[lmFpAgg]] shape: per-doc bucket
     * sets dedup inside the row, partial aggregation bounds the merge
     * buffer at 64 values, only a row's pos-0 bucket carries its doc's
-    * token count so the sum counts each doc once.
+    * token count so the sum counts each doc once. Field names are
+    * qc-prefixed so the row can crossJoin into [[curateDelta]]'s fused
+    * footprint job alongside [[lmFpAgg]]'s (toks, buckets) without a
+    * name collision.
     */
   def qclfFpAgg(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -2152,8 +2355,8 @@ object LlmOps {
         // the two in lockstep (the lmFpAgg comment's rationale)
         expr(s"array_distinct(transform(split(text, ' '), w -> ${h56("concat('qclf|', w)")} % $QclfBuckets))").as("bs"))
       .select(col("k"), posexplode(col("bs")).as(Seq("p", "b")))
-      .agg(sum(when(col("p") === 0, col("k"))).as("toks"),
-        collect_set(col("b")).as("buckets"))
+      .agg(sum(when(col("p") === 0, col("k"))).as("qc_toks"),
+        collect_set(col("b")).as("qc_buckets"))
 
   /** Score a batch against a STORED [[buildQualityClassifier]] artifact —
     * the production form: the model is never re-derived, the batch's
@@ -2170,23 +2373,25 @@ object LlmOps {
     */
   def qualityScoreStored(batch: DataFrame, dir: String, tau: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastMaxRows: Long = GateBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = GateBroadcastMaxRows,
+      fpRow: Option[org.apache.spark.sql.Row] = None): DataFrame = {
     val spark = batch.sparkSession
     val base = qclfBase(batch, idCol, textCol)
-    val fp = qclfFpAgg(batch, idCol, textCol).collect()(0)
-    val toksAt = fp.fieldIndex("toks")
-    val buckets = Option(fp.getSeq[Long](fp.fieldIndex("buckets")))
+    // an orchestrator that already fused this aggregate into its own
+    // eager job passes the row in ([[curateDelta]]'s fused collect) —
+    // name-based field access, the [[fluencyStored]] contract
+    val fp = fpRow.getOrElse(qclfFpAgg(batch, idCol, textCol).collect()(0))
+    val toksAt = fp.fieldIndex("qc_toks")
+    val buckets = Option(fp.getSeq[Long](fp.fieldIndex("qc_buckets")))
       .getOrElse(Seq.empty)
     val small = broadcastMaxRows > 0 &&
       (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
     val weights = spark.read.parquet(s"$dir/w")
       .filter(col("tb").isin(buckets.map(java.lang.Long.valueOf): _*))
-    val toks = base.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
     val mass = base.select(col("doc_id"),
       lit(null).cast("double").as("v"),
       size(split(col("text"), " ")).cast("bigint").as("nn"))
-    qclfScore(toks, mass, weights, tau, small)
+    qclfScore(docTokens(base), mass, weights, tau, small)
   }
 
   /** Health gauge over the stored classifier — per tb bucket: vocabulary
@@ -2326,14 +2531,21 @@ object LlmOps {
     val weights = spark.read.parquet(s"$dir/w").filter(
       pairs.map { case (l, b) => col("lang") === l && col("tb") === b }
         .reduceOption(_ || _).getOrElse(lit(false)))
-    val toks = base.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
+    // in-row (doc, tok, tf) reduction with the language label riding —
+    // the [[docTokens]] discipline, language-keyed: join and fold pay
+    // per distinct doc-token
+    val toks = ensureTokenRle(base)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("token_rle(text)")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        col("tk.tok").as("tok"), col("tk.tf").as("tf"))
     val matched = weights.join(hinted(toks), Seq("lang", "tok"))
       .select(col("doc_id"), col("lang"),
-        (((col("c_pos") + 1).cast("double") *
-          (col("t_neg") + col("vv")).cast("double")) /
-          ((col("c_neg") + 1).cast("double") *
-            (col("t_pos") + col("vv")).cast("double"))).as("v"),
+        (col("tf").cast("double") *
+          (((col("c_pos") + 1).cast("double") *
+            (col("t_neg") + col("vv")).cast("double")) /
+            ((col("c_neg") + 1).cast("double") *
+              (col("t_pos") + col("vv")).cast("double")))).as("v"),
         lit(0L).as("nn"))
     val mass = base.select(col("doc_id"), col("lang"),
       lit(null).cast("double").as("v"),
@@ -2383,10 +2595,16 @@ object LlmOps {
     * 56-bit hash and join back (see the branch comment). Past the
     * threshold the bucketed two-level rank runs ([[domainMix]]'s
     * fallback scheme): in-bucket row_number plus per-bucket count
-    * offsets, never a stratum-wide per-doc window. Output is identical
-    * across all three branches row-for-row (same (pri, id) ascending
-    * order, same ranks — proven by the equivalence specs);
-    * `heapMaxK = 0` forces the two-level-rank path.
+    * offsets, never a stratum-wide per-doc window. Absent hash
+    * collisions the three branches are output-identical row-for-row
+    * (same (pri, id) ascending order, same ranks — proven by the
+    * equivalence specs); the string-id heap branch breaks pri ties by
+    * the salted id hash `hkey` where the rank branch breaks them by the
+    * raw id, so a pri+hkey DOUBLE collision (the 2⁻¹¹²-class event the
+    * branch comment accepts) could order a tie pair differently or
+    * duplicate a rank in the join-back — the same accepted-risk class
+    * as the dedup family's 56-bit fingerprints. `heapMaxK = 0` forces
+    * the two-level-rank path.
     *
     * Contract: rows with a NULL id are dropped up-front, on BOTH paths —
     * the heap path binds (pri, id) into a primitive (Long, Long)
@@ -2933,15 +3151,19 @@ object LlmOps {
     * 100 TB where shingling is the per-row cost).
     */
   /** The shared stage chain of [[curationFunnelFull]] /
-    * [[curationApplyFull]]: (raw, quality ids, decontam-clean ids,
-    * exact-survivor ids, near-dedup kept corpus, fluent ids) — every
-    * frame lazy, the caches released at the caller's clearCache.
+    * [[curationApplyFull]]: (raw, quality ids, OPTIONAL trained-
+    * classifier survivor ids, decontam-clean ids, exact-survivor ids,
+    * near-dedup kept corpus, fluent ids) — every frame lazy (except the
+    * classifier probe's one-row footprint job when that gate is on),
+    * the caches released at the caller's clearCache.
     */
   private def fullStages(corpus: DataFrame, lmDir: String,
       decontamDir: String, threshold: Double, maxSharedGrams: Long,
       idCol: String, textCol: String,
-      lmLangDir: Option[String] = None, langCol: String = "lang")
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      lmLangDir: Option[String] = None, langCol: String = "lang",
+      qualityModelDir: Option[String] = None, qualityTau: Double = 1.0)
+      : (DataFrame, DataFrame, Option[DataFrame], DataFrame, DataFrame,
+         DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // with the PER-LANGUAGE bar on, the corpus carries its language
     // label through the chain (the deltaGates convention): the stage-5
@@ -2954,11 +3176,24 @@ object LlmOps {
       else textCorpus(corpus, idCol, textCol)
     val qIds = TextAnalysis.qualityFilter(corpus, idCol, textCol)
       .filter(col("keep")).select("doc_id").persist(lvl)
-    // ONE shingling of the quality survivors (the [[StreamingIngest]]
+    // the TRAINED-classifier gate rides with the stateless leaders
+    // (three-surface parity: the live loop's qualityModelDir option,
+    // now on the batch funnel too): the heuristic survivors score
+    // against the frozen [[buildQualityClassifier]] artifact —
+    // (qc-bucket-pruned weight scan, batch-side size-gated broadcast,
+    // the artifact never a build side) — and every later stage derives
+    // from the intersection, so the whole funnel downstream shrinks
+    val clfIds = qualityModelDir.map { qd =>
+      qualityScoreStored(raw.join(qIds, Seq("doc_id"), "left_semi"),
+          qd, qualityTau, "doc_id", "text")
+        .filter(col("pred")).select("doc_id").persist(lvl)
+    }
+    val gateIds = clfIds.getOrElse(qIds)
+    // ONE shingling of the gate survivors (the [[StreamingIngest]]
     // epoch discipline): the persisted signature frame feeds the decontam
     // probe AND, filtered to stage-3 survivors, the near-dup band/verify
     // chain — the stage-4 corpus is never re-shingled
-    val sig = signaturesOf(raw.join(qIds, Seq("doc_id"), "left_semi"))
+    val sig = signaturesOf(raw.join(gateIds, Seq("doc_id"), "left_semi"))
       .persist(lvl)
     // the decontam gate probes ONLY the quality survivors; its output ids
     // are already ⊆ qIds, so `clean` IS the stage-2 survivor set
@@ -2996,20 +3231,32 @@ object LlmOps {
       case None => fluencyStored(kept, lmDir)
         .filter(col("fluency") >= threshold).select("doc_id")
     }
-    (raw, qIds, clean, eIds, kept, fluent)
+    (raw, qIds, clfIds, clean, eIds, kept, fluent)
   }
 
+  /** The six-gate batch funnel's stage read-out; with `qualityModelDir`
+    * set, the TRAINED quality classifier gates between the heuristic
+    * pass and the decontam stage (read-out gains a `1b_clf` row and
+    * every later stage counts the shrunken chain) — the last of the
+    * three curation surfaces to take the live loop's
+    * qualityModelDir/qualityTau option (gate parity, the round-14
+    * per-language-bar precedent).
+    */
   def curationFunnelFull(corpus: DataFrame, lmDir: String,
       decontamDir: String, threshold: Double = 0.0333,
       maxSharedGrams: Long = 0L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val (raw, qIds, clean, eIds, kept, fluent) = fullStages(
-      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol)
+      textCol: String = "text",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): DataFrame = {
+    val (raw, qIds, clfIds, clean, eIds, kept, fluent) = fullStages(
+      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol,
+      qualityModelDir = qualityModelDir, qualityTau = qualityTau)
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_raw", raw)
+    val head = stage("0_raw", raw)
       .unionByName(stage("1_quality", qIds))
+    clfIds.fold(head)(ci => head.unionByName(stage("1b_clf", ci)))
       .unionByName(stage("2_decontam", clean))
       .unionByName(stage("3_exact_dedup", eIds))
       .unionByName(stage("4_near_dedup", kept))
@@ -3031,7 +3278,7 @@ object LlmOps {
       decontamDir: String, threshold: Double = 0.0333,
       maxSharedGrams: Long = 0L, idCol: String = "doc_id",
       textCol: String = "text", langCol: String = "lang"): DataFrame = {
-    val (raw, qIds, clean, eIds, kept, fluent) = fullStages(
+    val (raw, qIds, _, clean, eIds, kept, fluent) = fullStages(
       corpus, "", decontamDir, threshold, maxSharedGrams, idCol, textCol,
       lmLangDir = Some(lmLangDir), langCol = langCol)
     def stage(name: String, df: DataFrame) =
@@ -3055,9 +3302,12 @@ object LlmOps {
   def curationApplyFull(corpus: DataFrame, lmDir: String,
       decontamDir: String, threshold: Double = 0.0333,
       maxSharedGrams: Long = 0L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val (_, _, _, _, kept, fluent) = fullStages(
-      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol)
+      textCol: String = "text",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): DataFrame = {
+    val (_, _, _, _, _, kept, fluent) = fullStages(
+      corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol,
+      qualityModelDir = qualityModelDir, qualityTau = qualityTau)
     kept.join(fluent, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
   }
@@ -3073,7 +3323,7 @@ object LlmOps {
       decontamDir: String, threshold: Double = 0.0333,
       maxSharedGrams: Long = 0L, idCol: String = "doc_id",
       textCol: String = "text", langCol: String = "lang"): DataFrame = {
-    val (_, _, _, _, kept, fluent) = fullStages(
+    val (_, _, _, _, _, kept, fluent) = fullStages(
       corpus, "", decontamDir, threshold, maxSharedGrams, idCol, textCol,
       lmLangDir = Some(lmLangDir), langCol = langCol)
     kept.join(fluent, Seq("doc_id"), "left_semi")
@@ -3230,11 +3480,13 @@ object LlmOps {
       decontamDir: Option[String] = None,
       maxSharedGrams: Long = 0L,
       lmLangDir: Option[String] = None,
-      langCol: String = "lang"): DataFrame =
+      langCol: String = "lang",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): DataFrame =
     curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
       lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
       scala.collection.mutable.ArrayBuffer.empty[DataFrame],
-      lmLangDir, langCol)
+      lmLangDir, langCol, qualityModelDir, qualityTau)
 
   /** [[curateDelta]] for a LONG-LIVED service: materializes the stage
     * counts, releases every cache the run pinned, and returns the report
@@ -3253,11 +3505,13 @@ object LlmOps {
       decontamDir: Option[String] = None,
       maxSharedGrams: Long = 0L,
       lmLangDir: Option[String] = None,
-      langCol: String = "lang"): Seq[(String, Long)] = {
+      langCol: String = "lang",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): Seq[(String, Long)] = {
     val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val out = curateDeltaPinned(oldSnap, newSnap, indexDir, idCol, textCol,
       threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins,
-      lmLangDir, langCol)
+      lmLangDir, langCol, qualityModelDir, qualityTau)
     val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     pins.foreach(_.unpersist(false))
     rows
@@ -3271,7 +3525,7 @@ object LlmOps {
     * footprint job (so the read-out never re-runs the gram join).
     */
   private final case class DeltaGates(
-      delta: DataFrame, qIds: DataFrame,
+      delta: DataFrame, qIds: DataFrame, clfIds: Option[DataFrame],
       cleanIds: Option[DataFrame], cleanCount: Option[Long],
       eC: DataFrame, kept: DataFrame, fluentIds: Option[DataFrame],
       bSig: DataFrame, bBands: DataFrame, survivors: DataFrame)
@@ -3314,7 +3568,9 @@ object LlmOps {
       decontamDir: Option[String], maxSharedGrams: Long,
       pins: scala.collection.mutable.ArrayBuffer[DataFrame],
       lmLangDir: Option[String] = None,
-      langCol: String = "lang"): DeltaGates = {
+      langCol: String = "lang",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): DeltaGates = {
     require(lmDir.isEmpty || lmLangDir.isEmpty,
       "lmDir and lmLangDir are mutually exclusive: one fluency bar per " +
         "run (the per-language model replaces the global one)")
@@ -3377,9 +3633,25 @@ object LlmOps {
     val aggs = Seq(mhFpAgg(bBands)) ++
       lmDir.map(_ => lmFpAgg(eC)) ++
       bgLang.map(lmLangFpAgg) ++
-      cleanIds.map(_.agg(count(lit(1)).as("dc_n")))
+      cleanIds.map(_.agg(count(lit(1)).as("dc_n"))) ++
+      // the trained-classifier probe's (qc_toks, qc_buckets) footprint
+      // rides the SAME fused barrier (qc-prefixed — no collision with
+      // lmFpAgg's names); derived off the quality survivors like the
+      // decontam gate, so the weight scan prunes to the churn's buckets
+      qualityModelDir.map(_ => qclfFpAgg(qC))
     val fused = aggs.reduce(_ crossJoin _).collect()(0)
     val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
+    // the TRAINED-classifier gate (three-surface parity: the live
+    // loop's qualityModelDir/qualityTau option on the nightly too) — a
+    // per-doc predicate against the frozen artifact, so it commutes:
+    // derived off the quality survivors, applied as an end-stage id
+    // intersection (the decontam precedent; the probes score the few
+    // clf-dropped docs, bounded and cheaper than a second barrier)
+    val clfIds = qualityModelDir.map { qd =>
+      pin(qualityScoreStored(qC, qd, qualityTau, "doc_id", "text",
+          fpRow = Some(fused))
+        .filter(col("pred")).select("doc_id"))
+    }
     // kept is persisted: the stage read-out, the LM intersect, and the
     // apply's survivor set all consume it — an id-only frame, never
     // corpus-sized
@@ -3401,13 +3673,17 @@ object LlmOps {
       case Some(fl) => kept.join(fl, Seq("doc_id"), "left_semi")
       case None     => kept
     }
-    val survivorIds = cleanIds match {
+    val survivorIds1 = cleanIds match {
       case Some(ci) => survivorIds0.join(ci, Seq("doc_id"), "left_semi")
       case None     => survivorIds0
     }
+    val survivorIds = clfIds match {
+      case Some(ci) => survivorIds1.join(ci, Seq("doc_id"), "left_semi")
+      case None     => survivorIds1
+    }
     val survivors = eC.join(survivorIds, Seq("doc_id"), "left_semi")
-    DeltaGates(delta, qIds, cleanIds, cleanCount, eC, kept, fluentIds,
-      bSig, bBands, survivors)
+    DeltaGates(delta, qIds, clfIds, cleanIds, cleanCount, eC, kept,
+      fluentIds, bSig, bBands, survivors)
   }
 
   private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
@@ -3416,37 +3692,54 @@ object LlmOps {
       decontamDir: Option[String], maxSharedGrams: Long,
       pins: scala.collection.mutable.ArrayBuffer[DataFrame],
       lmLangDir: Option[String] = None,
-      langCol: String = "lang"): DataFrame = {
+      langCol: String = "lang",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): DataFrame = {
     val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol, threshold,
       lmDir, fluencyThreshold, decontamDir, maxSharedGrams, pins,
-      lmLangDir, langCol)
+      lmLangDir, langCol, qualityModelDir, qualityTau)
     val spark = g.delta.sparkSession
     import spark.implicits._
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(name).as("stage"), col("n_docs"))
-    // the decontam filter applies as an id intersection on every later
-    // stage's read-out (per-doc gates commute — counts are identical to
-    // the nested form, see deltaGates)
-    def clean(df: DataFrame): DataFrame = g.cleanIds match {
-      case Some(ci) => df.join(ci, Seq("doc_id"), "left_semi")
-      case None     => df
+    // the decontam and trained-classifier filters apply as id
+    // intersections on every later stage's read-out (per-doc gates
+    // commute — counts are identical to the nested form, see deltaGates)
+    def clean(df: DataFrame): DataFrame = {
+      val c = g.cleanIds match {
+        case Some(ci) => df.join(ci, Seq("doc_id"), "left_semi")
+        case None     => df
+      }
+      g.clfIds match {
+        case Some(ci) => c.join(ci, Seq("doc_id"), "left_semi")
+        case None     => c
+      }
     }
     // with the decontam gate on, the read-out matches the full funnel's
     // six-stage naming; without it the historical four/five-stage names
-    // are preserved byte-for-byte
+    // are preserved byte-for-byte. The trained-classifier gate inserts
+    // its own `1b_clf` row (the funnel's labeling) without renumbering.
     val (nearName, fluentName) =
       if (g.cleanIds.isDefined) ("4_near", "5_fluent")
       else ("3_near", "4_fluent")
-    val base0 = stage("0_delta", g.delta)
+    val base1 = stage("0_delta", g.delta)
       .unionByName(stage("1_quality", g.qIds))
+    val base0 = g.clfIds.fold(base1)(ci =>
+      base1.unionByName(stage("1b_clf", ci)))
     val base = g.cleanCount match {
-      case Some(n) => base0
+      case Some(n) if g.clfIds.isEmpty => base0
         // the decontam count was collected by the fused footprint job —
         // re-emitting it as a literal row avoids re-running the gram gate
         .unionByName(Seq(("2_decontam", n)).toDF("stage", "n_docs"))
         .unionByName(stage("3_exact", clean(g.eC)))
-      case None => base0.unionByName(stage("2_exact", g.eC))
+      case Some(_) => base0
+        // with the clf gate on too, the nested stage-2 count must carry
+        // the clf intersection — the fused literal doesn't, so count the
+        // (churn-sized, pinned) id frames' intersection lazily instead
+        .unionByName(stage("2_decontam", clean(g.cleanIds.get)))
+        .unionByName(stage("3_exact", clean(g.eC)))
+      case None => base0.unionByName(stage("2_exact", clean(g.eC)))
     }
     g.fluentIds match {
       case Some(fl) =>
@@ -3513,7 +3806,9 @@ object LlmOps {
       compactAfter: Boolean = true,
       crashHook: String => Unit = _ => (),
       lmLangDir: Option[String] = None,
-      langCol: String = "lang"): (Long, Boolean) = {
+      langCol: String = "lang",
+      qualityModelDir: Option[String] = None,
+      qualityTau: Double = 1.0): (Long, Boolean) = {
     val spark = newSnap.sparkSession
     graft.cdc.Compaction.recoverDir(corpusDir)
     lmLangDir.foreach(graft.cdc.Compaction.recoverDir)
@@ -3549,7 +3844,7 @@ object LlmOps {
       } else {
         val g = deltaGates(oldSnap, newSnap, indexDir, idCol, textCol,
           threshold, lmDir, fluencyThreshold, decontamDir, maxSharedGrams,
-          pins, lmLangDir, langCol)
+          pins, lmLangDir, langCol, qualityModelDir, qualityTau)
         // survivors persisted: the corpus write, the index append's two
         // derivations, and the returned count all consume it
         val s = g.survivors

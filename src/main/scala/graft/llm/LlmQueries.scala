@@ -146,6 +146,19 @@ object LlmQueries {
       dir
     }
 
+  /** The PER-LANGUAGE stored IDF ([[LlmOps.buildIdfModelByLang]]) over
+    * `d`'s documents — probed by the per-language keyword scorer and
+    * read by its health gauge. Built on the FULL corpus (the [[lmDir]]
+    * convention) so the stored probe of a slice is bit-identical to the
+    * same arithmetic restricted to the slice.
+    */
+  private def idfLangDir(s: SparkSession, d: String): String =
+    memo(s"idflang|$d|${fingerprint(d, "documents")}") {
+      val dir = tempIndexDir("graft-idf-lang")
+      LlmOps.buildIdfModelByLang(Tables.documents(s, d), dir)
+      dir
+    }
+
   /** The stored quality classifier ([[LlmOps.buildQualityClassifier]])
     * trained on the junk-injected fixture corpus
     * ([[LlmOps.qclfCorpus]] — both label classes populated) against the
@@ -488,6 +501,15 @@ object LlmQueries {
     "llm_curate_full_apply" -> ((s, d) => LlmOps.curationApplyFull(
       LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
       decontamIndexDir(s, d), maxSharedGrams = 5L)),
+    // the batch funnel with the TRAINED quality classifier gating
+    // between the heuristic pass and decontam — the last surface to
+    // take the live loop's qualityModelDir/qualityTau option (gate
+    // parity): seven stage counts, `1b_clf` the trained gate's
+    // survivors, every later stage the shrunken chain
+    "llm_curate_full_clf" -> ((s, d) => LlmOps.curationFunnelFull(
+      LlmOps.nearDupCorpus(Tables.documents(s, d)), lmDir(s, d),
+      decontamIndexDir(s, d), maxSharedGrams = 5L,
+      qualityModelDir = Some(qclfDir(s, d)))),
     // the COMPLETE batch pipeline under the PER-LANGUAGE bar — closing
     // the three-surface parity (live loop and nightly delta already
     // accept lmLangDir): the same six gates as llm_curate_full, stage 5
@@ -516,6 +538,16 @@ object LlmQueries {
     "llm_curate_delta" -> ((s, d) => {
       val base = Tables.documents(s, d)
       LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d))
+    }),
+    // the nightly delta with the TRAINED classifier riding the quality
+    // stage (qualityModelDir on the nightly surface — gate parity with
+    // the live loop and the batch funnel): per-doc vs the frozen
+    // artifact, applied as an end-stage intersection, footprint fused
+    // into the one barrier
+    "llm_curate_delta_clf" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      LlmOps.curateDelta(base, LlmOps.snapshotCurate(base), mhIndexDir(s, d),
+        qualityModelDir = Some(qclfDir(s, d)))
     }),
     // the nightly delta run with the LM bar composed in: churn-only
     // gates as above, then the near-gate survivors score against the
@@ -659,6 +691,17 @@ object LlmQueries {
     // IDF-table health gauge: per tb bucket, vocab size / hottest df /
     // df mass — the stopword and tokenizer-degeneracy early warning
     "llm_idf_stats"     -> ((s, d) => LlmOps.idfModelStats(s, idfDir(s, d))),
+    // per-language stored-IDF probe: each doc's terms weigh against ITS
+    // language's df/N (the last global-only frozen-statistics artifact
+    // taken per-language — the lmStatsLang round's argument applied to
+    // document frequencies); %10 slice vs the full-corpus artifact
+    "llm_keywords_lang" -> ((s, d) => LlmOps.keywordsStoredByLang(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+      idfLangDir(s, d))),
+    // per-language IDF health gauge — a collapsed minority language
+    // reads as its own rows instead of averaging into the global one
+    "llm_idf_stats_lang" -> ((s, d) =>
+      LlmOps.idfModelStatsByLang(s, idfLangDir(s, d))),
     // trained quality classifier, corpus-as-its-own-model: per-token
     // class-conditional likelihood ratios distilled from the heuristic
     // gate's labels, mean-ratio scored with the value-sorted fold —
@@ -907,6 +950,8 @@ object LlmQueries {
     "llm_curate_funnel" -> Seq(col("stage")),
     "llm_curate_lm"     -> Seq(col("stage")),
     "llm_curate_full"   -> Seq(col("stage")),
+    "llm_curate_full_clf" -> Seq(col("stage")),
+    "llm_curate_delta_clf" -> Seq(col("stage")),
     "llm_curate_full_lang" -> Seq(col("stage")),
     "llm_curate_full_lang_apply" -> Seq(col("doc_id")),
     "llm_curate_full_apply" -> Seq(col("doc_id")),
@@ -930,7 +975,9 @@ object LlmQueries {
     "llm_tok_freq"      -> Seq(col("doc_id")),
     "llm_keywords"      -> Seq(col("doc_id"), col("rnk")),
     "llm_keywords_idx"  -> Seq(col("doc_id"), col("rnk")),
+    "llm_keywords_lang" -> Seq(col("doc_id"), col("rnk")),
     "llm_idf_stats"     -> Seq(col("tb")),
+    "llm_idf_stats_lang" -> Seq(col("lang"), col("tb")),
     "llm_quality_clf"   -> Seq(col("doc_id")),
     "llm_quality_clf_idx" -> Seq(col("doc_id")),
     "llm_qclf_stats"    -> Seq(col("tb")),
@@ -1122,24 +1169,30 @@ object LlmQueries {
        |           CAST(SUM(c_neg) AS BIGINT) AS t_neg,
        |           CAST(count(*) AS BIGINT) AS vv FROM qcnt)""".stripMargin
 
-  /** The classifier scoring chain over `batchSql` — per-occurrence
-    * Laplace-smoothed likelihood ratios, value-sorted fold, mean over
-    * the doc's token count, τ = 1.0 decision — ending with
-    * `qsc(doc_id, n_toks, q_score, pred)`. States the Spark scorer's
-    * arithmetic operation-for-operation (double lifts before the
-    * products, matched-only fold, COALESCE for the all-unseen doc).
+  /** The classifier scoring chain over `batchSql` — per distinct
+    * (doc, token), the Laplace-smoothed likelihood ratio tf-weighted in
+    * one further multiply (the Spark scorer's [[LlmOps.docTokens]]
+    * reduction restated as a (doc_id, tok) GROUP BY), value-sorted
+    * fold, mean over the doc's token count, τ = 1.0 decision — ending
+    * with `qsc(doc_id, n_toks, q_score, pred)`. States the Spark
+    * scorer's arithmetic operation-for-operation (double lifts before
+    * the products, tf multiply OUTSIDE the ratio's parenthesization,
+    * matched-only fold, COALESCE for the all-unseen doc).
     */
   private def qclfScoreSql(batchSql: String): String =
     s"""$qclfCtes,
        |bb AS (SELECT doc_id, text FROM ($batchSql) bq WHERE text IS NOT NULL),
-       |btk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM bb),
+       |btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM bb) bto
+       |        GROUP BY doc_id, tok),
        |bmass AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM bb),
        |bm AS (SELECT t.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |         list_sort(list(
-       |           (CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
-       |           (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE))))),
+       |           CAST(t.tf AS DOUBLE) *
+       |           ((CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
+       |           (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE)))))),
        |         (a, x) -> a + x) AS fs
-       |       FROM btk t JOIN qcnt c USING (tok) CROSS JOIN qtot qt
+       |       FROM btf t JOIN qcnt c USING (tok) CROSS JOIN qtot qt
        |       GROUP BY t.doc_id),
        |qsc AS (SELECT m.doc_id, m.n_toks,
        |          COALESCE(bm.fs, CAST(0.0 AS DOUBLE)) / CAST(m.n_toks AS DOUBLE) AS q_score,
@@ -1322,10 +1375,21 @@ object LlmQueries {
     * shared by the full-funnel and full-apply oracles so the two can
     * never drift. Callers prefix `WITH RECURSIVE`.
     */
-  private lazy val fullPipelineCtes: String =
+  private lazy val fullPipelineCtes: String = fullPipelineCtesFor(clf = false)
+
+  /** [[fullPipelineCtes]] parameterized on the trained-classifier gate:
+    * with `clf` the stage-1 survivor set additionally intersects a
+    * `clfkeep(doc_id)` CTE the caller prefixes (the [[qclfScoreSql]]
+    * chain's τ survivors) — every later stage flows from `qtok`, so the
+    * whole funnel downstream shrinks exactly like the Spark chain.
+    */
+  private def fullPipelineCtesFor(clf: Boolean): String = {
+    val clfGate =
+      if (clf) "\n           AND doc_id IN (SELECT doc_id FROM clfkeep)"
+      else ""
     s"""qtok AS (SELECT doc_id, string_split(text, ' ') AS toks
        |         FROM (${LlmOps.NearCorpusSql}) qc
-       |         WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})),
+       |         WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})$clfGate),
        |qgs AS (SELECT doc_id,
        |    list_distinct(list_transform($shinglesDuck, s -> ${h56Duck("s")} % ${LlmOps.MersenneP})) AS gs
        |  FROM qtok),
@@ -1354,6 +1418,7 @@ object LlmQueries {
        |surv AS (SELECT c.doc_id, c.text FROM corpus c
        |         WHERE c.doc_id NOT IN (SELECT node FROM dropped)),
        |${lmScoreCtes("SELECT doc_id, text FROM surv")}""".stripMargin
+  }
 
   /** The funnel's full CTE chain through near-dup keeper resolution —
     * `corpus` (stage-2 survivors) + verified pairs + the recursive-CC
@@ -1851,6 +1916,42 @@ object LlmQueries {
         |      FROM scored)
         |SELECT doc_id, rnk, tok, tf, df, score FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
+    // the per-language stored-IDF probe: batch tf over the %10 slice,
+    // df/N per LANGUAGE over the full corpus (the frozen artifact's
+    // keying) — slice ⊆ model corpus ⇒ inner-join coverage total, same
+    // integers, same left-to-right double arithmetic as llm_keywords
+    "llm_keywords_lang" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM base),
+        |tf AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk WHERE doc_id % 10 = 0 GROUP BY doc_id, lang, tok),
+        |dfreq AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df
+        |          FROM (SELECT DISTINCT doc_id, lang, tok FROM tk) GROUP BY lang, tok),
+        |nd AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM base GROUP BY lang),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.lang, tf.tok, tf.tf, d.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq d ON tf.lang = d.lang AND tf.tok = d.tok
+        |  JOIN nd n ON tf.lang = n.lang
+        |),
+        |r AS (SELECT doc_id, lang, tok, tf, df, score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, lang, rnk, tok, tf, df, score FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    // the per-language df table re-derived, reduced to the (lang, tb)
+    // gauge — the per-language builder's layout restated
+    "llm_idf_stats_lang" ->
+      s"""WITH base AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM base),
+         |dfreq AS (SELECT lang, tok, count(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, lang, tok FROM tk) GROUP BY lang, tok)
+         |SELECT lang, CAST(${h56Duck("concat('idf|', tok)")} % ${LlmOps.IdfBuckets} AS BIGINT) AS tb,
+         |  count(*) AS n_toks, max(df) AS max_df, CAST(sum(df) AS BIGINT) AS df_rows
+         |FROM dfreq GROUP BY 1, 2 ORDER BY lang, tb""".stripMargin,
+
     // the df table re-derived from the corpus, reduced to the per-tb
     // gauge — the builder's salted bucket restated
     "llm_idf_stats" ->
@@ -1893,13 +1994,16 @@ object LlmQueries {
          |          CAST(count(*) AS BIGINT) AS vv FROM lqc GROUP BY lang),
          |lbb AS (SELECT doc_id, text, lang FROM documents
          |        WHERE doc_id % 10 = 0 AND text IS NOT NULL),
-         |lbt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM lbb),
+         |lbt AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |              FROM lbb) lbo GROUP BY doc_id, lang, tok),
          |lbm AS (SELECT doc_id, lang,
          |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM lbb),
          |lfm AS (SELECT t.doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |          list_sort(list(
-         |            (CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
-         |            (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE))))),
+         |            CAST(t.tf AS DOUBLE) *
+         |            ((CAST(c.c_pos + 1 AS DOUBLE) * CAST(qt.t_neg + qt.vv AS DOUBLE)) /
+         |            (CAST(c.c_neg + 1 AS DOUBLE) * CAST(qt.t_pos + qt.vv AS DOUBLE)))))),
          |          (a, x) -> a + x) AS fs
          |        FROM lbt t JOIN lqc c ON t.lang = c.lang AND t.tok = c.tok
          |        JOIN lqt qt ON t.lang = qt.lang
@@ -2357,6 +2461,28 @@ object LlmQueries {
          |  (SELECT count(*) FROM lfl WHERE f >= CAST(0.034 AS DOUBLE))
          |ORDER BY stage""".stripMargin,
 
+    // the batch funnel with the TRAINED classifier gate: the shared
+    // qclfScoreSql chain (single-sourced with llm_quality_clf* — the
+    // training and scoring arithmetic can't drift) scores the heuristic
+    // survivors, `clfkeep` = its τ survivors, and the SAME pipeline
+    // CTEs flow from the intersected stage-1 set (fullPipelineCtesFor)
+    "llm_curate_full_clf" ->
+      s"""WITH RECURSIVE ${qclfScoreSql(
+             s"SELECT doc_id, text FROM (${LlmOps.NearCorpusSql}) nc " +
+               s"WHERE doc_id IN (${qualityKeepIdsSql(LlmOps.NearCorpusSql)})")},
+         |clfkeep AS (SELECT doc_id FROM qsc WHERE pred),
+         |${fullPipelineCtesFor(clf = true)}
+         |SELECT '0_raw' AS stage,
+         |  (SELECT count(*) FROM (${LlmOps.NearCorpusSql}) r0) AS n_docs
+         |UNION ALL SELECT '1_quality',
+         |  (SELECT count(*) FROM (${qualityKeepIdsSql(LlmOps.NearCorpusSql)}) r1)
+         |UNION ALL SELECT '1b_clf', (SELECT count(*) FROM qtok)
+         |UNION ALL SELECT '2_decontam', (SELECT count(*) FROM clean)
+         |UNION ALL SELECT '3_exact_dedup', (SELECT count(*) FROM corpus)
+         |UNION ALL SELECT '4_near_dedup', (SELECT count(*) FROM surv)
+         |UNION ALL SELECT '5_fluent', (SELECT count(*) FROM fl WHERE f >= 0.0333)
+         |ORDER BY stage""".stripMargin,
+
     // the per-language terminal corpus over the SAME shared chain: the
     // lang-scored survivors witness-dumped (single-sourced CTEs with
     // llm_curate_full_lang — the two can never drift on the arithmetic)
@@ -2602,13 +2728,19 @@ object LlmQueries {
 
     // the REAL header decode: the oracle BUILDS the same encoded payload
     // blob (header hex assembled textually, unhex'd, body appended) and
-    // then PARSES it with its own hex/position/substr chain — a mirrored
-    // decoder over byte-identical inputs, not a fixture echo. Magic and
-    // dim layouts: PNG sig+IHDR (BE u32 at hex 33-48 of the 32-byte
-    // window), JPEG SOF0 located via the FFC0 quad (byte-aligned ⇔ odd
-    // 1-based hex position), GIF89a LE u16s (byte-swapped hex pairs)
+    // then PARSES it with its own mirrored decoder over byte-identical
+    // inputs — not a fixture echo. Magic and dim layouts: PNG sig+IHDR
+    // (BE u32 at hex 33-48 of the 32-byte window), GIF89a LE u16s
+    // (byte-swapped hex pairs), and JPEG SOFn found by WALKING the
+    // marker segments by their length fields (w0..w7 = the same
+    // JpegWalkSteps-bounded chain as the Spark form: SOF0/1/2 is a
+    // fixpoint, standalone TEM/RSTn hop the bare marker, SOI/EOI/SOS or
+    // a non-marker byte kills the walk) — an 'FFC0' decoy inside an
+    // APP0 payload is never mistaken for the frame header. Walk
+    // positions advance whole bytes from SOI, so they are byte-aligned
+    // by construction (no parity check needed).
     "mm_decode_header" ->
-      """WITH m AS (SELECT doc_id,
+      ("""WITH m AS (SELECT doc_id,
         |    64 + (doc_id % 16) * 8 AS width,
         |    64 + ((doc_id // 16) % 16) * 8 AS height, text FROM documents),
         |hx AS (SELECT doc_id,
@@ -2619,34 +2751,57 @@ object LlmQueries {
         |enc AS (SELECT doc_id,
         |    unhex(CASE doc_id % 4
         |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452' || w8 || h8 || '0806000000' || '00000000'
-        |      WHEN 1 THEN 'FFD8FFC0' || '001108' || h4 || w4 || '03'
+        |      WHEN 1 THEN CASE (doc_id // 4) % 3
+        |        WHEN 0 THEN 'FFD8FFC0' || '001108' || h4 || w4 || '03'
+        |        WHEN 1 THEN 'FFD8FFE0' || '0010' || '4A464946000101FFC000AA000000' || 'FFC0' || '001108' || h4 || w4 || '03'
+        |        ELSE 'FFD8FFDB' || '0005' || '010203' || 'FFC2' || '001108' || h4 || w4 || '03' END
         |      WHEN 2 THEN '474946383961' || substr(w4, 3, 2) || substr(w4, 1, 2) || substr(h4, 3, 2) || substr(h4, 1, 2) || 'F70000'
         |      ELSE '' END) || encode(text) AS payload FROM hx),
         |hdrs AS (SELECT doc_id, payload,
         |    substr(hex(payload), 1, 64) AS hdr FROM enc),
-        |dec AS (SELECT doc_id, payload, hdr,
+        |w0 AS (SELECT doc_id, payload, hdr,
         |    CASE WHEN substr(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
         |         WHEN substr(hdr, 1, 4) = 'FFD8' THEN 'jpeg'
         |         WHEN substr(hdr, 1, 12) = '474946383961' THEN 'gif'
         |         ELSE 'unknown' END AS format,
-        |    COALESCE(position('FFC0' IN hdr), 0) AS sof FROM hdrs)
+        |    CASE WHEN substr(hdr, 1, 4) = 'FFD8'
+        |          AND substr(hdr, 1, 16) <> '89504E470D0A1A0A'
+        |         THEN 5 END AS wp FROM hdrs),
+        |"""
+        + (1 to 7).map(i =>
+            s"""w$i AS (SELECT doc_id, payload, hdr, format, CASE
+               | WHEN wp IS NULL OR length(hdr) < wp + 3 THEN NULL
+               | WHEN substr(hdr, wp, 4) IN ('FFC0','FFC1','FFC2') THEN wp
+               | WHEN substr(hdr, wp, 2) <> 'FF' THEN NULL
+               | WHEN substr(hdr, wp, 4) IN ('FFD8','FFD9','FFDA') THEN NULL
+               | WHEN substr(hdr, wp, 4) = 'FF01' OR (substr(hdr, wp, 3) = 'FFD'
+               |     AND substr(hdr, wp + 3, 1) BETWEEN '0' AND '7') THEN wp + 4
+               | WHEN length(hdr) < wp + 7
+               |     OR CAST('0x' || substr(hdr, wp + 4, 4) AS INT) < 2 THEN NULL
+               | ELSE wp + 4 + 2 * CAST('0x' || substr(hdr, wp + 4, 4) AS INT)
+               |END AS wp FROM w${i - 1}),""".stripMargin).mkString("\n")
+        + """
+        |dec AS (SELECT doc_id, payload, hdr, format,
+        |    CASE WHEN wp IS NOT NULL
+        |          AND substr(hdr, wp, 4) IN ('FFC0','FFC1','FFC2')
+        |         THEN wp ELSE 0 END AS sof FROM w7)
         |SELECT doc_id, format,
         |  CASE WHEN format = 'png' AND length(hdr) >= 48
         |         THEN CAST('0x' || substr(hdr, 33, 8) AS BIGINT)
-        |       WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1 AND length(hdr) >= sof + 17
+        |       WHEN format = 'jpeg' AND sof > 0 AND length(hdr) >= sof + 17
         |         THEN CAST('0x' || substr(hdr, sof + 14, 4) AS BIGINT)
         |       WHEN format = 'gif' AND length(hdr) >= 20
         |         THEN CAST('0x' || substr(hdr, 15, 2) || substr(hdr, 13, 2) AS BIGINT)
         |  END AS width_px,
         |  CASE WHEN format = 'png' AND length(hdr) >= 48
         |         THEN CAST('0x' || substr(hdr, 41, 8) AS BIGINT)
-        |       WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1 AND length(hdr) >= sof + 17
+        |       WHEN format = 'jpeg' AND sof > 0 AND length(hdr) >= sof + 17
         |         THEN CAST('0x' || substr(hdr, sof + 10, 4) AS BIGINT)
         |       WHEN format = 'gif' AND length(hdr) >= 20
         |         THEN CAST('0x' || substr(hdr, 19, 2) || substr(hdr, 17, 2) AS BIGINT)
         |  END AS height_px,
         |  CAST(octet_length(payload) AS BIGINT) AS n_bytes
-        |FROM dec ORDER BY doc_id""".stripMargin,
+        |FROM dec ORDER BY doc_id""").stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (
@@ -2996,6 +3151,35 @@ object LlmQueries {
          |UNION ALL SELECT '2_exact', count(*) FROM batch
          |UNION ALL SELECT '3_near', count(*) FROM batch b
          |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
+         |ORDER BY stage""".stripMargin,
+
+    // the nightly delta with the trained-classifier gate: the shared
+    // qclfScoreSql chain scores the churn's quality survivors (CTE `q`
+    // referenced as its batch), clf applied as the same end-stage
+    // intersection the Spark chain states — counts nested per stage
+    "llm_curate_delta_clf" ->
+      s"""WITH nxt AS (${LlmOps.SnapshotCurateSql}),
+         |oldh AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         |delta AS (
+         |  SELECT n.doc_id, n.text
+         |  FROM (SELECT doc_id, text, md5(text) AS nh FROM nxt) n
+         |  LEFT JOIN oldh o ON n.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.oh <> n.nh),
+         |q AS (SELECT doc_id, text FROM delta
+         |  WHERE doc_id IN (${qualityKeepIdsSql("SELECT doc_id, text FROM delta")})),
+         |${qclfScoreSql("SELECT doc_id, text FROM q")},
+         |clfkeep AS (SELECT doc_id FROM qsc WHERE pred),
+         |batch AS (SELECT doc_id, text FROM q
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+         |${incGateCtes("batch", "documents", selfExcl = true)}
+         |SELECT '0_delta' AS stage, count(*) AS n_docs FROM delta
+         |UNION ALL SELECT '1_quality', count(*) FROM q
+         |UNION ALL SELECT '1b_clf', count(*) FROM clfkeep
+         |UNION ALL SELECT '2_exact', count(*) FROM batch b
+         |  WHERE b.doc_id IN (SELECT doc_id FROM clfkeep)
+         |UNION ALL SELECT '3_near', count(*) FROM batch b
+         |  WHERE b.doc_id NOT IN (SELECT batch_id FROM dup)
+         |    AND b.doc_id IN (SELECT doc_id FROM clfkeep)
          |ORDER BY stage""".stripMargin,
 
     // the delta run + the reference-LM bar: stages 0-3 restate the delta

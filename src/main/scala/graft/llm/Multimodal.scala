@@ -460,8 +460,11 @@ object Multimodal {
 
   /** Harness fixture for the REAL header decode: payloads carrying
     * genuine encoded media headers — the PNG signature + IHDR chunk
-    * (big-endian u32 dims at bytes 17-24), a minimal baseline JPEG
-    * (SOI + SOF0 frame header, u16 height then width), GIF89a
+    * (big-endian u32 dims at bytes 17-24), JPEG in THREE layouts cycled
+    * by `doc_id div 4` (bare SOI+SOF0; SOI + APP0/JFIF whose payload
+    * bytes CONTAIN a byte-aligned 'FFC0' decoy + SOF0 — the false
+    * positive a single marker-scan decoder reads wrong dims from;
+    * SOI + a short DQT-shaped segment + progressive SOF2), GIF89a
     * (little-endian u16 dims at bytes 7-10) — cycled by doc_id % 4, with
     * every 4th payload HEADERLESS (the decoder's 'unknown' contract must
     * be exercised, not assumed). Body bytes are the doc text; the dims
@@ -480,45 +483,91 @@ object Multimodal {
       .withColumn("h4", expr("lpad(hex(height), 4, '0')"))
       .withColumn("hdr", expr("""CASE doc_id % 4
           WHEN 0 THEN concat('89504E470D0A1A0A', '0000000D49484452', w8, h8, '0806000000', '00000000')
-          WHEN 1 THEN concat('FFD8FFC0', '001108', h4, w4, '03')
+          WHEN 1 THEN CASE (doc_id div 4) % 3
+            WHEN 0 THEN concat('FFD8FFC0', '001108', h4, w4, '03')
+            WHEN 1 THEN concat('FFD8FFE0', '0010', '4A464946000101FFC000AA000000', 'FFC0', '001108', h4, w4, '03')
+            ELSE concat('FFD8FFDB', '0005', '010203', 'FFC2', '001108', h4, w4, '03') END
           WHEN 2 THEN concat('474946383961', substr(w4, 3, 2), substr(w4, 1, 2), substr(h4, 3, 2), substr(h4, 1, 2), 'F70000')
           ELSE '' END"""))
       .select(col("doc_id"),
         expr("concat(unhex(hdr), encode(text, 'UTF-8'))").as("payload"))
 
+  /** Bound on the JPEG marker walk: positions examined per payload is
+    * `JpegWalkSteps + 1` (the start plus one per transition). Real JFIF
+    * headers reach SOFn within 2-4 segments; the bound only matters on
+    * adversarial marker chains, where BOTH decode forms give up
+    * identically (NULL dims) instead of diverging.
+    */
+  val JpegWalkSteps = 7
+
   /** REAL byte-level media-header decode over an opaque binary payload
     * column — format from the magic bytes, pixel dimensions from the
-    * format's own header layout: PNG IHDR big-endian u32s, JPEG SOF0
-    * u16s located by scanning the header window for the FFC0 marker
-    * (byte-aligned), GIF89a little-endian u16s. Unrecognized payloads
-    * (and short/null ones) come back format='unknown' with NULL dims —
-    * decoded, never dropped.
+    * format's own header layout: PNG IHDR big-endian u32s, GIF89a
+    * little-endian u16s, and JPEG SOFn u16s located by WALKING the
+    * marker segments by their length fields (not a substring scan): from
+    * SOI, each length-bearing segment advances marker + declared length,
+    * standalone markers (TEM, RSTn) advance the bare marker, SOF0/SOF1/
+    * SOF2 parks the walk (baseline, extended-sequential AND progressive
+    * frames all decode), and SOI/EOI/SOS or a non-marker byte kills it —
+    * so an 'FFC0' byte pair INSIDE an APP0/DQT payload or past SOS is
+    * never mistaken for a frame header (the false positive a naive
+    * first-match scan decodes WRONG dims from). Every advance is a whole
+    * number of bytes from SOI, so walk positions are byte-aligned by
+    * construction. Unrecognized payloads (and short/null ones) come back
+    * format='unknown' with NULL dims — decoded, never dropped.
     *
-    * Built from codegen'd builtins (substring/hex/conv/locate) — option
-    * (a) of the extension ladder: no UDF, no custom expression, the whole
-    * parse fuses into the scan's WholeStageCodegen. Only the FIRST 32
-    * payload bytes are ever hexed (the header window), so per-row cost is
-    * independent of payload size — the projection-collapse re-inlining of
-    * the window hex into each consumer re-hexes ≤32 bytes, not the asset.
-    * The typed-map twin [[decodeMediaBatch]] carries the same parse as
-    * per-partition Scala for deployments swapping in a real codec call;
-    * the equivalence spec holds the two byte-for-byte identical.
+    * Built from codegen'd builtins (substring/conv/hex) — option (a) of
+    * the extension ladder: no UDF, no custom expression. The walk is
+    * [[JpegWalkSteps]] chained projections (each step's CASE reads the
+    * previous position attribute; CollapseProject keeps non-cheap
+    * producers un-inlined, so the expression tree stays linear in the
+    * step count) and only the FIRST 32 payload bytes are ever hexed (the
+    * header window — a JFIF frame header virtually always sits within
+    * it; one that doesn't yields NULL dims, never wrong ones), so
+    * per-row cost is independent of payload size. The typed-map twin
+    * [[decodeMediaBatch]] carries the same walk as per-partition Scala
+    * for deployments swapping in a real codec call; the equivalence spec
+    * holds the two byte-for-byte identical, decoys and edge cases
+    * included.
     */
   def decodeMediaHeader(mediaDf: DataFrame,
-      payloadCol: String = "payload"): DataFrame =
-    mediaDf
+      payloadCol: String = "payload"): DataFrame = {
+    // one walk step over the hex window: position p (1-based, always
+    // odd) ↦ next segment boundary; SOFn is a fixpoint (the walk parks),
+    // anything unparseable ↦ NULL (walk dead). A length-bearing segment
+    // advances 4 + 2*len hex chars (the length field counts itself).
+    def step(p: String): String =
+      s"""CASE
+         | WHEN $p IS NULL OR length(hdr) < $p + 3 THEN CAST(NULL AS INT)
+         | WHEN substr(hdr, $p, 4) IN ('FFC0','FFC1','FFC2') THEN $p
+         | WHEN substr(hdr, $p, 2) <> 'FF' THEN CAST(NULL AS INT)
+         | WHEN substr(hdr, $p, 4) IN ('FFD8','FFD9','FFDA') THEN CAST(NULL AS INT)
+         | WHEN substr(hdr, $p, 4) = 'FF01' OR (substr(hdr, $p, 3) = 'FFD'
+         |     AND substr(hdr, $p + 3, 1) BETWEEN '0' AND '7') THEN $p + 4
+         | WHEN length(hdr) < $p + 7
+         |     OR cast(conv(substr(hdr, $p + 4, 4), 16, 10) as int) < 2
+         |   THEN CAST(NULL AS INT)
+         | ELSE $p + 4 + 2 * cast(conv(substr(hdr, $p + 4, 4), 16, 10) as int)
+         |END""".stripMargin
+    var walked = mediaDf
       .withColumn("hdr", expr(s"hex(substring($payloadCol, 1, 32))"))
       .withColumn("format", expr("""CASE
           WHEN substr(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
           WHEN substr(hdr, 1, 4) = 'FFD8' THEN 'jpeg'
           WHEN substr(hdr, 1, 12) = '474946383961' THEN 'gif'
           ELSE 'unknown' END"""))
-      .withColumn("sof", expr("locate('FFC0', hdr)"))
+      .withColumn("wp", expr("CASE WHEN format = 'jpeg' THEN CAST(5 AS INT) END"))
+    for (_ <- 1 to JpegWalkSteps) walked = walked.withColumn("wp", expr(step("wp")))
+    walked
+      // the final position check doubles as the last examination: a SOF
+      // reached on the very last transition is still found (substr past
+      // the window yields a short string, never a false IN hit)
+      .withColumn("sof", expr(
+        "CASE WHEN wp IS NOT NULL AND substr(hdr, wp, 4) IN ('FFC0','FFC1','FFC2') THEN wp ELSE 0 END"))
       .withColumn("width_px", expr("""CASE
           WHEN format = 'png' AND length(hdr) >= 48
             THEN cast(conv(substr(hdr, 33, 8), 16, 10) as bigint)
-          WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1
-              AND length(hdr) >= sof + 17
+          WHEN format = 'jpeg' AND sof > 0 AND length(hdr) >= sof + 17
             THEN cast(conv(substr(hdr, sof + 14, 4), 16, 10) as bigint)
           WHEN format = 'gif' AND length(hdr) >= 20
             THEN cast(conv(concat(substr(hdr, 15, 2), substr(hdr, 13, 2)), 16, 10) as bigint)
@@ -526,14 +575,14 @@ object Multimodal {
       .withColumn("height_px", expr("""CASE
           WHEN format = 'png' AND length(hdr) >= 48
             THEN cast(conv(substr(hdr, 41, 8), 16, 10) as bigint)
-          WHEN format = 'jpeg' AND sof > 0 AND sof % 2 = 1
-              AND length(hdr) >= sof + 17
+          WHEN format = 'jpeg' AND sof > 0 AND length(hdr) >= sof + 17
             THEN cast(conv(substr(hdr, sof + 10, 4), 16, 10) as bigint)
           WHEN format = 'gif' AND length(hdr) >= 20
             THEN cast(conv(concat(substr(hdr, 19, 2), substr(hdr, 17, 2)), 16, 10) as bigint)
           END"""))
       .withColumn("n_bytes", octet_length(col(payloadCol)).cast("bigint"))
-      .drop("hdr", "sof")
+      .drop("hdr", "sof", "wp")
+  }
 
   /** The decode stage as typed per-partition batch iteration — the Scala
     * analog of `mapInPandas`, the seam where a real deployment swaps in
@@ -566,28 +615,40 @@ object Multimodal {
           val (w, h): (Option[Long], Option[Long]) = fmt match {
             case "png" if p.length >= 24 => (Some(be32(16)), Some(be32(20)))
             case "jpeg" =>
-              // mirror decodeMediaHeader's hex-string locate EXACTLY:
-              // the FIRST FFC0 quad at ANY nibble position of the
-              // 32-byte window counts as the hit; only a byte-aligned
-              // hit (odd 1-based hex position) yields dims — a
-              // nibble-spanning hit is body noise, nulled on both forms
+              // mirror decodeMediaHeader's bounded segment walk EXACTLY:
+              // from SOI, hop marker→marker by each segment's declared
+              // length, park on SOF0/1/2, die on SOI/EOI/SOS or a
+              // non-marker byte. The SQL form examines JpegWalkSteps + 1
+              // positions (the start plus one per chained step, the
+              // final IN check acting as the last examination), so this
+              // loop caps at the same count — adversarial marker chains
+              // give up identically on both forms.
               val win = math.min(p.length, 32)
-              var hit = -1 // 0-based hex position of the first quad
-              var s = 0
-              while (hit < 0 && s <= 2 * win - 4) {
-                val b = s / 2
-                val found =
-                  if (s % 2 == 0) u8(b) == 0xFF && u8(b + 1) == 0xC0
-                  else (p(b) & 0x0F) == 0x0F && u8(b + 1) == 0xFC &&
-                    (u8(b + 2) & 0xF0) == 0x00
-                if (found) hit = s else s += 1
+              var pos = 2  // byte offset just past SOI
+              var sof = -1
+              var dead = false
+              var looked = 0
+              while (!dead && sof < 0 && looked <= Multimodal.JpegWalkSteps) {
+                looked += 1
+                if (pos + 1 >= win) dead = true // marker must fit the window
+                else {
+                  val m1 = u8(pos + 1)
+                  if (u8(pos) != 0xFF) dead = true
+                  else if (m1 == 0xC0 || m1 == 0xC1 || m1 == 0xC2) sof = pos
+                  else if (m1 == 0xD8 || m1 == 0xD9 || m1 == 0xDA) dead = true
+                  else if (m1 == 0x01 || (m1 >= 0xD0 && m1 <= 0xD7)) pos += 2
+                  else if (pos + 3 >= win) dead = true // length field truncated
+                  else {
+                    val len = be16(pos + 2).toInt
+                    if (len < 2) dead = true else pos += 2 + len
+                  }
+                }
               }
-              // aligned hit at byte index `at`; dims need bytes through
-              // at+8 inside the window (the hex guard sof + 17 ≤ 2·win)
-              if (hit >= 0 && hit % 2 == 0 && hit / 2 + 9 <= win) {
-                val at = hit / 2
-                (Some(be16(at + 7)), Some(be16(at + 5)))
-              } else (None, None)
+              // dims need bytes through sof+8 inside the window (the
+              // hex guard length(hdr) >= sof_hex + 17 ⇔ sof + 9 ≤ win)
+              if (sof >= 0 && sof + 9 <= win)
+                (Some(be16(sof + 7)), Some(be16(sof + 5)))
+              else (None, None)
             case "gif" if p.length >= 10 => (Some(le16(6)), Some(le16(8)))
             case _ => (None, None)
           }

@@ -102,6 +102,18 @@ object StreamingIngest {
     * reasoning is unchanged — mutually exclusive with `lmDir` (it
     * REPLACES the global bar, it doesn't stack a second one).
     *
+    * `lmCutsDir` (+ `midPermille`, requires `lmDir`) swaps the absolute
+    * bar for the production CCNet SELECTION RULE: each minhash survivor
+    * scores against the frozen reference LM and the frozen
+    * [[LlmOps.buildLmPartitioner]] tercile cuts route it — `head` kept
+    * whole, `middle` kept at midPermille/1000 by salted doc-id hash,
+    * `tail` dropped ([[LlmOps.lmSelectIdsFrom]], the exact rule
+    * [[LlmOps.lmPartitionApply]] states in batch). Composes with
+    * `fluencyThreshold` when both are on (the bar filters first, the
+    * cuts select among the survivors); both artifacts are generation-
+    * frozen and the middle sample is deterministic in the id, so a
+    * replayed epoch selects identically — zero new crash windows.
+    *
     * `pqIndexDir` keeps a stored [[LlmOps.buildPqIndex]] serving index in
     * lockstep as well: survivors' vectors are encoded against the FROZEN
     * codebook ([[LlmOps.appendPqIndex]]) and their packed codes land in
@@ -152,6 +164,8 @@ object StreamingIngest {
       lmLangDir: Option[String] = None,
       langCol: String = "lang",
       fluencyThreshold: Option[Double] = None,
+      lmCutsDir: Option[String] = None,
+      midPermille: Int = 500,
       qualityGate: Boolean = false,
       qualityModelDir: Option[String] = None,
       qualityTau: Double = 1.0,
@@ -165,6 +179,9 @@ object StreamingIngest {
     require(lmDir.isEmpty || lmLangDir.isEmpty,
       "lmDir and lmLangDir are mutually exclusive: one fluency bar per loop " +
         "(the per-language model IS the global model's replacement, not a second gate)")
+    require(lmCutsDir.isEmpty || lmDir.nonEmpty,
+      "lmCutsDir needs lmDir: the frozen cuts were calibrated against the " +
+        "global stored model the selection's scores must come from")
     // startup recovery: a previous run may have died INSIDE a compaction
     // swap (table level) or a PQ REBUILD swap (parent level — the whole
     // artifact renamed away mid-generation-change), leaving an index
@@ -182,6 +199,7 @@ object StreamingIngest {
     // the parent renamed away — same recovery as the PQ artifact parent
     lmDir.foreach(graft.cdc.Compaction.recoverDir)
     lmLangDir.foreach(graft.cdc.Compaction.recoverDir)
+    lmCutsDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(graft.cdc.Compaction.recoverDir)
     decontamIndexDir.foreach(d => graft.cdc.Compaction.recoverDir(s"$d/grams"))
     // the trained quality classifier is read-only in the loop too — but a
@@ -258,8 +276,8 @@ object StreamingIngest {
         // materialization (a gate's footprint collect and the corpus
         // write) — persisted so the minhash probe joins run once per epoch
         val kept0raw = admitted.join(survivors, Seq(idCol), "left_semi")
-        val moreGates =
-          semanticThreshold.isDefined || fluencyThreshold.isDefined
+        val moreGates = semanticThreshold.isDefined ||
+          fluencyThreshold.isDefined || lmCutsDir.isDefined
         val kept0 = if (moreGates) kept0raw.persist(lvl) else kept0raw
         // the optional STATELESS quality gate: minhash survivors score
         // against the stored bigram LM and must clear the fluency bar.
@@ -276,13 +294,23 @@ object StreamingIngest {
         // per-language form is the CCNet regime: each doc scores under
         // ITS language's model, so a minority-language batch never pays
         // (or gets judged by) the majority's transition mass.
-        val bgF = fluencyThreshold.map { _ =>
+        // the LM stage scores ONCE per epoch off the shared bigram
+        // cache, then applies whichever selections are on: the absolute
+        // bar (fluencyThreshold), the frozen-cuts CCNet selection
+        // (lmCutsDir — head kept whole, middle salted-sampled at
+        // midPermille, tail dropped: [[LlmOps.lmSelectIdsFrom]], the
+        // production CCNet regime replacing-or-tightening the bar), or
+        // both composed. Cuts and model are frozen generation artifacts
+        // and the middle sample is a deterministic id hash — a replayed
+        // epoch selects identically, zero new crash windows.
+        val lmGateOn = fluencyThreshold.isDefined || lmCutsDir.isDefined
+        val bgF = if (!lmGateOn) None else Some {
           (if (lmLangDir.isDefined)
             LlmOps.docBigramsLang(kept0, idCol, textCol, langCol)
           else LlmOps.docBigrams(kept0, idCol, textCol)).persist(lvl)
         }
-        val kept1 = (fluencyThreshold, bgF) match {
-          case (Some(ft), Some(bgf)) =>
+        val kept1 = bgF match {
+          case Some(bgf) =>
             val scored = lmLangDir match {
               case Some(ld) => LlmOps.fluencyStoredByLangFrom(
                 kept0.select(col(idCol).as("doc_id"),
@@ -290,10 +318,19 @@ object StreamingIngest {
                 bgf, ld)
               case None => LlmOps.fluencyStoredFrom(bgf, lmDir.get)
             }
-            val fluent = scored.filter(col("fluency") >= ft)
-              .select(col("doc_id").as(idCol))
-            kept0.join(fluent, Seq(idCol), "left_semi")
-          case _ => kept0
+            val afterBar = fluencyThreshold match {
+              case Some(ft) => scored.filter(col("fluency") >= ft)
+              case None     => scored
+            }
+            val keepIds = lmCutsDir match {
+              case Some(cd) =>
+                LlmOps.lmSelectIdsFrom(
+                  afterBar.select("doc_id", "fluency"), cd, midPermille)
+              case None => afterBar.select(col("doc_id"))
+            }
+            kept0.join(keepIds.select(col("doc_id").as(idCol)),
+              Seq(idCol), "left_semi")
+          case None => kept0
         }
         // the optional SECOND index gate: fluency survivors probe the
         // stored cell table; the (vec_id, e, label, nrm) frame is derived

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bigram_rle"),
       new ExpressionInfo(classOf[graft.functions.BigramRle].getName, "bigram_rle"),
       (children: Seq[Expression]) => graft.functions.BigramRle(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("token_rle"),
+      new ExpressionInfo(classOf[graft.functions.TokenRle].getName, "token_rle"),
+      (children: Seq[Expression]) => graft.functions.TokenRle(children.head)))
     ext.injectOptimizerRule(_ => EpochNormalizeStrengthReduction)
   }
 }

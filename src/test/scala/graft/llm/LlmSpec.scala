@@ -354,13 +354,16 @@ class LlmSpec extends SparkSpec {
     // counts: 9 shared tokens c_pos=2, juliet/kilo c_pos=1, zq c_neg=12
     // T_pos=20, T_neg=12, V=12
     // r(shared)=(3·24)/(1·32)=2.25, r(juliet)=(2·24)/(1·32)=1.5,
-    // r(zq)=(1·24)/(13·32)
+    // r(zq)=(1·24)/(13·32); the fold sees ONE tf-weighted value per
+    // DISTINCT doc-token (the docTokens reduction): clean docs carry
+    // tf=1 everywhere (unchanged), the junk doc folds the single value
+    // 12·r(zq) instead of twelve copies of r(zq)
     val out = LlmOps.qualityClassify(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
     def fold(vs: Seq[Double]): Double = vs.sorted.foldLeft(0.0)(_ + _)
     assert(out(1L) === ((10L, fold(Seq.fill(9)(2.25) :+ 1.5) / 10.0, true)))
     assert(out(2L) === ((10L, fold(Seq.fill(9)(2.25) :+ 1.5) / 10.0, true)))
-    assert(out(3L) === ((12L, fold(Seq.fill(12)(24.0 / 416.0)) / 12.0, false)))
+    assert(out(3L) === ((12L, 12.0 * (24.0 / 416.0) / 12.0, false)))
   }
 
   test("stored quality classifier: slice probe ≡ in-query classify; OOV contributes zero; gauge and crash recovery") {
@@ -1366,9 +1369,13 @@ class LlmSpec extends SparkSpec {
 
   test("media header decode: real magic + dims for all three formats, unknown contract, typed map ≡ SQL form") {
     // ids picked to hit all four doc_id % 4 arms: 0=png, 1=jpeg, 2=gif,
-    // 3=headerless; dims derive from the id (width 64+(id%16)*8 etc.)
-    val d = docs(4L -> "png body", 5L -> "jpeg body", 6L -> "gif body",
-      7L -> "raw body")
+    // 3=headerless; dims derive from the id (width 64+(id%16)*8 etc.).
+    // The three jpeg ids cover all (id div 4) % 3 layouts: 1 = bare
+    // SOI+SOF0, 5 = APP0 with a byte-aligned FFC0 DECOY in its payload
+    // before the real SOF0 (a first-match scan reads wrong dims here;
+    // the segment walk must not), 9 = DQT-shaped hop + progressive SOF2
+    val d = docs(4L -> "png body", 1L -> "jpeg v0", 5L -> "jpeg body",
+      9L -> "jpeg v2", 6L -> "gif body", 7L -> "raw body")
     val enc = Multimodal.mediaEncoded(d)
     def dump(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_id", "format", "width_px", "height_px", "n_bytes")
@@ -1378,28 +1385,42 @@ class LlmSpec extends SparkSpec {
         r.getLong(4))).sortBy(_._1).toSeq
     val sql = dump(Multimodal.decodeMediaHeader(enc))
     // the decoded values are the fixture's ground truth, read back from
-    // REAL header bytes (PNG BE u32, JPEG SOF0 u16s, GIF LE u16s)
+    // REAL header bytes (PNG BE u32, JPEG SOFn u16s behind the segment
+    // walk, GIF LE u16s); header sizes: v0 = 12 B, v1 = 30 B, v2 = 19 B
     assert(sql === Seq(
+      (1L, "jpeg", Some(72L), Some(64L), 12L + 7L),
       (4L, "png", Some(96L), Some(64L), 33L + 8L),
-      (5L, "jpeg", Some(104L), Some(64L), 12L + 9L),
+      (5L, "jpeg", Some(104L), Some(64L), 30L + 9L),
       (6L, "gif", Some(112L), Some(64L), 13L + 8L),
-      (7L, "unknown", None, None, 8L)), s"got $sql")
+      (7L, "unknown", None, None, 8L),
+      (9L, "jpeg", Some(136L), Some(64L), 19L + 7L)), s"got $sql")
     // the typed per-partition form (the real-codec seam) is
     // byte-for-byte identical to the declarative form
     assert(dump(Multimodal.decodeMediaBatch(spark, enc)) === sql)
     // edge payloads: magic-only truncations decode to format + NULL
-    // dims on BOTH forms; empty is unknown
+    // dims on BOTH forms; empty is unknown; the walk-specific edges —
+    // a post-SOS FFC0 is entropy-coded noise (walk dies at SOS, NULL
+    // dims, where the old scan would have "decoded" it), a standalone
+    // TEM marker is hopped without a length field, and a decoy-only
+    // APP0 with NO real SOF yields NULL dims, not the decoy's bytes
     import org.apache.spark.sql.functions.{col, expr}
     val edges = Seq(
       (1L, "89504E470D0A1A0A"),            // png sig only
       (2L, "FFD8"),                        // jpeg SOI only
       (3L, "474946383961F0"),              // gif magic + 1 byte
-      (4L, "")).toDF("doc_id", "hx")
+      (4L, ""),
+      (5L, "FFD8FFDA0002FFC000110800400040"), // SOS then FFC0: dead walk
+      (6L, "FFD8FF01FFC0001108004000C0"),     // TEM hop then real SOF0
+      (7L, "FFD8FFE000104A464946000101FFC000AA000000")) // decoy, no SOF
+      .toDF("doc_id", "hx")
       .select(col("doc_id"), expr("unhex(hx)").as("payload"))
     val se = dump(Multimodal.decodeMediaHeader(edges))
     assert(se.map(x => (x._1, x._2, x._3, x._4)) === Seq(
       (1L, "png", None, None), (2L, "jpeg", None, None),
-      (3L, "gif", None, None), (4L, "unknown", None, None)), s"got $se")
+      (3L, "gif", None, None), (4L, "unknown", None, None),
+      (5L, "jpeg", None, None),
+      (6L, "jpeg", Some(192L), Some(64L)),
+      (7L, "jpeg", None, None)), s"got $se")
     assert(dump(Multimodal.decodeMediaBatch(spark, edges)) === se)
   }
 
@@ -1760,6 +1781,66 @@ class LlmSpec extends SparkSpec {
         lmDir, dDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(applied === Seq((10L, fluent.length.toLong)), s"got $applied")
+  }
+
+  test("trained-classifier gate on the batch funnel and the nightly delta: drops a heuristic-passing doc the model rejects") {
+    // the gate's value-add is exactly the heuristic/learned DISAGREEMENT:
+    // a doc that clears every heuristic bar but whose tokens the trained
+    // model associates with the junk class. Training corpus: two clean
+    // docs (cln* tokens → c_pos) and two junk docs whose jun* tokens ride
+    // with a 40-char punct token (punct_ratio 0.39 fails the heuristic →
+    // c_neg). The TRAP doc reuses the junk docs' jun* tokens WITHOUT the
+    // punct — it passes the heuristic (12 tokens, avg len 4.25, no
+    // repetition, no punct) but scores r = 55/183 ≈ 0.30 < τ=1 per token.
+    val cln = (1 to 16).map(i => s"cln$i").mkString(" ")
+    val junToks = (1 to 12).map(i => s"jun$i").mkString(" ")
+    val junk = junToks + " " + "!" * 40
+    val train = docs(1L -> cln, 2L -> cln, 3L -> junk, 4L -> junk)
+    val qd = java.nio.file.Files.createTempDirectory("graft-clfgate-q").toString
+    LlmOps.buildQualityClassifier(train, qd)
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-clfgate-lm").toString
+    LlmOps.buildFluencyModel(docs(1L -> cln), lmDir)
+    val dDir = java.nio.file.Files.createTempDirectory("graft-clfgate-dc").toString
+    LlmOps.buildDecontamIndex(docs(900L ->
+      (1 to 30).map(i => s"bench$i").mkString(" ")), dDir)
+    val corpus = docs(10L -> cln, 12L -> junToks)
+    // batch funnel: without the gate the trap doc flows through to the
+    // LM bar; with it, stage 1b drops it and every later stage shrinks
+    val without = LlmOps.curationFunnelFull(corpus, lmDir, dDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(without === Map("0_raw" -> 2L, "1_quality" -> 2L,
+      "2_decontam" -> 2L, "3_exact_dedup" -> 2L, "4_near_dedup" -> 2L,
+      "5_fluent" -> 1L), s"got $without")
+    val withClf = LlmOps.curationFunnelFull(corpus, lmDir, dDir,
+        qualityModelDir = Some(qd))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withClf === Map("0_raw" -> 2L, "1_quality" -> 2L,
+      "1b_clf" -> 1L, "2_decontam" -> 1L, "3_exact_dedup" -> 1L,
+      "4_near_dedup" -> 1L, "5_fluent" -> 1L), s"got $withClf")
+    // terminal apply under the gate: exactly the clean doc
+    val applied = LlmOps.curationApplyFull(corpus, lmDir, dDir,
+        qualityModelDir = Some(qd))
+      .collect().map(_.getLong(0)).toSeq
+    assert(applied === Seq(10L), s"got $applied")
+    // nightly delta: churn = the trap + a reordered clean-vocabulary doc
+    // (different text → exact gate pass; different trigrams → near gate
+    // pass; clean-class tokens → clf pass). 1b drops exactly the trap.
+    val base = docs(1L -> cln)
+    val ix = java.nio.file.Files.createTempDirectory("graft-clfgate-ix").toString
+    LlmOps.buildMinHashIndex(base, ix)
+    val reord = (1 to 16).reverse.map(i => s"cln$i").mkString(" ")
+    val next = docs(1L -> cln, 20L -> junToks, 21L -> reord)
+    val delta = LlmOps.curateDelta(base, next, ix,
+        qualityModelDir = Some(qd)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delta === Map("0_delta" -> 2L, "1_quality" -> 2L,
+      "1b_clf" -> 1L, "2_exact" -> 1L, "3_near" -> 1L), s"got $delta")
+    // and a tau ABOVE the clean ratio (165/61 ≈ 2.7) closes the gate on
+    // everything — the knob is live on the composed surface
+    val strict = LlmOps.curateDelta(base, next, ix,
+        qualityModelDir = Some(qd), qualityTau = 3.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strict("1b_clf") === 0L && strict("3_near") === 0L, s"got $strict")
   }
 
   test("full funnel at an infinite gram bar ≡ the LM funnel: the decontam stage is the only delta") {
@@ -2694,6 +2775,44 @@ class LlmSpec extends SparkSpec {
     assert(parts10.length === 23, "no document may vanish on a cut-less language")
     assert(parts10.filter(_._1 == "xx").map(_._2).toSeq === Seq("head", "head", "head"),
       "a language absent from the calibration slice routes whole to the keep bucket")
+  }
+
+  test("per-language IDF: a corpus-common term stays distinctive inside the minority language; its own stopword stops ranking") {
+    // the inversion per-language df exists to fix: 'data' saturates en
+    // (df_glob 21) but appears in ONE yy doc — genuinely distinctive
+    // FOR THAT DOC within yy — while 'zz' is yy's own stopword (in all
+    // 3 yy docs, nowhere else: df_glob = df_yy = 3). Pooled df prices
+    // 'data' at N/21 and 'zz' at N/3, ranking the stopword ABOVE the
+    // distinctive term; per-language df (N_yy/1 vs N_yy/3) restores it.
+    val en = (1L to 20L).map(i => (i * 10, s"data dog cat bird u$i", "en"))
+    val yy = Seq(
+      (5L, "zz data mira dun", "yy"),
+      (15L, "zz mira dun pol", "yy"),
+      (25L, "zz mira dun pol", "yy"))
+    val d = (en ++ yy).toDF("doc_id", "text", "lang")
+    val gDir = java.nio.file.Files.createTempDirectory("graft-idf-g").toString
+    LlmOps.buildIdfModel(d, gDir)
+    val lDir = java.nio.file.Files.createTempDirectory("graft-idf-l").toString
+    LlmOps.buildIdfModelByLang(d, lDir)
+    val batch = d.filter(col("doc_id") === 5L)
+    val glob = LlmOps.keywordsStored(batch, gDir).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    // global: zz/mira/dun all score 23/3, data scores 23/21 — the
+    // stopword crowd fills the top-3 and the distinctive term is absent
+    assert(glob.values.toSet === Set("dun", "mira", "zz"), s"got $glob")
+    val lang = LlmOps.keywordsStoredByLang(batch, lDir).collect()
+      .map(r => r.getLong(2) -> r.getString(3)).toMap
+    // per-language: data = 3/1, the yy-ubiquitous tokens = 3/3
+    assert(lang(1L) === "data", s"got $lang")
+    // per-language gauge: both languages present as their own rows
+    val langs = LlmOps.idfModelStatsByLang(spark, lDir).collect()
+      .map(_.getString(0)).toSet
+    assert(langs === Set("en", "yy"))
+    // frozen-vocabulary contract, language-keyed: 'data' exists in the
+    // model only under (en, data)/(yy, data) — a doc of a language the
+    // model never saw ranks nothing (inner join, no cross-language leak)
+    val alien = Seq((99L, "data zz", "qq")).toDF("doc_id", "text", "lang")
+    assert(LlmOps.keywordsStoredByLang(alien, lDir).count() === 0L)
   }
 
   test("media GC: takedown leaves corpus and index clean; the ghost no longer vetoes a re-encode") {

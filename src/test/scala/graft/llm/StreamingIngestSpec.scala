@@ -231,6 +231,56 @@ class StreamingIngestSpec extends SparkSpec {
       "index must grow by the fluency-gate survivors only")
   }
 
+  test("CCNet cuts gate in the live loop: head kept, middle at the sampled rate, tail never — parity with the batch rule") {
+    // reference LM: tokens [a b]×8 then c → P(b|a)=1, P(a|b)=7/8,
+    // P(c|b)=1/8. Calibration slice (refMod 1): 201 f=2·(1/8)/3≈0.083,
+    // 202 f=7/8, 203 f=1.0 → frozen cuts (0.083, 201) / (0.875, 202).
+    // Arrivals: 301 "a b a b" f≈0.958 → head; 302 "b c b a" f=1/3 →
+    // middle; 303 gibberish f=0 → tail. All three are LSH-novel against
+    // the unrelated index base.
+    val ref = docs(1000L -> ((1 to 8).flatMap(_ => Seq("a", "b")) :+ "c").mkString(" "))
+    val lm = Files.createTempDirectory("graft-sic-lm").toString
+    LlmOps.buildFluencyModel(ref, lm)
+    val cuts = Files.createTempDirectory("graft-sic-cuts").toString
+    LlmOps.buildLmPartitioner(
+      docs(201L -> "b c b c", 202L -> "b a", 203L -> "a b"), lm, cuts,
+      refMod = 1)
+    val idx0 = Files.createTempDirectory("graft-sic-idx0").toString
+    val arrivals = docs(301L -> "a b a b", 302L -> "b c b a",
+      303L -> "z q z q")
+    def runLoop(permille: Int): Set[Long] = {
+      val idx = Files.createTempDirectory("graft-sic-idx").toString
+      LlmOps.buildMinHashIndex(docs(1L -> mk("alpha"), 2L -> mk("beta")), idx)
+      val src = Files.createTempDirectory("graft-sic-src").toString
+      val out = Files.createTempDirectory("graft-sic-out").toString
+      val ckp = Files.createTempDirectory("graft-sic-ckp").toString
+      arrivals.coalesce(1).write.mode("overwrite").parquet(src)
+      StreamingIngest.start(spark, src, idx, out, ckp,
+        lmDir = Some(lm), lmCutsDir = Some(cuts), midPermille = permille)
+        .awaitTermination()
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    // middle kept whole: head + middle admit, tail never
+    assert(runLoop(1000) === Set(301L, 302L), "midPermille=1000 keeps head+middle")
+    // middle closed: only the head survives
+    assert(runLoop(0) === Set(301L), "midPermille=0 keeps head only")
+    // at the default rate the loop admits EXACTLY the batch rule's keep
+    // set — live/batch parity on the same frozen artifacts (the salted
+    // middle sample is deterministic in the id, so the two surfaces
+    // cannot disagree)
+    val batchKeep = LlmOps.lmPartitionApply(arrivals, lm, cuts,
+      midPermille = 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(runLoop(500) === batchKeep,
+      s"live selection must equal lmPartitionApply's keep set $batchKeep")
+    // the misconfiguration is loud: cuts without the global model
+    val thrown = intercept[IllegalArgumentException] {
+      StreamingIngest.start(spark, idx0, idx0, idx0, idx0,
+        lmCutsDir = Some(cuts))
+    }
+    assert(thrown.getMessage.contains("lmCutsDir needs lmDir"))
+  }
+
   test("per-language fluency gate in the live loop: the minority doc its own model admits is not judged on the majority's bar") {
     val idx = Files.createTempDirectory("graft-sil-idx").toString
     val lm = Files.createTempDirectory("graft-sil-lm").toString

@@ -190,6 +190,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.llm.LlmOps.bigramRleFallback(null) === null)
   }
 
+  test("token_rle fused pass equals the distinct/count SQL chain, edge shapes included") {
+    // repeated tokens, consecutive/trailing spaces (empty tokens KEPT by
+    // split limit -1 — so Σtf always equals size(split)), single token,
+    // empty string (ONE empty token), unicode, long mixed
+    val cases = Seq(
+      "a b a b a c",
+      "x  y",
+      "tail space ",
+      "solo",
+      "",
+      "ü ber ü ber",
+      (1 to 200).map(i => s"w${i % 13}").mkString(" "))
+    val rows = cases.toDF("text")
+      .selectExpr("text", "token_rle(text) AS fused",
+        "transform(array_distinct(split(text, ' ')), w -> struct(w AS tok, cast(size(filter(split(text, ' '), x -> x = w)) AS bigint) AS tf)) AS unfused",
+        "cast(size(split(text, ' ')) AS bigint) AS n_split")
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getLong(1)))
+      val unfused = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(x => (x.getString(0), x.getLong(1)))
+      assert(fused.toSet === unfused.toSet, s"diverged on '${r.getString(0)}'")
+      // the mass invariant every scorer's fold relies on
+      assert(fused.map(_._2).sum === r.getLong(3),
+        s"Σtf ≠ size(split) on '${r.getString(0)}'")
+    }
+    val nr = Seq[String](null).toDF("text")
+      .selectExpr("token_rle(text) AS fused").collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
+  test("token_rle UDF fallback row order equals the native expression's UTF8 binary sort") {
+    // same supplementary-plane trap as the bigram twin: UTF-16 code-unit
+    // order and UTF-8 byte order disagree on 𝕏 vs ﬀ
+    val cases = Seq("𝕏 ﬀ 𝕏 ﬀ z",
+      "a b a b a c", "ü ber ü ber", "x  y", "")
+    cases.foreach { text =>
+      val native = Seq(text).toDF("text")
+        .selectExpr("token_rle(text) AS tks").collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getString(0), x.getLong(1)))
+      val fallback = graft.llm.LlmOps.tokenRleFallback(text)
+        .map(r => (r.tok, r.tf))
+      assert(native === fallback, s"row order diverged on '$text'")
+    }
+    assert(graft.llm.LlmOps.tokenRleFallback(null) === null)
+  }
+
   test("payload_simhash fused pass equals the hex/explode/vote SQL chain, edge lengths included") {
     // empty, 1-3 byte (single short gram), exactly 4, duplicate-gram-heavy
     // (aaaa... packs every window identical), and a 300-byte spread

@@ -589,7 +589,7 @@ class PlanQualitySpec extends SparkSpec {
         case BuildLeft => j.left
         case BuildRight => j.right
       }
-      assert(!build.collectLeaves().forall(
+      assert(!build.collectLeaves().exists(
           _.toString.contains("/bigrams")),
         "the stored model must never be a broadcast build side")
     }
