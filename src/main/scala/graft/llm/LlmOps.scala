@@ -3626,13 +3626,18 @@ object LlmOps {
     // driver barrier instead of two or three sequential ones. Each
     // barrier here is a full stage chain over the churn derivation —
     // fusing them is the difference between this query and its oracle.
-    // the per-language bar's shared bigram frame (pinned: the fused
-    // footprint agg AND the scoring probe both read it)
-    val bgLang = lmLangDir.map(_ =>
-      pin(docBigramsLang(eC, "doc_id", "text", "lang")))
+    // The per-language footprint derives from the CORPUS scan
+    // (lmLangFpAggDocs — token buckets ⊇ prefix buckets, token total ≥
+    // bigram mass, both sound over-approximations), NOT from a pinned
+    // docBigramsLang frame: with the footprint off the corpus, the
+    // bigram frame has exactly ONE consumer (the probability join) and
+    // nothing corpus-sized is cached — fluencyStored's measured lesson
+    // (persisted batch bigrams: the cache write dominates), applied to
+    // the nightly lang chain (matched alternating A/B at sf0.1, REPS=7
+    // medians: 6.13/5.94/5.38 → 5.49/5.00/5.12 s — new wins every pair)
     val aggs = Seq(mhFpAgg(bBands)) ++
       lmDir.map(_ => lmFpAgg(eC)) ++
-      bgLang.map(lmLangFpAgg) ++
+      lmLangDir.map(_ => lmLangFpAggDocs(eC)) ++
       cleanIds.map(_.agg(count(lit(1)).as("dc_n"))) ++
       // the trained-classifier probe's (qc_toks, qc_buckets) footprint
       // rides the SAME fused barrier (qc-prefixed — no collision with
@@ -3660,12 +3665,14 @@ object LlmOps {
     // the optional NIGHTLY LM bar — scores the cached exact survivors
     // (the round-12 restructure: the LM chain runs concurrently with the
     // probe chain inside the final job instead of sitting behind it)
-    val fluentIds = (lmDir, lmLangDir, bgLang) match {
-      case (Some(lm), _, _) => Some(
+    val fluentIds = (lmDir, lmLangDir) match {
+      case (Some(lm), _) => Some(
         fluencyStored(eC, lm, fpRow = Some(fused))
           .filter(col("fluency") >= fluencyThreshold).select("doc_id"))
-      case (_, Some(ld), Some(bgl)) => Some(
-        fluencyStoredByLangFrom(eC, bgl, ld, fpRow = Some(fused))
+      case (_, Some(ld)) => Some(
+        fluencyStoredByLangFrom(eC,
+            docBigramsLang(eC, "doc_id", "text", "lang"), ld,
+            fpRow = Some(fused))
           .filter(col("fluency") >= fluencyThreshold).select("doc_id"))
       case _ => None
     }
@@ -5362,6 +5369,102 @@ object LlmOps {
       .select("cid", "e").withColumnRenamed("e", "ce")
   }
 
+  /** Fixed Lloyd-iteration count for the data-adaptive codebook — bounded
+    * by construction (the BPE fixed-rounds precedent): each iteration is
+    * one broadcast-assign + one mean fold over the capped training set,
+    * so the refinement cost is iters × O(trainCap · m · K) regardless of
+    * corpus size. Two iterations capture most of the quantization-error
+    * drop on hash-rank init (the classic k-means convergence profile:
+    * the first assignments move centroids onto the data's mass, later
+    * iterations fine-tune boundaries).
+    */
+  val PqLloydIters = 2
+
+  /** Cap on Lloyd training rows — 64·K at the default [[PqCentroids]],
+    * the per-centroid training-mass discipline production PQ trainers
+    * enforce (FAISS warns above ~256 points/centroid and subsamples).
+    * The cap is what keeps the mean fold's per-(s, cid) collect bounded
+    * at ANY corpus size: training reads the `trainMod` id-slice, ranks
+    * it by the salted-hash priority, and keeps the lowest `trainCap`
+    * rows — a distributed TakeOrdered, never a corpus sort.
+    */
+  val PqLloydTrainCap = 1024
+
+  /** Data-adaptive PQ codebook: [[pqPivots]]'s hash-rank K rows as the
+    * deterministic init, refined by `iters` Lloyd steps over the capped
+    * training set (k-means per SUBSPACE — the true PQ trainer, Jégou
+    * §III.A: each 16-dim subquantizer clusters its own subvectors). The
+    * refined per-subspace centroids reassemble into full (cid, ce) rows
+    * (subspace s of ce = centroid (s, cid)), so every downstream
+    * consumer — [[pqAssign]], [[pqReconstruct]], the stored `codebooks/`
+    * layout — is unchanged: assignment slices ce per subspace and lands
+    * on exactly the refined centroid.
+    *
+    * Bit-exactness (hash-green contract): assignment ties break (d, cid)
+    * like [[pqAssign]]; each new centroid is the ordered left fold of its
+    * members' subvectors sorted by vec_id (sort_array(collect_list) here,
+    * `list(seg ORDER BY vec_id)` + `list_reduce` in the oracle — the
+    * [[dotSql]] discipline: identical addition order ⇒ identical
+    * doubles), divided by the member count; an EMPTY cell keeps its
+    * previous centroid (coalesce), the deterministic analog of FAISS's
+    * empty-cluster reseed. Scale: the training set is ≤ `trainCap` rows
+    * end-to-end — every per-iteration frame (assign crossJoin, mean
+    * collect) is bounded by trainCap · m · K rows, independent of corpus
+    * size; only the FINAL encode pass (shared with the hash-rank path)
+    * is linear in the corpus.
+    */
+  private def pqPivotsLloyd(base: DataFrame, kc: Int, trainMod: Long,
+      m: Int, sub: Int, iters: Int = PqLloydIters,
+      trainCap: Int = PqLloydTrainCap): DataFrame = {
+    val pri = base.filter(col("vec_id") % trainMod === 0)
+      .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
+    val train = pri.orderBy(col("pri"), col("vec_id")).limit(trainCap)
+    // init IS pqPivots's codebook: the kc lowest (pri, vec_id) rows —
+    // trainCap ≥ kc, so limiting to trainCap first changes nothing
+    var piv = train.orderBy(col("pri"), col("vec_id")).limit(kc)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("pri"), col("vec_id"))) - 1).cast("int"))
+      .select("cid", "e").withColumnRenamed("e", "ce")
+    // training subvectors, derived once and reused by every iteration
+    val tr = train
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("s"),
+        col("e"))
+      .withColumn("seg", expr(s"slice(e, s*$sub+1, $sub)"))
+      .select("vec_id", "s", "seg")
+    for (_ <- 1 to iters) {
+      val segs = piv
+        .select(col("cid"), explode(expr(s"sequence(0, ${m - 1})")).as("s"),
+          col("ce"))
+        .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
+        .select("s", "cid", "cseg")
+      // nearest-centroid per (training vector, subspace): the pqAssign
+      // argmin-as-aggregation shape, seg carried in the struct (constant
+      // within the group — comparison never reaches it for distinct
+      // (d, cid))
+      val assigned = tr.join(broadcast(segs), Seq("s"))
+        .withColumn("d", expr(ssdSql("seg", "cseg")))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("cid"), col("seg"))).as("mc"))
+        .select(col("s"), col("mc.cid").as("cid"), col("vec_id"),
+          col("mc.seg").as("seg"))
+      // new centroid = ordered-fold mean of members (vec_id-sorted left
+      // fold — bit-exact vs the oracle's list_reduce over the same order)
+      val means = assigned.groupBy("s", "cid")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("seg")))).as("mem"),
+          count(lit(1)).as("cnt"))
+        .withColumn("nseg", expr(
+          s"transform(aggregate(mem, array_repeat(cast(0.0 as double), $sub), " +
+            "(acc, x) -> zip_with(acc, x.seg, (a, b) -> a + b)), " +
+            "v -> v / cast(cnt as double))"))
+        .select("s", "cid", "nseg")
+      piv = segs.join(means, Seq("s", "cid"), "left")
+        .withColumn("useg", coalesce(col("nseg"), col("cseg")))
+        .groupBy("cid")
+        .agg(expr("flatten(transform(array_sort(collect_list(struct(s, useg))), x -> x.useg))").as("ce"))
+    }
+    piv
+  }
+
   /** Nearest-centroid assignment against a FROZEN codebook — (vec_id, s,
     * cid) rows. Shared by the in-query operators and the stored index's
     * build/append (append encodes new vectors with the stored codebook,
@@ -5411,17 +5514,20 @@ object LlmOps {
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, cseg))), x -> x.cseg))").as("approx"))
 
   private def pqApproxFrame(base: DataFrame, m: Int, kc: Int,
-      sub: Int, trainMod: Long): DataFrame = {
-    val pivots = pqPivots(base, kc, trainMod)
+      sub: Int, trainMod: Long, lloydIters: Int = 0): DataFrame = {
+    val pivots =
+      if (lloydIters > 0) pqPivotsLloyd(base, kc, trainMod, m, sub, lloydIters)
+      else pqPivots(base, kc, trainMod)
     pqReconstruct(pqAssign(base, pivots, m, sub), pivots, sub)
   }
 
   def annPq(emb: DataFrame, k: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod,
+      lloydIters: Int = 0): DataFrame = {
     val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
-    val approx = pqApproxFrame(base, m, kc, sub, trainMod)
+    val approx = pqApproxFrame(base, m, kc, sub, trainMod, lloydIters)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val scored = approx.crossJoin(broadcast(q))
@@ -5443,12 +5549,14 @@ object LlmOps {
   def annIvfPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       nQueries: Int = 8, m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod,
+      lloydIters: Int = 0): DataFrame = {
     // canonical widening via embBase (it keeps a `label` column when one
     // exists — normalize the caller's labelCol to that name first)
     val base = embBase(ensureH56(emb).withColumn("label", col(labelCol)),
       idCol, vecCol)
-    val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub, trainMod)
+    val approx = pqApproxFrame(base.select("vec_id", "e"), m, kc, sub,
+      trainMod, lloydIters)
       .join(base.select("vec_id", "label"), Seq("vec_id"))
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -5539,11 +5647,13 @@ object LlmOps {
   def annRecallPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       m: Int = PqSubspaces, kc: Int = PqCentroids,
-      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod): DataFrame = {
+      sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod,
+      lloydIters: Int = 0): DataFrame = {
     val exact = annTopK(emb, k, idCol, vecCol, nQueries)
       .select(col("qid"), col("vec_id"))
     recallAgainst(exact,
-      annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod), k)
+      annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod,
+        lloydIters), k)
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
@@ -5824,10 +5934,14 @@ object LlmOps {
   def buildPqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       m: Int = PqSubspaces, kc: Int = PqCentroids, sub: Int = PqSubDim,
-      trainMod: Long = PqTrainSliceMod): Unit = {
+      trainMod: Long = PqTrainSliceMod, lloydIters: Int = 0): Unit = {
     val base = embBase(ensureH56(emb).withColumn("label", col(labelCol)),
       idCol, vecCol)
-    val pivots = pqPivots(base.select("vec_id", "e"), kc, trainMod)
+    val pivots =
+      if (lloydIters > 0)
+        pqPivotsLloyd(base.select("vec_id", "e"), kc, trainMod, m, sub,
+          lloydIters)
+      else pqPivots(base.select("vec_id", "e"), kc, trainMod)
     pivots.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     writePqCodes(base, emb.sparkSession.read.parquet(s"$dir/codebooks"),
       dir, m, sub, "overwrite")
@@ -5887,9 +6001,10 @@ object LlmOps {
   def rebuildPqIndex(emb: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       m: Int = PqSubspaces, kc: Int = PqCentroids, sub: Int = PqSubDim,
-      trainMod: Long = PqTrainSliceMod): Unit =
+      trainMod: Long = PqTrainSliceMod, lloydIters: Int = 0): Unit =
     graft.cdc.Compaction.swapDir(dir) { tmp =>
-      buildPqIndex(emb, tmp, idCol, vecCol, labelCol, m, kc, sub, trainMod)
+      buildPqIndex(emb, tmp, idCol, vecCol, labelCol, m, kc, sub, trainMod,
+        lloydIters)
     }
 
   /** Blocking-recall gauge for the cosine near-dup family — the

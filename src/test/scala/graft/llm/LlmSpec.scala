@@ -2061,6 +2061,101 @@ class LlmSpec extends SparkSpec {
     assert(probeBefore.nonEmpty, "fixture sanity: the drifted index served probes")
   }
 
+  test("lloyd codebook: the drift gauge clears on clustered data, recall lifts on the corpus") {
+    // 4 well-separated clusters in 8-dim (spike at dim 2c + small
+    // deterministic jitter, the annPq cluster fixture); kc = 4, so a
+    // DATA-ADAPTIVE codebook can seat one centroid per cluster pattern
+    // while the hash-rank init is 4 arbitrary corpus rows. The
+    // observable is pqDrift — the gauge a deployment actually alarms
+    // on: a hash-rank codebook leaves whole clusters unrepresented
+    // (reconstruction error ≈ the spike magnitude, far over budget);
+    // the trained one collapses every cluster onto its mean (error ≈
+    // jitter, under any sane budget). Recall-vs-exact is deliberately
+    // NOT asserted here: coarse quantization maps all same-cluster
+    // members to one reconstruction, so within-cluster ADC order is
+    // tie-noise — the gauge for ranking quality is the corpus assertion
+    // below.
+    val rows = (0L until 40L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0f else 0.0f) + ((id * 7 + j) % 5) * 0.01f)
+      (id, v.toSeq, c.toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def highErr(iters: Int): (Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
+      LlmOps.buildPqIndex(emb, dir, m = 2, kc = 4, sub = 4, trainMod = 1,
+        lloydIters = iters)
+      val g = LlmOps.pqDrift(emb, dir, sub = 4, errBudget = 1.0).collect()
+      (g.map(_.getAs[Long]("n_high_err")).sum,
+        g.map(_.getAs[Double]("max_err")).max)
+    }
+    val (initHigh, initMax) = highErr(0)
+    val (lloydHigh, lloydMax) = highErr(LlmOps.PqLloydIters)
+    assert(initHigh > 0,
+      s"fixture sanity: the hash-rank codebook must blow the error budget " +
+        s"on data it can't represent (max_err $initMax)")
+    assert(lloydHigh === 0L,
+      s"the trained codebook must clear the drift budget on clustered " +
+        s"data (max_err $lloydMax vs init $initMax)")
+    assert(lloydMax < initMax / 10,
+      "cluster means cut reconstruction error by the spike magnitude")
+
+    // and on the REAL (isotropic) corpus the end effect moves the right
+    // way: mean ADC recall@5 over 64 queries strictly improves
+    // (measured 0.0875 → 0.0969 at sf0.001; same direction at sf0.01
+    // and sf0.1 — the llm_ann_recall_pq_lloyd query's values)
+    val corpus = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def meanRecall(iters: Int): Double = {
+      val r = LlmOps.annRecallPq(corpus, nQueries = 64,
+        lloydIters = iters).collect()
+      r.map(_.getAs[Double]("recall_at_k")).sum / r.length
+    }
+    val rInit = meanRecall(0)
+    val rLloyd = meanRecall(LlmOps.PqLloydIters)
+    assert(rLloyd > rInit,
+      s"lloyd codebook must lift corpus ADC recall ($rLloyd vs $rInit)")
+  }
+
+  test("lloyd codebook rides the stored PQ lifecycle: build(lloydIters) probe ≡ in-query, append frozen") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-lloyd").toString
+    // trainMod = 1: sf0.001's 5%-slice can't seat K centroids (the
+    // documented tiny-fixture knob)
+    LlmOps.buildPqIndex(emb, dir, trainMod = 1,
+      lloydIters = LlmOps.PqLloydIters)
+    val indexed = LlmOps.annIvfPqIndexed(q, dir)
+    val direct = LlmOps.annIvfPq(emb, trainMod = 1,
+      lloydIters = LlmOps.PqLloydIters)
+    assert(indexed.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet,
+      "stored Lloyd-codebook probe must be output-identical to in-query")
+    // the trained codebook differs from the hash-rank one (the
+    // refinement actually moved centroids on this corpus)
+    val plain = java.nio.file.Files.createTempDirectory("graft-pq-plain").toString
+    LlmOps.buildPqIndex(emb, plain, trainMod = 1)
+    assert(spark.read.parquet(s"$dir/codebooks").collect().map(_.toSeq).toSet !==
+      spark.read.parquet(s"$plain/codebooks").collect().map(_.toSeq).toSet,
+      "two Lloyd iterations must move the codebook off the init")
+    // append encodes against the STORED (trained) codebook — the frozen
+    // lifecycle is codebook-agnostic
+    val half = emb.filter(col("vec_id") < 25)
+    val rest = emb.filter(col("vec_id") >= 25)
+    val grown = java.nio.file.Files.createTempDirectory("graft-pq-lgrow").toString
+    // build trains on the full corpus in both paths (trainMod = 1 over
+    // emb) so the grown index's codebook equals dir's
+    LlmOps.buildPqIndex(emb, grown, trainMod = 1,
+      lloydIters = LlmOps.PqLloydIters)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$grown/codes"))
+    LlmOps.appendPqIndex(half, grown)
+    LlmOps.appendPqIndex(rest, grown)
+    assert(LlmOps.annIvfPqIndexed(q, grown).collect().map(_.toSeq).toSet ===
+      indexed.collect().map(_.toSeq).toSet,
+      "append-encoded codes against the trained codebook must probe identically")
+  }
+
   test("semantic ingest gate: stored-cell probe ≡ direct, drops near-dups, self-cancels on replay") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter(col("vec_id") < 400L)

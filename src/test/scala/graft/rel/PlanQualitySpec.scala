@@ -143,7 +143,10 @@ class PlanQualitySpec extends SparkSpec {
     // operators: all-pairs exact Jaccard/cosine over the bounded %-20
     // subsample, via broadcast.
     // ann_recall_pq composes the two whitelisted shapes (annTopK truth +
-    // annPq approx), so it inherits both bounded broadcast crosses.
+    // annPq approx), so it inherits both bounded broadcast crosses;
+    // the _lloyd form is the same composition (the Lloyd refinement adds
+    // only key-equi joins over the capped training set — its crosses are
+    // still the K-row codebook and the bounded query set, here 64 rows).
     // llm_pack_shards crosses the 1-row token-total aggregate — the same
     // bounded class as boilerplate/tok_freq's single-row corpus totals.
     // quality_clf / qclf_agreement (the in-query corpus-as-its-own-model
@@ -153,6 +156,7 @@ class PlanQualitySpec extends SparkSpec {
       "llm_boilerplate", "llm_tok_freq", "llm_keywords",
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
       "llm_ann_recall", "llm_ann_recall_mp", "llm_ann_recall_pq",
+      "llm_ann_recall_pq_lloyd",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
