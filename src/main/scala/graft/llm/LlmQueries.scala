@@ -86,6 +86,16 @@ object LlmQueries {
       dir
     }
 
+  /** The stored trained-cell IVF index (frozen k-means centroids +
+    * cell-partitioned vectors) for `d`'s embeddings.
+    */
+  private def kmIndexDir(s: SparkSession, d: String): String =
+    memo(s"km|$d|${fingerprint(d, "embeddings")}") {
+      val dir = tempIndexDir("graft-km-index")
+      LlmOps.buildKmAnnIndex(Tables.embeddings(s, d), dir)
+      dir
+    }
+
   /** The stored BPE tokenizer (rank-ordered merge table) trained on the
     * 5% doc_id slice — the same sample-train regime as `llm_bpe_apply`,
     * so the stored-vs-inline equivalence is exact.
@@ -411,6 +421,22 @@ object LlmQueries {
     // pruned probe of the stored cells; shares llm_ann_ivf's oracle
     "llm_ann_ivf_idx"   -> ((s, d) => LlmOps.annIvfIndexed(
       Tables.embeddings(s, d).filter(col("vec_id") < 8), annIndexDir(s, d))),
+    // IVF over TRAINED (full-vector k-means) cells instead of the label
+    // column — same Lloyd trainer as the PQ codebook at m=1; at the SAME
+    // cell count (10), recall@5/64q measures 0.28-0.44 trained vs
+    // 0.10-0.12 label-cells across the fixtures (the spec's A/B)
+    "llm_ann_ivf_km"    -> ((s, d) => LlmOps.annIvfKm(Tables.embeddings(s, d))),
+    // the same ranking off the STORED index (frozen centroids +
+    // cell-partitioned vectors): queries assign against the broadcast
+    // centroid table, then prune to their cells; shares llm_ann_ivf_km's
+    // oracle
+    "llm_ann_ivfkm_idx" -> ((s, d) => LlmOps.annIvfKmIndexed(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), kmIndexDir(s, d))),
+    // recall@5 (64 queries) of the trained-cell IVF vs exact cosine —
+    // read next to llm_ann_recall's LSH gauge; the trained-vs-label
+    // delta is asserted in the spec
+    "llm_ann_recall_ivfkm" -> ((s, d) =>
+      LlmOps.annRecallIvfKm(Tables.embeddings(s, d))),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
@@ -1020,6 +1046,9 @@ object LlmQueries {
     "llm_ann_recall_mp" -> Seq(col("qid")),
     "llm_ann_recall_pq" -> Seq(col("qid")),
     "llm_ann_recall_pq_lloyd" -> Seq(col("qid")),
+    "llm_ann_recall_ivfkm" -> Seq(col("qid")),
+    "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_bpe_apply_idx" -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
@@ -1503,16 +1532,20 @@ object LlmQueries {
     * order ⇒ identical doubles), empty cells coalesce to the previous
     * centroid, ORDER BY-inside-list() reassembly.
     */
-  private lazy val pqLloydChainDuck: String = {
-    val sd = LlmOps.PqSubDim
-    val m = LlmOps.PqSubspaces
+  /** The Lloyd-refined codebook as CTE text: hash-rank init over the
+    * capped training sample, then [[LlmOps.PqLloydIters]] unrolled
+    * k-means layers, ending at `lpvN`. Assumes a `base` CTE with
+    * (vec_id, e) is in scope. Shared by the PQ codebook oracle
+    * (m subspaces) and the trained-cell IVF oracle (m = 1, the
+    * full-vector quantizer) — one mirror of LlmOps.pqPivotsLloyd.
+    */
+  private def lloydPvDuck(m: Int, sd: Int, kc: Int): String = {
     val zeros = s"list_transform(range(1, $sd+1), x -> CAST(0.0 AS DOUBLE))"
     val init =
-      s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base
+      s"""pri AS (SELECT vec_id, e, ${h56Duck("concat('pq|', CAST(vec_id AS VARCHAR))")} AS pri FROM base
          |        WHERE vec_id % ${LlmOps.PqTrainSliceMod} = 0),
          |trn AS (SELECT vec_id, e, pri FROM pri ORDER BY pri, vec_id LIMIT ${LlmOps.PqLloydTrainCap}),
-         |pv0i AS (SELECT vec_id, e, pri FROM trn ORDER BY pri, vec_id LIMIT ${LlmOps.PqCentroids}),
+         |pv0i AS (SELECT vec_id, e, pri FROM trn ORDER BY pri, vec_id LIMIT $kc),
          |lpv0 AS (SELECT CAST(row_number() OVER (ORDER BY pri, vec_id) AS INT) - 1 AS cid, e AS ce FROM pv0i),
          |sub AS (SELECT unnest(range(0, $m)) AS s),
          |tr AS (SELECT t.vec_id, sub.s, list_slice(t.e, sub.s*$sd+1, sub.s*$sd+$sd) AS seg FROM trn t CROSS JOIN sub)""".stripMargin
@@ -1533,6 +1566,15 @@ object LlmQueries {
          |  FROM sg$i g LEFT JOIN mn$i n ON g.s = n.s AND g.cid = n.cid
          |  GROUP BY g.cid)""".stripMargin
     }
+    (Seq(init) ++ iters).mkString(",\n")
+  }
+
+  private lazy val pqLloydChainDuck: String = {
+    val sd = LlmOps.PqSubDim
+    val m = LlmOps.PqSubspaces
+    val init =
+      s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${lloydPvDuck(m, sd, LlmOps.PqCentroids)}""".stripMargin
     val pv = s"lpv${LlmOps.PqLloydIters}"
     val tail =
       s"""asn AS (SELECT b.vec_id, sub.s, p.cid,
@@ -1551,7 +1593,35 @@ object LlmQueries {
          |r AS (SELECT qid, vec_id, adist,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS BIGINT) AS rnk
          |      FROM scored)""".stripMargin
-    (Seq(init) ++ iters ++ Seq(tail)).mkString(",\n")
+    Seq(init, tail).mkString(",\n")
+  }
+
+  /** The trained-cell IVF chain as CTE text ending in `r` (qid, rnk,
+    * vec_id, cell, cosine): full-vector Lloyd centroids (m = 1),
+    * nearest-centroid cell assignment of the whole corpus, each of the
+    * first `nq` vectors probing its own cell — mirrors
+    * LlmOps.annIvfKm/annIvfKmIndexed step-for-step.
+    */
+  private def kmChainDuck(nq: Int): String = {
+    val dim = LlmOps.KmDim
+    val pv = s"lpv${LlmOps.PqLloydIters}"
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${lloydPvDuck(1, dim, LlmOps.KmCells)},
+       |cl AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT b.vec_id, p.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, sub.s ORDER BY ${ssdDuck(
+              s"list_slice(b.e, sub.s*$dim+1, sub.s*$dim+$dim)",
+              s"list_slice(p.ce, sub.s*$dim+1, sub.s*$dim+$dim)")}, p.cid) AS rk
+       |    FROM base b CROSS JOIN $pv p CROSS JOIN sub)
+       |  WHERE rk = 1),
+       |bn AS (SELECT b.vec_id, b.e, c.cell, sqrt(${dotDuck("b.e", "b.e")}) AS nrm
+       |  FROM base b JOIN cl c USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell, nrm AS qnrm FROM bn WHERE vec_id < $nq),
+       |scored AS (SELECT q.qid, b.vec_id, b.cell, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+       |  FROM bn b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, cell, cosine,
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM scored)""".stripMargin
   }
 
   private def cosineDuck(a: String, b: String): String =
@@ -1594,7 +1664,8 @@ object LlmQueries {
   def oracle: Map[String, String] = oracleBase +
     ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash")) +
     ("llm_ann_ivf_idx" -> oracleBase("llm_ann_ivf")) +
-    ("llm_ann_ivfpq_idx" -> oracleBase("llm_ann_ivfpq"))
+    ("llm_ann_ivfpq_idx" -> oracleBase("llm_ann_ivfpq")) +
+    ("llm_ann_ivfkm_idx" -> oracleBase("llm_ann_ivf_km"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_dedup_exact" ->
@@ -2281,6 +2352,29 @@ object LlmQueries {
          |exs AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
          |  FROM nbx b CROSS JOIN qx q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |apk AS (SELECT qid, vec_id FROM r WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // trained-cell IVF: full-vector Lloyd centroids, corpus assigned to
+    // nearest-centroid cells, each query probing its own cell
+    "llm_ann_ivf_km" ->
+      s"""WITH ${kmChainDuck(8)}
+         |SELECT qid, rnk, vec_id, cell, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // recall@5 (64 queries) of the trained-cell IVF vs exact cosine
+    "llm_ann_recall_ivfkm" ->
+      s"""WITH ${kmChainDuck(64)},
+         |qx AS (SELECT qid, qe, qnrm FROM q),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM bn b CROSS JOIN qx q WHERE b.vec_id <> q.qid
          |),
          |exk AS (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)

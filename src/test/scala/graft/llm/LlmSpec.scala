@@ -2156,6 +2156,57 @@ class LlmSpec extends SparkSpec {
       "append-encoded codes against the trained codebook must probe identically")
   }
 
+  test("trained-cell IVF: k-means cells beat label cells at the same cell count, stored probe ≡ in-query") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // recall A/B at the same cell count (10 trained cells vs the 10
+    // data labels): Voronoi boundaries put near neighbors in the same
+    // cell, arbitrary labels scatter them — measured 0.36 vs 0.12 at
+    // sf0.001 (same direction at sf0.01/sf0.1)
+    val exact = LlmOps.annTopK(emb, 5, nQueries = 64).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def meanRecall(approx: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = approx.groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      exact.map { case (q, ex) =>
+        ex.intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / 5
+      }.sum / exact.size
+    }
+    val kmRec = meanRecall(LlmOps.annIvfKm(emb, nQueries = 64).collect())
+    val labRec = meanRecall(LlmOps.annIvf(emb, nQueries = 64).collect())
+    assert(kmRec > labRec,
+      s"trained cells must beat label cells at equal cell count ($kmRec vs $labRec)")
+    // and the gauge query reads the same number
+    val gauge = LlmOps.annRecallIvfKm(emb).collect()
+    val gaugeMean = gauge.map(_.getAs[Double]("recall_at_k")).sum / gauge.length
+    assert(math.abs(gaugeMean - kmRec) < 1e-12)
+
+    // stored lifecycle: frozen centroids + cell-partitioned vectors
+    val q = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-km-idx").toString
+    LlmOps.buildKmAnnIndex(emb, dir)
+    assert(LlmOps.annIvfKmIndexed(q, dir).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfKm(emb).collect().map(_.toSeq).toSet,
+      "stored trained-cell probe must be output-identical to in-query")
+    assert(spark.read.parquet(s"$dir/centroids").count() === LlmOps.KmCells)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.nonEmpty, "vectors must be cell-partitioned on disk")
+    // append assigns against the STORED centroids: build over a slice
+    // carrying the same trained centroids (the trainCap sample is a
+    // function of the id slice, which both builds share), then append
+    // the rest — probes must equal the full build's
+    val grown = java.nio.file.Files.createTempDirectory("graft-km-grow").toString
+    LlmOps.buildKmAnnIndex(emb, grown)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$grown/cells"))
+    LlmOps.appendKmAnnIndex(emb.filter(col("vec_id") < 25), grown)
+    LlmOps.appendKmAnnIndex(emb.filter(col("vec_id") >= 25), grown)
+    assert(LlmOps.annIvfKmIndexed(q, grown).collect().map(_.toSeq).toSet ===
+      LlmOps.annIvfKmIndexed(q, dir).collect().map(_.toSeq).toSet,
+      "append-assigned cells against frozen centroids must probe identically")
+  }
+
   test("semantic ingest gate: stored-cell probe ≡ direct, drops near-dups, self-cancels on replay") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter(col("vec_id") < 400L)

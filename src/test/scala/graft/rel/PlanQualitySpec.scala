@@ -157,6 +157,10 @@ class PlanQualitySpec extends SparkSpec {
       "llm_domain_mix", "llm_ann_pq", "llm_ann_pq_refine", "llm_ann_ivfpq",
       "llm_ann_recall", "llm_ann_recall_mp", "llm_ann_recall_pq",
       "llm_ann_recall_pq_lloyd",
+      // the trained-cell IVF family crosses the C-row broadcast centroid
+      // table for assignment (the PQ codebook shape) and the bounded
+      // query set for the probe/truth sides
+      "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_recall_ivfkm",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
