@@ -5696,6 +5696,21 @@ object LlmOps {
     pqAssign(base, centroids, 1, dim)
       .select(col("vec_id"), col("cid").as("cell"))
 
+  /** The `nprobe` NEAREST centroids per vector — (vec_id, probe) rows,
+    * FAISS's nprobe serving knob. A rank window, not the combinable
+    * argmin: this runs over the bounded QUERY set only (corpus-side
+    * assignment stays [[kmAssign]]'s aggregation), so the window's
+    * partition is nQueries × C rows.
+    */
+  private def kmProbes(base: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val d = base.crossJoin(broadcast(centroids))
+      .withColumn("d", expr(ssdSql("e", "ce")))
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))
+    d.withColumn("prk", row_number().over(w)).filter(col("prk") <= nprobe)
+      .select(col("vec_id"), col("cid").as("probe"))
+  }
+
   /** IVF over DATA-ADAPTIVE cells — [[annIvf]] with the coarse quantizer
     * TRAINED on the corpus (full-vector k-means, bounded Lloyd) instead
     * of read off the `label` column: each query probes only its own
@@ -5711,19 +5726,36 @@ object LlmOps {
   def annIvfKm(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8, c: Int = KmCells,
       trainMod: Long = PqTrainSliceMod, iters: Int = PqLloydIters,
-      dim: Int = KmDim): DataFrame = {
+      dim: Int = KmDim, nprobe: Int = 1): DataFrame = {
     val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
-    val cells = kmAssign(base, kmCentroids(base, c, trainMod, iters, dim), dim)
-    val b = base.join(cells, Seq("vec_id"))
+    val cents = kmCentroids(base, c, trainMod, iters, dim)
+    val b = base.join(kmAssign(base, cents, dim), Seq("vec_id"))
       .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
-    val q = b.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("cell").as("qcell"), col("nrm").as("qnrm"))
-    val scored = b.join(broadcast(q),
-        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+    val scored =
+      if (nprobe <= 1) {
+        val q = b.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("cell").as("qcell"), col("nrm").as("qnrm"))
+        b.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      } else {
+        // multiprobe: each query scans its nprobe nearest cells — the
+        // recall/scan dial (measured at 64 queries: recall@5 0.36 →
+        // 0.54 → 0.64 at sf0.001, 0.28 → 0.43 → 0.57 at sf0.1 for
+        // nprobe 1/2/3, candidate mass ∝ nprobe). Probe cells of one
+        // query are distinct by construction — no candidate dedup.
+        val q0 = b.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qnrm"))
+        val qp = kmProbes(base.filter(col("vec_id") < nQueries), cents,
+          nprobe).withColumnRenamed("vec_id", "qid")
+        b.join(broadcast(q0.join(qp, Seq("qid"))),
+          col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      }
+    val ranked = scored
       .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+    ranked.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "cell", "cosine")
   }
@@ -5736,11 +5768,12 @@ object LlmOps {
   def annRecallIvfKm(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 64, c: Int = KmCells,
       trainMod: Long = PqTrainSliceMod, iters: Int = PqLloydIters,
-      dim: Int = KmDim): DataFrame = {
+      dim: Int = KmDim, nprobe: Int = 1): DataFrame = {
     val exact = annTopK(emb, k, idCol, vecCol, nQueries)
       .select(col("qid"), col("vec_id"))
     recallAgainst(exact,
-      annIvfKm(emb, k, idCol, vecCol, nQueries, c, trainMod, iters, dim), k)
+      annIvfKm(emb, k, idCol, vecCol, nQueries, c, trainMod, iters, dim,
+        nprobe), k)
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
@@ -5901,17 +5934,24 @@ object LlmOps {
     */
   def annIvfKmIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = KmDim): DataFrame = {
+      dim: Int = KmDim, nprobe: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cells = spark.read.parquet(s"$indexDir/cells")
     val qb = embBase(ensureH56(queries), idCol, vecCol).select("vec_id", "e")
-    val q = qb.join(kmAssign(qb, cents, dim), Seq("vec_id"))
+    // nprobe = 1 is the single-cell assignment; above it each query
+    // probes its nprobe nearest cells (same broadcast-probe shape, the
+    // probed directory count scales with nprobe, never the index size)
+    val qp =
+      if (nprobe <= 1) kmAssign(qb, cents, dim)
+        .withColumnRenamed("cell", "probe")
+      else kmProbes(qb, cents, nprobe)
+    val q = qb.join(qp, Seq("vec_id"))
       .withColumn("qnrm", expr(s"sqrt(${dotSql("e", "e")})"))
       .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("cell").as("qcell"), col("qnrm"))
+        col("probe"), col("qnrm"))
     val scored = cells.join(broadcast(q),
-        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))

@@ -437,6 +437,12 @@ object LlmQueries {
     // delta is asserted in the spec
     "llm_ann_recall_ivfkm" -> ((s, d) =>
       LlmOps.annRecallIvfKm(Tables.embeddings(s, d))),
+    // the same gauge at nprobe = 2 (each query scans its two nearest
+    // cells — FAISS's serving dial): recall@5 0.36 → 0.54 at sf0.001,
+    // 0.28 → 0.43 at sf0.1 for 2× candidate mass; read next to
+    // llm_ann_recall_ivfkm the delta IS the multiprobe lift
+    "llm_ann_recall_ivfkm_p2" -> ((s, d) =>
+      LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nprobe = 2)),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
@@ -1047,6 +1053,7 @@ object LlmQueries {
     "llm_ann_recall_pq" -> Seq(col("qid")),
     "llm_ann_recall_pq_lloyd" -> Seq(col("qid")),
     "llm_ann_recall_ivfkm" -> Seq(col("qid")),
+    "llm_ann_recall_ivfkm_p2" -> Seq(col("qid")),
     "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
@@ -1602,23 +1609,36 @@ object LlmQueries {
     * first `nq` vectors probing its own cell — mirrors
     * LlmOps.annIvfKm/annIvfKmIndexed step-for-step.
     */
-  private def kmChainDuck(nq: Int): String = {
+  private def kmChainDuck(nq: Int, nprobe: Int = 1): String = {
     val dim = LlmOps.KmDim
     val pv = s"lpv${LlmOps.PqLloydIters}"
-    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |${lloydPvDuck(1, dim, LlmOps.KmCells)},
-       |cl AS (SELECT vec_id, cid AS cell FROM (
-       |    SELECT b.vec_id, p.cid,
-       |      row_number() OVER (PARTITION BY b.vec_id, sub.s ORDER BY ${ssdDuck(
-              s"list_slice(b.e, sub.s*$dim+1, sub.s*$dim+$dim)",
-              s"list_slice(p.ce, sub.s*$dim+1, sub.s*$dim+$dim)")}, p.cid) AS rk
-       |    FROM base b CROSS JOIN $pv p CROSS JOIN sub)
-       |  WHERE rk = 1),
-       |bn AS (SELECT b.vec_id, b.e, c.cell, sqrt(${dotDuck("b.e", "b.e")}) AS nrm
-       |  FROM base b JOIN cl c USING (vec_id)),
-       |q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell, nrm AS qnrm FROM bn WHERE vec_id < $nq),
-       |scored AS (SELECT q.qid, b.vec_id, b.cell, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
-       |  FROM bn b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.qid),
+    val head =
+      s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${lloydPvDuck(1, dim, LlmOps.KmCells)},
+         |cl AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT b.vec_id, p.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id, sub.s ORDER BY ${ssdDuck(
+                s"list_slice(b.e, sub.s*$dim+1, sub.s*$dim+$dim)",
+                s"list_slice(p.ce, sub.s*$dim+1, sub.s*$dim+$dim)")}, p.cid) AS rk
+         |    FROM base b CROSS JOIN $pv p CROSS JOIN sub)
+         |  WHERE rk = 1),
+         |bn AS (SELECT b.vec_id, b.e, c.cell, sqrt(${dotDuck("b.e", "b.e")}) AS nrm
+         |  FROM base b JOIN cl c USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell, nrm AS qnrm FROM bn WHERE vec_id < $nq)""".stripMargin
+    val scored =
+      if (nprobe <= 1)
+        s"""scored AS (SELECT q.qid, b.vec_id, b.cell, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+           |  FROM bn b JOIN q ON b.cell = q.qcell AND b.vec_id <> q.qid)""".stripMargin
+      else
+        s"""qp AS (SELECT vec_id AS qid, cid AS probe FROM (
+           |    SELECT b.vec_id, p.cid,
+           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${ssdDuck("b.e", "p.ce")}, p.cid) AS rk
+           |    FROM base b CROSS JOIN $pv p WHERE b.vec_id < $nq)
+           |  WHERE rk <= $nprobe),
+           |scored AS (SELECT q.qid, b.vec_id, b.cell, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+           |  FROM bn b JOIN qp ON b.cell = qp.probe JOIN q ON q.qid = qp.qid AND b.vec_id <> q.qid)""".stripMargin
+    s"""$head,
+       |$scored,
        |r AS (SELECT qid, vec_id, cell, cosine,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
        |      FROM scored)""".stripMargin
@@ -2367,6 +2387,23 @@ object LlmQueries {
     "llm_ann_ivf_km" ->
       s"""WITH ${kmChainDuck(8)}
          |SELECT qid, rnk, vec_id, cell, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // recall@5 (64 queries) of the trained-cell IVF at nprobe = 2
+    "llm_ann_recall_ivfkm_p2" ->
+      s"""WITH ${kmChainDuck(64, nprobe = 2)},
+         |qx AS (SELECT qid, qe, qnrm FROM q),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM bn b CROSS JOIN qx q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |apk AS (SELECT qid, vec_id FROM r WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     // recall@5 (64 queries) of the trained-cell IVF vs exact cosine
     "llm_ann_recall_ivfkm" ->

@@ -2180,6 +2180,12 @@ class LlmSpec extends SparkSpec {
     val gauge = LlmOps.annRecallIvfKm(emb).collect()
     val gaugeMean = gauge.map(_.getAs[Double]("recall_at_k")).sum / gauge.length
     assert(math.abs(gaugeMean - kmRec) < 1e-12)
+    // nprobe widens the scan and must buy recall: two nearest cells per
+    // query strictly beat one (measured 0.36 → 0.54 at sf0.001)
+    val p2 = LlmOps.annRecallIvfKm(emb, nprobe = 2).collect()
+    val p2Mean = p2.map(_.getAs[Double]("recall_at_k")).sum / p2.length
+    assert(p2Mean > gaugeMean,
+      s"nprobe=2 must lift recall over nprobe=1 ($p2Mean vs $gaugeMean)")
 
     // stored lifecycle: frozen centroids + cell-partitioned vectors
     val q = emb.filter(col("vec_id") < 8)

@@ -161,6 +161,7 @@ class PlanQualitySpec extends SparkSpec {
       // table for assignment (the PQ codebook shape) and the bounded
       // query set for the probe/truth sides
       "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_recall_ivfkm",
+      "llm_ann_recall_ivfkm_p2",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
