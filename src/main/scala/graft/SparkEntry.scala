@@ -6,7 +6,7 @@ import graft.Ord._
 /** Driver contract — see /root/repo/SURVEY.md §7 (build plan) and §8
   * (operator → query/spec coverage matrix).
   *
-  * 171 queries across four domains, every SQL-expressible one paired with
+  * 172 queries across four domains, every SQL-expressible one paired with
   * DuckDB oracle SQL (verified bit-exact at sf0.001/0.01/0.1; the four
   * rows-only entries are q_approx_distinct, llm_bpe_train,
   * llm_bpe_apply and llm_bpe_apply_idx):

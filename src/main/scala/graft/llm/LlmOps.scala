@@ -5959,6 +5959,31 @@ object LlmOps {
       .select("qid", "rnk", "vec_id", "cell", "cosine")
   }
 
+  /** Cell-drift gauge over a stored [[buildKmAnnIndex]] artifact — the
+    * [[pqDrift]] analog for the trained coarse quantizer, and the
+    * rebuild trigger of its lifecycle: per cell, how many vectors sit
+    * farther than `errBudget` (squared L2) from their own centroid, and
+    * the worst offender. Appends assign against FROZEN centroids, so a
+    * drifting corpus accumulates mass far from the training-time
+    * centers — recall decays silently unless this alarms. One linear
+    * pass joining the C-row broadcast centroid table; max/count only
+    * (no float sums), so the gauge is bit-exact cross-engine. Budget
+    * default 2.0: unit-norm vectors orthogonal to their centroid sit at
+    * ssd = 2 − 2·cos = 2, so "beyond orthogonal" means the cell carries
+    * no signal for its members.
+    */
+  def kmDrift(spark: SparkSession, dir: String,
+      errBudget: Double = 2.0): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"$dir/cells")
+      .join(broadcast(cents), col("cell") === col("cid"))
+      .withColumn("err", expr(ssdSql("e", "ce")))
+      .groupBy(col("cell").cast("bigint").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("err") > errBudget, 1L).otherwise(0L)).as("n_high_err"),
+        max(col("err")).as("max_err"))
+  }
+
   /** Cell-health gauge over a stored [[buildAnnIndex]] artifact — the
     * ANN analog of [[minHashIndexStats]], and the probe-cost early
     * warning a serving operator watches between ingests: probe latency is

@@ -437,6 +437,11 @@ object LlmQueries {
     // delta is asserted in the spec
     "llm_ann_recall_ivfkm" -> ((s, d) =>
       LlmOps.annRecallIvfKm(Tables.embeddings(s, d))),
+    // cell-drift gauge over the stored trained-cell index — the
+    // rebuild trigger (pqDrift's sibling): per cell, members beyond the
+    // ssd budget from their own frozen centroid + the worst offender
+    "llm_km_drift" -> ((s, d) =>
+      LlmOps.kmDrift(s, kmIndexDir(s, d))),
     // the same gauge at nprobe = 2 (each query scans its two nearest
     // cells — FAISS's serving dial): recall@5 0.36 → 0.54 at sf0.001,
     // 0.28 → 0.43 at sf0.1 for 2× candidate mass; read next to
@@ -1054,6 +1059,7 @@ object LlmQueries {
     "llm_ann_recall_pq_lloyd" -> Seq(col("qid")),
     "llm_ann_recall_ivfkm" -> Seq(col("qid")),
     "llm_ann_recall_ivfkm_p2" -> Seq(col("qid")),
+    "llm_km_drift" -> Seq(col("cell")),
     "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
@@ -1609,19 +1615,27 @@ object LlmQueries {
     * first `nq` vectors probing its own cell — mirrors
     * LlmOps.annIvfKm/annIvfKmIndexed step-for-step.
     */
-  private def kmChainDuck(nq: Int, nprobe: Int = 1): String = {
+  /** base + Lloyd centroids + corpus cell assignment — the CTE prefix
+    * shared by the trained-cell probe chains and the drift gauge.
+    */
+  private def kmCellsDuck: String = {
     val dim = LlmOps.KmDim
     val pv = s"lpv${LlmOps.PqLloydIters}"
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${lloydPvDuck(1, dim, LlmOps.KmCells)},
+       |cl AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT b.vec_id, p.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, sub.s ORDER BY ${ssdDuck(
+              s"list_slice(b.e, sub.s*$dim+1, sub.s*$dim+$dim)",
+              s"list_slice(p.ce, sub.s*$dim+1, sub.s*$dim+$dim)")}, p.cid) AS rk
+       |    FROM base b CROSS JOIN $pv p CROSS JOIN sub)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private def kmChainDuck(nq: Int, nprobe: Int = 1): String = {
+    val pv = s"lpv${LlmOps.PqLloydIters}"
     val head =
-      s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |${lloydPvDuck(1, dim, LlmOps.KmCells)},
-         |cl AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT b.vec_id, p.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id, sub.s ORDER BY ${ssdDuck(
-                s"list_slice(b.e, sub.s*$dim+1, sub.s*$dim+$dim)",
-                s"list_slice(p.ce, sub.s*$dim+1, sub.s*$dim+$dim)")}, p.cid) AS rk
-         |    FROM base b CROSS JOIN $pv p CROSS JOIN sub)
-         |  WHERE rk = 1),
+      s"""$kmCellsDuck,
          |bn AS (SELECT b.vec_id, b.e, c.cell, sqrt(${dotDuck("b.e", "b.e")}) AS nrm
          |  FROM base b JOIN cl c USING (vec_id)),
          |q AS (SELECT vec_id AS qid, e AS qe, cell AS qcell, nrm AS qnrm FROM bn WHERE vec_id < $nq)""".stripMargin
@@ -2387,6 +2401,17 @@ object LlmQueries {
     "llm_ann_ivf_km" ->
       s"""WITH ${kmChainDuck(8)}
          |SELECT qid, rnk, vec_id, cell, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // cell-drift gauge over the trained-cell index: per cell, members
+    // beyond the ssd budget from their own centroid + the worst offender
+    "llm_km_drift" ->
+      s"""WITH $kmCellsDuck
+         |SELECT CAST(c.cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN ${ssdDuck("b.e", "p.ce")} > CAST(2.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_high_err,
+         |  max(${ssdDuck("b.e", "p.ce")}) AS max_err
+         |FROM cl c JOIN base b USING (vec_id) JOIN lpv${LlmOps.PqLloydIters} p ON c.cell = p.cid
+         |GROUP BY c.cell ORDER BY cell""".stripMargin,
 
     // recall@5 (64 queries) of the trained-cell IVF at nprobe = 2
     "llm_ann_recall_ivfkm_p2" ->
