@@ -5424,53 +5424,73 @@ object LlmOps {
   private def pqPivotsLloyd(base: DataFrame, kc: Int, trainMod: Long,
       m: Int, sub: Int, iters: Int = PqLloydIters,
       trainCap: Int = PqLloydTrainCap): DataFrame = {
-    val pri = base.filter(col("vec_id") % trainMod === 0)
+    // The training set is ≤ trainCap (1024) rows BY CONSTRUCTION — the
+    // whitelisted artifact-sized collect class — so the Lloyd loop runs
+    // ON THE DRIVER: a distributed k-means over ≤ 1024 rows is ~10
+    // sequential sub-second stages of pure scheduling latency (measured:
+    // the distributed form put the recall gauges at 2.2-3.0 s; driver
+    // training cut them to ~1.3 s), and production PQ trainers are
+    // single-node over a sample for the same reason (FAISS's
+    // train-on-sample). Corpus-scale work — assignment, encoding — stays
+    // distributed; only the bounded sample crosses to the driver, once.
+    // Arithmetic is bit-exact vs the distributed form and the oracle:
+    // same (pri, vec_id) training order, same left-fold ssd in element
+    // order, argmin ties to the lowest cid (strict <), means as
+    // vec_id-ordered left folds divided by count, empty cells keep the
+    // previous centroid.
+    val spark = base.sparkSession
+    // ONE bounded collect, (pri, vec_id)-ordered: init = the first kc
+    // rows (pqPivots's codebook exactly); vec_ids ride along because
+    // the mean folds below must run in vec_id order
+    val rows = base
+      .filter(col("vec_id") % trainMod === 0)
       .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
-    val train = pri.orderBy(col("pri"), col("vec_id")).limit(trainCap)
-    // init IS pqPivots's codebook: the kc lowest (pri, vec_id) rows —
-    // trainCap ≥ kc, so limiting to trainCap first changes nothing
-    var piv = train.orderBy(col("pri"), col("vec_id")).limit(kc)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("pri"), col("vec_id"))) - 1).cast("int"))
-      .select("cid", "e").withColumnRenamed("e", "ce")
-    // training subvectors, derived once and reused by every iteration
-    val tr = train
-      .select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("s"),
-        col("e"))
-      .withColumn("seg", expr(s"slice(e, s*$sub+1, $sub)"))
-      .select("vec_id", "s", "seg")
-    for (_ <- 1 to iters) {
-      val segs = piv
-        .select(col("cid"), explode(expr(s"sequence(0, ${m - 1})")).as("s"),
-          col("ce"))
-        .withColumn("cseg", expr(s"slice(ce, s*$sub+1, $sub)"))
-        .select("s", "cid", "cseg")
-      // nearest-centroid per (training vector, subspace): the pqAssign
-      // argmin-as-aggregation shape, seg carried in the struct (constant
-      // within the group — comparison never reaches it for distinct
-      // (d, cid))
-      val assigned = tr.join(broadcast(segs), Seq("s"))
-        .withColumn("d", expr(ssdSql("seg", "cseg")))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d"), col("cid"), col("seg"))).as("mc"))
-        .select(col("s"), col("mc.cid").as("cid"), col("vec_id"),
-          col("mc.seg").as("seg"))
-      // new centroid = ordered-fold mean of members (vec_id-sorted left
-      // fold — bit-exact vs the oracle's list_reduce over the same order)
-      val means = assigned.groupBy("s", "cid")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("seg")))).as("mem"),
-          count(lit(1)).as("cnt"))
-        .withColumn("nseg", expr(
-          s"transform(aggregate(mem, array_repeat(cast(0.0 as double), $sub), " +
-            "(acc, x) -> zip_with(acc, x.seg, (a, b) -> a + b)), " +
-            "v -> v / cast(cnt as double))"))
-        .select("s", "cid", "nseg")
-      piv = segs.join(means, Seq("s", "cid"), "left")
-        .withColumn("useg", coalesce(col("nseg"), col("cseg")))
-        .groupBy("cid")
-        .agg(expr("flatten(transform(array_sort(collect_list(struct(s, useg))), x -> x.useg))").as("ce"))
+      .orderBy(col("pri"), col("vec_id")).limit(trainCap)
+      .select("vec_id", "e")
+      .collect()
+    val ids: Array[Long] = rows.map(_.getLong(0))
+    val train: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    def ssdLocal(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { val v = (a(ao + i) - b(bo + i)) * (a(ao + i) - b(bo + i)); acc += v; i += 1 }
+      acc
     }
-    piv
+    // centroids as full-width vectors: subspace s of cents(cid) is the
+    // (s, cid) subspace centroid — the reassembled (cid, ce) layout
+    var cents: Array[Array[Double]] =
+      (0 until math.min(kc, train.length)).map(i => train(i).clone()).toArray
+    for (_ <- 1 to iters) {
+      val next = cents.map(_.clone())
+      for (s <- 0 until m) {
+        val off = s * sub
+        // assign each training subvector to its nearest centroid
+        val memb = Array.fill(cents.length)(List.newBuilder[Int])
+        for (t <- train.indices) {
+          var bestD = Double.PositiveInfinity; var bestC = 0; var c = 0
+          while (c < cents.length) {
+            val d = ssdLocal(train(t), off, cents(c), off)
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          memb(bestC) += t
+        }
+        for (c <- cents.indices) {
+          val members = memb(c).result()
+          if (members.nonEmpty) {
+            // vec_id-ordered left fold (the oracle's list(seg ORDER BY
+            // vec_id) + list_reduce), then per-element division
+            val sorted = members.sortBy(ids(_))
+            val acc = new Array[Double](sub)
+            for (t <- sorted; j <- 0 until sub) acc(j) += train(t)(off + j)
+            for (j <- 0 until sub) next(c)(off + j) = acc(j) / members.size.toDouble
+          } // empty cell: keep previous centroid (next already a copy)
+        }
+      }
+      cents = next
+    }
+    import spark.implicits._
+    cents.toSeq.zipWithIndex.map { case (ce, cid) => (cid, ce.toSeq) }
+      .toDF("cid", "ce")
   }
 
   /** Nearest-centroid assignment against a FROZEN codebook — (vec_id, s,
@@ -5769,11 +5789,51 @@ object LlmOps {
       vecCol: String = "embedding", nQueries: Int = 64, c: Int = KmCells,
       trainMod: Long = PqTrainSliceMod, iters: Int = PqLloydIters,
       dim: Int = KmDim, nprobe: Int = 1): DataFrame = {
-    val exact = annTopK(emb, k, idCol, vecCol, nQueries)
-      .select(col("qid"), col("vec_id"))
-    recallAgainst(exact,
-      annIvfKm(emb, k, idCol, vecCol, nQueries, c, trainMod, iters, dim,
-        nprobe), k)
+    // ONE all-pairs cosine frame and ONE window pass feed BOTH
+    // rankings: the truth side needs every (query, candidate) cosine
+    // anyway, and the operator's candidates are the in-probe subset —
+    // so compute the exact rank (row_number) and the probe-side rank (a
+    // running count of in-probe rows under the SAME total order) in a
+    // single window, instead of running annTopK and annIvfKm as two
+    // separate corpus derivations with two shuffles. A truth-side row
+    // then hits iff it is in-probe with probe-rank ≤ k — the recall
+    // read-out is one aggregation, no set join. Values are pinned
+    // identical to recallAgainst(annTopK, annIvfKm) by the spec
+    // (1e-12): same cosine expression, same (cosine desc, vec_id) total
+    // order, and a subset's running count under a total order IS its
+    // row_number. Matched quiet A/B at sf0.1 (REPS=7), combined with
+    // the driver-side Lloyd trainer: 2.22/2.86 → 1.20/1.29 s for
+    // nprobe 1/2 (1.13×/0.94× the quiet oracle). The gauge stays
+    // diagnostic-cadence: its truth side is inherently the
+    // bounded-query brute force.
+    val base = embBase(ensureH56(emb), idCol, vecCol).select("vec_id", "e")
+    val cents = kmCentroids(base, c, trainMod, iters, dim)
+    val b = base.join(kmAssign(base, cents, dim), Seq("vec_id"))
+      .withColumn("nrm", expr(s"sqrt(${dotSql("e", "e")})"))
+    val q0 = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("cell").as("qcell"), col("nrm").as("qnrm"))
+    val qp =
+      if (nprobe <= 1) q0.select(col("qid").as("pqid"), col("qcell").as("probe"))
+      else kmProbes(base.filter(col("vec_id") < nQueries), cents, nprobe)
+        .select(col("vec_id").as("pqid"), col("probe"))
+    val scored = b.join(broadcast(q0), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
+      .select("qid", "vec_id", "cell", "cosine")
+    // at most one probe row matches a candidate (a query's probe cells
+    // are distinct), so the left join flags without duplicating
+    val flagged = scored.join(broadcast(qp),
+        col("qid") === col("pqid") && col("cell") === col("probe"), "left")
+      .withColumn("inp", col("probe").isNotNull)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("prnk", sum(when(col("inp"), 1L).otherwise(0L)).over(wr))
+      .filter(col("rnk") <= k)
+      .groupBy("qid")
+      .agg(sum(when(col("inp") && col("prnk") <= k, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / k)
   }
 
   /** IVF-style ANN: `labelCol` acts as the coarse quantizer (cluster
