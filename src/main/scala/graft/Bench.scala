@@ -63,6 +63,19 @@ object Bench {
     // query medians without needing a judge re-run.
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def sentinel(record: Boolean): Unit = {
+      // drain-then-time: the sentinel samples right after a query's rep
+      // block, and the FIRST job scheduled there absorbs the bench's own
+      // post-query transient (async shuffle/broadcast cleanup, GC debt —
+      // a forced gc + pause does NOT drain it; measured: sentinels after
+      // >3 s queries read 0.30 mean vs 0.07 after sub-0.5 s ones,
+      // deterministically across five runs, flagging every full run
+      // noisy at disp ~4-5 while restricted runs at the same wall-clock
+      // read 1.1-1.5). So run the sentinel job twice and time only the
+      // SECOND: the first soaks the self-transient; ambient contention —
+      // the thing this gauge exists to report — inflates both runs, so
+      // a genuinely loaded host still reads loaded.
+      spark.range(5000000L).selectExpr("sum(id % 7) as s")
+        .write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       spark.range(5000000L).selectExpr("sum(id % 7) as s")
         .write.format("noop").mode("overwrite").save()
