@@ -2378,24 +2378,41 @@ object LlmOps {
     * [[keywordsStored]] PlanQualitySpec rule). Probe cost tracks model
     * size and batch footprint, never the corpus the model was trained
     * on.
+    *
+    * `footprint = false` is the CHURN-SCALE form ([[curateDelta]]'s clf
+    * gate): a nightly delta's token-bucket footprint saturates all
+    * [[QclfBuckets]] directories, so the eager footprint job would pay a
+    * driver barrier to prune nothing and the broadcast gate would always
+    * read "big" — skip both (weights scan unfiltered, no hint, AQE picks
+    * the join from runtime sizes) and the whole scoring chain stays LAZY,
+    * free to materialize inside a caller's existing fused barrier.
+    * Scores are identical either way: the inner join drops weight rows
+    * the batch's tokens never touch, so pruning only ever removes
+    * non-matching rows.
     */
   def qualityScoreStored(batch: DataFrame, dir: String, tau: Double = 1.0,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastMaxRows: Long = GateBroadcastMaxRows,
-      fpRow: Option[org.apache.spark.sql.Row] = None): DataFrame = {
+      fpRow: Option[org.apache.spark.sql.Row] = None,
+      footprint: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val base = qclfBase(batch, idCol, textCol)
-    // an orchestrator that already fused this aggregate into its own
-    // eager job passes the row in ([[curateDelta]]'s fused collect) —
-    // name-based field access, the [[fluencyStored]] contract
-    val fp = fpRow.getOrElse(qclfFpAgg(batch, idCol, textCol).collect()(0))
-    val toksAt = fp.fieldIndex("qc_toks")
-    val buckets = Option(fp.getSeq[Long](fp.fieldIndex("qc_buckets")))
-      .getOrElse(Seq.empty)
-    val small = broadcastMaxRows > 0 &&
-      (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
-    val weights = spark.read.parquet(s"$dir/w")
-      .filter(col("tb").isin(buckets.map(java.lang.Long.valueOf): _*))
+    val weightsRaw = spark.read.parquet(s"$dir/w")
+    val (weights, small) =
+      if (!footprint) (weightsRaw, false)
+      else {
+        // an orchestrator that already fused this aggregate into its own
+        // eager job passes the row in ([[curateDelta]]'s fused collect) —
+        // name-based field access, the [[fluencyStored]] contract
+        val fp = fpRow.getOrElse(qclfFpAgg(batch, idCol, textCol).collect()(0))
+        val toksAt = fp.fieldIndex("qc_toks")
+        val buckets = Option(fp.getSeq[Long](fp.fieldIndex("qc_buckets")))
+          .getOrElse(Seq.empty)
+        val sm = broadcastMaxRows > 0 &&
+          (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
+        (weightsRaw.filter(
+          col("tb").isin(buckets.map(java.lang.Long.valueOf): _*)), sm)
+      }
     val mass = base.select(col("doc_id"),
       lit(null).cast("double").as("v"),
       size(split(col("text"), " ")).cast("bigint").as("nn"))
@@ -3533,7 +3550,8 @@ object LlmOps {
     * footprint job (so the read-out never re-runs the gram join).
     */
   private final case class DeltaGates(
-      delta: DataFrame, qIds: DataFrame, clfIds: Option[DataFrame],
+      delta: DataFrame, deltaCount: Long, qIds: DataFrame, qCount: Long,
+      clfIds: Option[DataFrame], clfCount: Option[Long],
       cleanIds: Option[DataFrame], cleanCount: Option[Long],
       eC: DataFrame, kept: DataFrame, fluentIds: Option[DataFrame],
       bSig: DataFrame, bBands: DataFrame, survivors: DataFrame)
@@ -3604,7 +3622,12 @@ object LlmOps {
     val delta = pin(newC.join(deltaIds, Seq("doc_id"), "left_semi"))
     // persisted when the decontam gate is on: the id frame then has three
     // consumers (its stage count, the gram-gate input, the clean-id
-    // anti-join) and an un-cached qualityFilter chain re-derives per use
+    // anti-join) and an un-cached qualityFilter chain re-derives per use.
+    // NOT pinned for the trained-clf gate: measured quiet sf0.1 REPS=5
+    // A/B — pin(qIds) 5.22 s, pin(qC) 7.01 s, unpinned 4.5 s; the
+    // re-derived map-side chain fuses into the consumers' scan stages
+    // while each persist is an extra materialization job (the
+    // fluencyStored cache-write lesson)
     val qIds0 = TextAnalysis.qualityFilter(delta)
       .filter(col("keep")).select("doc_id")
     val qIds = if (decontamDir.isDefined) pin(qIds0) else qIds0
@@ -3643,28 +3666,49 @@ object LlmOps {
     // (persisted batch bigrams: the cache write dominates), applied to
     // the nightly lang chain (matched alternating A/B at sf0.1, REPS=7
     // medians: 6.13/5.94/5.38 → 5.49/5.00/5.12 s — new wins every pair)
-    val aggs = Seq(mhFpAgg(bBands)) ++
-      lmDir.map(_ => lmFpAgg(eC)) ++
-      lmLangDir.map(_ => lmLangFpAggDocs(eC)) ++
-      cleanIds.map(_.agg(count(lit(1)).as("dc_n"))) ++
-      // the trained-classifier probe's (qc_toks, qc_buckets) footprint
-      // rides the SAME fused barrier (qc-prefixed — no collision with
-      // lmFpAgg's names); derived off the quality survivors like the
-      // decontam gate, so the weight scan prunes to the churn's buckets
-      qualityModelDir.map(_ => qclfFpAgg(qC))
-    val fused = aggs.reduce(_ crossJoin _).collect()(0)
-    val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
     // the TRAINED-classifier gate (three-surface parity: the live
     // loop's qualityModelDir/qualityTau option on the nightly too) — a
     // per-doc predicate against the frozen artifact, so it commutes:
     // derived off the quality survivors, applied as an end-stage id
-    // intersection (the decontam precedent; the probes score the few
-    // clf-dropped docs, bounded and cheaper than a second barrier)
+    // intersection (the decontam precedent). The scorer runs in its
+    // CHURN-SCALE form (footprint = false — a nightly's bucket
+    // footprint saturates all QclfBuckets directories, so the eager
+    // footprint row would pay a barrier to prune nothing), which keeps
+    // the whole scoring chain lazy: its count rides the fused barrier
+    // below and the pinned id frame materializes CONCURRENTLY with the
+    // minhash shingle chain instead of serially in the stage-count job
+    // (measured quiet sf0.1 REPS=5: 4.52 → ~3 s)
     val clfIds = qualityModelDir.map { qd =>
-      pin(qualityScoreStored(qC, qd, qualityTau, "doc_id", "text",
-          fpRow = Some(fused))
+      // the scorer's batch is the FILTER form of the quality survivors
+      // (keep derived in-row over the cached churn, the qualityFlags
+      // single-projection shape) — same doc set as qC (churn ids are
+      // unique), but each of the scorer's two scans pays a map-only
+      // predicate instead of a re-derived broadcast semi-join
+      val qCf = TextAnalysis.qualityFlags(delta)
+        .filter(col("keep")).select("doc_id", "text")
+      pin(qualityScoreStored(qCf, qd, qualityTau, "doc_id", "text",
+          footprint = false)
         .filter(col("pred")).select("doc_id"))
     }
+    val aggs = Seq(mhFpAgg(bBands)) ++
+      lmDir.map(_ => lmFpAgg(eC)) ++
+      lmLangDir.map(_ => lmLangFpAggDocs(eC)) ++
+      cleanIds.map(_.agg(count(lit(1)).as("dc_n"))) ++
+      // the trained-classifier gate's survivor count — materializes the
+      // pinned clfIds cache inside this barrier (concurrent with the
+      // shingle chain), and doubles as the 1b_clf stage literal
+      clfIds.map(_.agg(count(lit(1)).as("clf_n"))) ++
+      // the 0_delta / 1_quality stage counts ride the same barrier as
+      // literals: the churn cache is being materialized here anyway and
+      // the quality predicate is a map-only pass over it — serially
+      // re-counting both in the stage-union job was pure added wall
+      Seq(delta.agg(count(lit(1)).as("delta_n")),
+        qIds.agg(count(lit(1)).as("q_n")))
+    val fused = aggs.reduce(_ crossJoin _).collect()(0)
+    val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
+    val clfCount = clfIds.map(_ => fused.getLong(fused.fieldIndex("clf_n")))
+    val deltaCount = fused.getLong(fused.fieldIndex("delta_n"))
+    val qCount = fused.getLong(fused.fieldIndex("q_n"))
     // kept is persisted: the stage read-out, the LM intersect, and the
     // apply's survivor set all consume it — an id-only frame, never
     // corpus-sized
@@ -3697,8 +3741,8 @@ object LlmOps {
       case None     => survivorIds1
     }
     val survivors = eC.join(survivorIds, Seq("doc_id"), "left_semi")
-    DeltaGates(delta, qIds, clfIds, cleanIds, cleanCount, eC, kept,
-      fluentIds, bSig, bBands, survivors)
+    DeltaGates(delta, deltaCount, qIds, qCount, clfIds, clfCount,
+      cleanIds, cleanCount, eC, kept, fluentIds, bSig, bBands, survivors)
   }
 
   private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
@@ -3738,10 +3782,12 @@ object LlmOps {
     val (nearName, fluentName) =
       if (g.cleanIds.isDefined) ("4_near", "5_fluent")
       else ("3_near", "4_fluent")
-    val base1 = stage("0_delta", g.delta)
-      .unionByName(stage("1_quality", g.qIds))
-    val base0 = g.clfIds.fold(base1)(ci =>
-      base1.unionByName(stage("1b_clf", ci)))
+    // churn / quality / clf counts were collected by the fused footprint
+    // job — literal rows, the decontam-count convention
+    val base1 = Seq(("0_delta", g.deltaCount), ("1_quality", g.qCount))
+      .toDF("stage", "n_docs")
+    val base0 = g.clfCount.fold(base1)(n =>
+      base1.unionByName(Seq(("1b_clf", n)).toDF("stage", "n_docs")))
     val base = g.cleanCount match {
       case Some(n) if g.clfIds.isEmpty => base0
         // the decontam count was collected by the fused footprint job —
