@@ -6037,6 +6037,28 @@ object LlmOps {
     * bytes track the probed cells' rows, the training cost is paid at
     * build, and the assignment pass over the query set is C broadcast
     * rows × batch size.
+    *
+    * Like every other stored probe ([[annIvfPqIndexed]], the mh/sem/
+    * payload gates), the query batch's probe-cell set — bounded by
+    * |batch| × nprobe, collected by one tiny eager job over the
+    * assignment — pins a STATIC `.isin` partition filter on the cells
+    * scan: unprobed cell directories are never opened, so an nprobe=2
+    * batch at ~√n cells reads 2·|batch| directories, not all of them.
+    *
+    * Serving dial (what a deployer reads before picking nprobe):
+    * recall@5 vs exact cosine over the 64-query gauge at C = [[KmCells]]
+    * trained cells, scan cost ∝ nprobe (each probe opens one more cell
+    * directory per query):
+    * {{{
+    *   nprobe   recall@5 (sf0.001)   recall@5 (sf0.1)   cells scanned
+    *     1            0.36                0.28               1×
+    *     2            0.54                0.43               2×
+    *     3            —                   0.57               3×
+    * }}}
+    * The label-cell baseline at the same cell count reads 0.10-0.12 —
+    * training the quantizer buys 3-4× recall before the dial is touched
+    * ([[annRecallIvfKm]] and the trained-vs-label A/B spec are the
+    * measured sources; `llm_ann_ivfkm_idx_p2` serves the nprobe=2 point).
     */
   def annIvfKmIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -6052,11 +6074,15 @@ object LlmOps {
       if (nprobe <= 1) kmAssign(qb, cents, dim)
         .withColumnRenamed("cell", "probe")
       else kmProbes(qb, cents, nprobe)
+    val probeCells = qp.select("probe").distinct().collect().map(_.get(0))
+    val pruned =
+      if (probeCells.isEmpty) cells.filter(lit(false))
+      else cells.filter(col("cell").isin(probeCells: _*))
     val q = qb.join(qp, Seq("vec_id"))
       .withColumn("qnrm", expr(s"sqrt(${dotSql("e", "e")})"))
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("probe"), col("qnrm"))
-    val scored = cells.join(broadcast(q),
+    val scored = pruned.join(broadcast(q),
         col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cosine", expr(s"${dotSql("qe", "e")} / (qnrm * nrm)"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))

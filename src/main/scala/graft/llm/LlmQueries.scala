@@ -311,6 +311,17 @@ object LlmQueries {
     */
   private val DeltaApplyBar = 0.031
 
+  /** Query-batch bounds shared between the ANN registrations and their
+    * oracle CTE builders — the Scala operator call and the DuckDB chain
+    * read the SAME constant, so a bound change on one side can never
+    * silently diverge the oracle (it shows up as a compile-visible
+    * constant, not a literal drifting in one place). `IdxNq` is the
+    * stored-probe batch (the `vec_id < 8` serving-probe convention),
+    * `RecallNq` the recall gauges' bounded truth-side query set.
+    */
+  private val IdxNq = 8
+  private val RecallNq = 64
+
   /** The stored benchmark-gram decontamination artifact: the harness
     * "evaluation suite" is the ≥95 split-bucket slice of documents (the
     * same deterministic split [[LlmOps.decontaminate]] uses), frozen
@@ -425,18 +436,27 @@ object LlmQueries {
     // column — same Lloyd trainer as the PQ codebook at m=1; at the SAME
     // cell count (10), recall@5/64q measures 0.28-0.44 trained vs
     // 0.10-0.12 label-cells across the fixtures (the spec's A/B)
-    "llm_ann_ivf_km"    -> ((s, d) => LlmOps.annIvfKm(Tables.embeddings(s, d))),
+    "llm_ann_ivf_km"    -> ((s, d) => LlmOps.annIvfKm(Tables.embeddings(s, d),
+      nQueries = IdxNq)),
     // the same ranking off the STORED index (frozen centroids +
     // cell-partitioned vectors): queries assign against the broadcast
     // centroid table, then prune to their cells; shares llm_ann_ivf_km's
     // oracle
     "llm_ann_ivfkm_idx" -> ((s, d) => LlmOps.annIvfKmIndexed(
-      Tables.embeddings(s, d).filter(col("vec_id") < 8), kmIndexDir(s, d))),
+      Tables.embeddings(s, d).filter(col("vec_id") < IdxNq), kmIndexDir(s, d))),
+    // the stored probe at nprobe = 2 — the serving dial a deployment
+    // actually runs (recall@5 0.28 → 0.43 at sf0.1 for 2× scanned
+    // cells; see the annIvfKmIndexed scaladoc's recall/cost table);
+    // each query opens its TWO nearest cells' directories, statically
+    // pinned like every stored probe
+    "llm_ann_ivfkm_idx_p2" -> ((s, d) => LlmOps.annIvfKmIndexed(
+      Tables.embeddings(s, d).filter(col("vec_id") < IdxNq), kmIndexDir(s, d),
+      nprobe = 2)),
     // recall@5 (64 queries) of the trained-cell IVF vs exact cosine —
     // read next to llm_ann_recall's LSH gauge; the trained-vs-label
     // delta is asserted in the spec
     "llm_ann_recall_ivfkm" -> ((s, d) =>
-      LlmOps.annRecallIvfKm(Tables.embeddings(s, d))),
+      LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nQueries = RecallNq)),
     // cell-drift gauge over the stored trained-cell index — the
     // rebuild trigger (pqDrift's sibling): per cell, members beyond the
     // ssd budget from their own frozen centroid + the worst offender
@@ -447,7 +467,8 @@ object LlmQueries {
     // 0.28 → 0.43 at sf0.1 for 2× candidate mass; read next to
     // llm_ann_recall_ivfkm the delta IS the multiprobe lift
     "llm_ann_recall_ivfkm_p2" -> ((s, d) =>
-      LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nprobe = 2)),
+      LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nQueries = RecallNq,
+        nprobe = 2)),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
@@ -478,7 +499,7 @@ object LlmQueries {
     // recall is small by construction — clustered data (the spec's
     // fixture) shows the full effect
     "llm_ann_recall_pq_lloyd" -> ((s, d) => LlmOps.annRecallPq(
-      Tables.embeddings(s, d), nQueries = 64,
+      Tables.embeddings(s, d), nQueries = RecallNq,
       lloydIters = LlmOps.PqLloydIters)),
     "llm_dedup_edit"    -> ((s, d) => LlmOps.dedupEdit(LlmOps.nearDupCorpus(Tables.documents(s, d)))),
     "llm_text_stats"    -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
@@ -1062,6 +1083,7 @@ object LlmQueries {
     "llm_km_drift" -> Seq(col("cell")),
     "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivfkm_idx_p2" -> Seq(col("qid"), col("rnk")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_bpe_apply_idx" -> Seq(col("doc_id")),
     "llm_dedup_edit"    -> Seq(col("id_a"), col("id_b")),
@@ -1600,7 +1622,7 @@ object LlmQueries {
          |ap AS (SELECT c.vec_id,
          |    flatten(list(list_slice(p.ce, c.s*$sd+1, c.s*$sd+$sd) ORDER BY c.s)) AS approx
          |  FROM codes c JOIN $pv p USING (cid) GROUP BY c.vec_id),
-         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 64),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < $RecallNq),
          |scored AS (SELECT q.qid, a.vec_id, ${ssdDuck("q.qe", "a.approx")} AS adist
          |  FROM ap a CROSS JOIN q WHERE a.vec_id <> q.qid),
          |r AS (SELECT qid, vec_id, adist,
@@ -2399,7 +2421,13 @@ object LlmQueries {
     // trained-cell IVF: full-vector Lloyd centroids, corpus assigned to
     // nearest-centroid cells, each query probing its own cell
     "llm_ann_ivf_km" ->
-      s"""WITH ${kmChainDuck(8)}
+      s"""WITH ${kmChainDuck(IdxNq)}
+         |SELECT qid, rnk, vec_id, cell, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // the stored trained-cell probe at nprobe = 2: same chain with each
+    // query joining its two nearest cells
+    "llm_ann_ivfkm_idx_p2" ->
+      s"""WITH ${kmChainDuck(IdxNq, nprobe = 2)}
          |SELECT qid, rnk, vec_id, cell, cosine FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // cell-drift gauge over the trained-cell index: per cell, members
@@ -2415,7 +2443,7 @@ object LlmQueries {
 
     // recall@5 (64 queries) of the trained-cell IVF at nprobe = 2
     "llm_ann_recall_ivfkm_p2" ->
-      s"""WITH ${kmChainDuck(64, nprobe = 2)},
+      s"""WITH ${kmChainDuck(RecallNq, nprobe = 2)},
          |qx AS (SELECT qid, qe, qnrm FROM q),
          |exs AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
@@ -2432,7 +2460,7 @@ object LlmQueries {
 
     // recall@5 (64 queries) of the trained-cell IVF vs exact cosine
     "llm_ann_recall_ivfkm" ->
-      s"""WITH ${kmChainDuck(64)},
+      s"""WITH ${kmChainDuck(RecallNq)},
          |qx AS (SELECT qid, qe, qnrm FROM q),
          |exs AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine

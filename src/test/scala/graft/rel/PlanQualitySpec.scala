@@ -160,8 +160,8 @@ class PlanQualitySpec extends SparkSpec {
       // the trained-cell IVF family crosses the C-row broadcast centroid
       // table for assignment (the PQ codebook shape) and the bounded
       // query set for the probe/truth sides
-      "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_recall_ivfkm",
-      "llm_ann_recall_ivfkm_p2",
+      "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_ivfkm_idx_p2",
+      "llm_ann_recall_ivfkm", "llm_ann_recall_ivfkm_p2",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
@@ -326,6 +326,34 @@ class PlanQualitySpec extends SparkSpec {
       val idx = leaves.count(_.toString.contains("/codes"))
       assert(idx == 0 || idx < leaves.size,
         s"raw codes table is the broadcast build side:\n${j.toString.take(800)}")
+    }
+  }
+
+  test("stored trained-cell probe: cells scan pruned to the probe set, cells never the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // assert BOTH registered dial points — the nprobe=2 probe must prune
+    // exactly like the single-cell one (2·|batch| directories, never all)
+    for (q <- Seq("llm_ann_ivfkm_idx", "llm_ann_ivfkm_idx_p2")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      val cellsAt = p.indexOf("/cells], PartitionFilters: [")
+      assert(cellsAt >= 0, s"$q: cells scan missing partition filters:\n${p.take(1500)}")
+      assert(p.substring(cellsAt, math.min(p.length, cellsAt + 160)).contains("cell"),
+        s"$q: cells partition filter must pin the probe-cell set")
+      // the C-row centroid table broadcasting is CORRECT (bounded by
+      // construction); the cell-partitioned vector table must not be
+      val phys = df.queryExecution.sparkPlan
+      for (j <- phys.collect { case jj: BroadcastHashJoinExec => jj }) {
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        val leaves = build.collectLeaves()
+        val idx = leaves.count(_.toString.contains("/cells"))
+        assert(idx == 0 || idx < leaves.size,
+          s"$q: raw cells table is the broadcast build side:\n${j.toString.take(800)}")
+      }
     }
   }
 
