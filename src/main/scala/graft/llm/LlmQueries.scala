@@ -3010,7 +3010,7 @@ object LlmQueries {
     // blob (header hex assembled textually, unhex'd, body appended) and
     // then PARSES it with its own mirrored decoder over byte-identical
     // inputs — not a fixture echo. Magic and dim layouts: PNG sig+IHDR
-    // (BE u32 at hex 33-48 of the 32-byte window), GIF89a LE u16s
+    // (BE u32 at hex 33-48 of the 256-byte window), GIF89a LE u16s
     // (byte-swapped hex pairs), and JPEG SOFn found by WALKING the
     // marker segments by their length fields (w0..w7 = the same
     // JpegWalkSteps-bounded chain as the Spark form: SOF0/1/2 is a
@@ -3031,14 +3031,15 @@ object LlmQueries {
         |enc AS (SELECT doc_id,
         |    unhex(CASE doc_id % 4
         |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452' || w8 || h8 || '0806000000' || '00000000'
-        |      WHEN 1 THEN CASE (doc_id // 4) % 3
+        |      WHEN 1 THEN CASE (doc_id // 4) % 4
         |        WHEN 0 THEN 'FFD8FFC0' || '001108' || h4 || w4 || '03'
         |        WHEN 1 THEN 'FFD8FFE0' || '0010' || '4A464946000101FFC000AA000000' || 'FFC0' || '001108' || h4 || w4 || '03'
-        |        ELSE 'FFD8FFDB' || '0005' || '010203' || 'FFC2' || '001108' || h4 || w4 || '03' END
+        |        WHEN 2 THEN 'FFD8FFDB' || '0005' || '010203' || 'FFC2' || '001108' || h4 || w4 || '03'
+        |        ELSE 'FFD8FFE1' || '00B4' || '457869660000' || 'FFC0BEEF' || repeat('AB', 168) || 'FFC0' || '001108' || h4 || w4 || '03' END
         |      WHEN 2 THEN '474946383961' || substr(w4, 3, 2) || substr(w4, 1, 2) || substr(h4, 3, 2) || substr(h4, 1, 2) || 'F70000'
         |      ELSE '' END) || encode(text) AS payload FROM hx),
         |hdrs AS (SELECT doc_id, payload,
-        |    substr(hex(payload), 1, 64) AS hdr FROM enc),
+        |    substr(hex(payload), 1, 512) AS hdr FROM enc),
         |w0 AS (SELECT doc_id, payload, hdr,
         |    CASE WHEN substr(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
         |         WHEN substr(hdr, 1, 4) = 'FFD8' THEN 'jpeg'

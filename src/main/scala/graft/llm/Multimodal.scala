@@ -460,17 +460,21 @@ object Multimodal {
 
   /** Harness fixture for the REAL header decode: payloads carrying
     * genuine encoded media headers — the PNG signature + IHDR chunk
-    * (big-endian u32 dims at bytes 17-24), JPEG in THREE layouts cycled
+    * (big-endian u32 dims at bytes 17-24), JPEG in FOUR layouts cycled
     * by `doc_id div 4` (bare SOI+SOF0; SOI + APP0/JFIF whose payload
     * bytes CONTAIN a byte-aligned 'FFC0' decoy + SOF0 — the false
     * positive a single marker-scan decoder reads wrong dims from;
-    * SOI + a short DQT-shaped segment + progressive SOF2), GIF89a
-    * (little-endian u16 dims at bytes 7-10) — cycled by doc_id % 4, with
-    * every 4th payload HEADERLESS (the decoder's 'unknown' contract must
-    * be exercised, not assumed). Body bytes are the doc text; the dims
-    * are [[media]]'s derivations so the two fixtures agree. Header hex
-    * is assembled textually and unhex'd — the same construction the
-    * oracle states, so both engines derive byte-identical payloads.
+    * SOI + a short DQT-shaped segment + progressive SOF2; SOI + a
+    * 180-byte Exif-shaped APP1 — with its own embedded decoy — then
+    * SOF0, the realistic camera-output shape whose frame header sits
+    * ~184 bytes in, past any 32-byte window but well inside the
+    * decoder's 256-byte one), GIF89a (little-endian u16 dims at bytes
+    * 7-10) — cycled by doc_id % 4, with every 4th payload HEADERLESS
+    * (the decoder's 'unknown' contract must be exercised, not assumed).
+    * Body bytes are the doc text; the dims are [[media]]'s derivations
+    * so the two fixtures agree. Header hex is assembled textually and
+    * unhex'd — the same construction the oracle states, so both engines
+    * derive byte-identical payloads.
     */
   def mediaEncoded(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -483,10 +487,11 @@ object Multimodal {
       .withColumn("h4", expr("lpad(hex(height), 4, '0')"))
       .withColumn("hdr", expr("""CASE doc_id % 4
           WHEN 0 THEN concat('89504E470D0A1A0A', '0000000D49484452', w8, h8, '0806000000', '00000000')
-          WHEN 1 THEN CASE (doc_id div 4) % 3
+          WHEN 1 THEN CASE (doc_id div 4) % 4
             WHEN 0 THEN concat('FFD8FFC0', '001108', h4, w4, '03')
             WHEN 1 THEN concat('FFD8FFE0', '0010', '4A464946000101FFC000AA000000', 'FFC0', '001108', h4, w4, '03')
-            ELSE concat('FFD8FFDB', '0005', '010203', 'FFC2', '001108', h4, w4, '03') END
+            WHEN 2 THEN concat('FFD8FFDB', '0005', '010203', 'FFC2', '001108', h4, w4, '03')
+            ELSE concat('FFD8FFE1', '00B4', '457869660000', 'FFC0BEEF', repeat('AB', 168), 'FFC0', '001108', h4, w4, '03') END
           WHEN 2 THEN concat('474946383961', substr(w4, 3, 2), substr(w4, 1, 2), substr(h4, 3, 2), substr(h4, 1, 2), 'F70000')
           ELSE '' END"""))
       .select(col("doc_id"),
@@ -521,10 +526,13 @@ object Multimodal {
     * [[JpegWalkSteps]] chained projections (each step's CASE reads the
     * previous position attribute; CollapseProject keeps non-cheap
     * producers un-inlined, so the expression tree stays linear in the
-    * step count) and only the FIRST 32 payload bytes are ever hexed (the
-    * header window — a JFIF frame header virtually always sits within
-    * it; one that doesn't yields NULL dims, never wrong ones), so
-    * per-row cost is independent of payload size. The typed-map twin
+    * step count) and only the FIRST 256 payload bytes are ever hexed
+    * (the header window — wide enough for the realistic Exif/JFIF case
+    * where a ~180-byte APP1 precedes the frame header, the shape most
+    * camera output ships; a header that still doesn't fit — e.g. a
+    * multi-KB thumbnail-bearing APP1 — yields NULL dims, never wrong
+    * ones), so per-row cost is independent of payload size. The
+    * typed-map twin
     * [[decodeMediaBatch]] carries the same walk as per-partition Scala
     * for deployments swapping in a real codec call; the equivalence spec
     * holds the two byte-for-byte identical, decoys and edge cases
@@ -550,7 +558,7 @@ object Multimodal {
          | ELSE $p + 4 + 2 * cast(conv(substr(hdr, $p + 4, 4), 16, 10) as int)
          |END""".stripMargin
     var walked = mediaDf
-      .withColumn("hdr", expr(s"hex(substring($payloadCol, 1, 32))"))
+      .withColumn("hdr", expr(s"hex(substring($payloadCol, 1, 256))"))
       .withColumn("format", expr("""CASE
           WHEN substr(hdr, 1, 16) = '89504E470D0A1A0A' THEN 'png'
           WHEN substr(hdr, 1, 4) = 'FFD8' THEN 'jpeg'
@@ -623,7 +631,7 @@ object Multimodal {
               // final IN check acting as the last examination), so this
               // loop caps at the same count — adversarial marker chains
               // give up identically on both forms.
-              val win = math.min(p.length, 32)
+              val win = math.min(p.length, 256)
               var pos = 2  // byte offset just past SOI
               var sof = -1
               var dead = false

@@ -1370,12 +1370,16 @@ class LlmSpec extends SparkSpec {
   test("media header decode: real magic + dims for all three formats, unknown contract, typed map ≡ SQL form") {
     // ids picked to hit all four doc_id % 4 arms: 0=png, 1=jpeg, 2=gif,
     // 3=headerless; dims derive from the id (width 64+(id%16)*8 etc.).
-    // The three jpeg ids cover all (id div 4) % 3 layouts: 1 = bare
+    // The four jpeg ids cover all (id div 4) % 4 layouts: 1 = bare
     // SOI+SOF0, 5 = APP0 with a byte-aligned FFC0 DECOY in its payload
     // before the real SOF0 (a first-match scan reads wrong dims here;
-    // the segment walk must not), 9 = DQT-shaped hop + progressive SOF2
+    // the segment walk must not), 9 = DQT-shaped hop + progressive SOF2,
+    // 13 = a 180-byte Exif-shaped APP1 (with its own decoy) before SOF0
+    // — the realistic camera-output shape: the frame header sits at
+    // byte 184, past any 32-byte window but inside the 256-byte one
     val d = docs(4L -> "png body", 1L -> "jpeg v0", 5L -> "jpeg body",
-      9L -> "jpeg v2", 6L -> "gif body", 7L -> "raw body")
+      9L -> "jpeg v2", 13L -> "jpeg exif", 6L -> "gif body",
+      7L -> "raw body")
     val enc = Multimodal.mediaEncoded(d)
     def dump(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_id", "format", "width_px", "height_px", "n_bytes")
@@ -1386,14 +1390,16 @@ class LlmSpec extends SparkSpec {
     val sql = dump(Multimodal.decodeMediaHeader(enc))
     // the decoded values are the fixture's ground truth, read back from
     // REAL header bytes (PNG BE u32, JPEG SOFn u16s behind the segment
-    // walk, GIF LE u16s); header sizes: v0 = 12 B, v1 = 30 B, v2 = 19 B
+    // walk, GIF LE u16s); header sizes: v0 = 12 B, v1 = 30 B, v2 = 19 B,
+    // v3 = 194 B (SOI 2 + APP1 2+180 + SOF 2+8)
     assert(sql === Seq(
       (1L, "jpeg", Some(72L), Some(64L), 12L + 7L),
       (4L, "png", Some(96L), Some(64L), 33L + 8L),
       (5L, "jpeg", Some(104L), Some(64L), 30L + 9L),
       (6L, "gif", Some(112L), Some(64L), 13L + 8L),
       (7L, "unknown", None, None, 8L),
-      (9L, "jpeg", Some(136L), Some(64L), 19L + 7L)), s"got $sql")
+      (9L, "jpeg", Some(136L), Some(64L), 19L + 7L),
+      (13L, "jpeg", Some(168L), Some(64L), 194L + 9L)), s"got $sql")
     // the typed per-partition form (the real-codec seam) is
     // byte-for-byte identical to the declarative form
     assert(dump(Multimodal.decodeMediaBatch(spark, enc)) === sql)
