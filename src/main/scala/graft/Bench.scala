@@ -405,8 +405,12 @@ object Bench {
       // sentinel_disp rides in the BASE line (every fallback variant): it
       // is the one field that tells a reader whether the totals were
       // measured on a quiet machine, so it must survive the compaction
-      // that drops the other extras.
-      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","reps_n":$reps,"sentinel_disp":${r(sentDisp, 2)},"noisy":$noisyRun,"failed":$failedJson,"partial_failed":$partialJson$ext,"queries":${qmap(dp)}}"""
+      // that drops the other extras. sentinel_v tags the gauge's METHOD
+      // (v2 = drain-then-time: run twice, time only the second — round
+      // 15's change): dispersion values are only comparable across runs
+      // that share a tag, so cross-round hygiene reads it before
+      // comparing disp numbers.
+      s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","reps_n":$reps,"sentinel_disp":${r(sentDisp, 2)},"sentinel_v":2,"noisy":$noisyRun,"failed":$failedJson,"partial_failed":$partialJson$ext,"queries":${qmap(dp)}}"""
     }
     // budget the detailed line to ~1650 chars so that IT plus the compact
     // trailing summary line (~250) both fit the collector's ~2000-char

@@ -255,26 +255,41 @@ object ScaleBench {
     // ann_indexed — per-probe cost tracks the probed cells' rows; with
     // the fixture's fixed 10 cells every cell grows with the corpus
     // (the semidx caveat), so the honest expectation is ~linear here
-    // and flat at a production cell count
-    def kmIdx(dir: String): Double = {
+    // and flatter at a production cell count (the km_sqrtn scenario
+    // below). try/finally so a build or probe failure can't leak the
+    // temp index directory.
+    def kmIdx(dir: String, cells: Int = graft.llm.LlmOps.KmCells): Double = {
       val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-kmix").toString
-      graft.llm.LlmOps.buildKmAnnIndex(Tables.embeddings(spark, dir), ixDir)
-      spark.sqlContext.clearCache()
-      def probe(): Double = {
-        val t0 = System.nanoTime()
-        graft.llm.LlmOps.annIvfKmIndexed(annQ, ixDir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        graft.llm.LlmOps.buildKmAnnIndex(Tables.embeddings(spark, dir), ixDir,
+          c = cells)
         spark.sqlContext.clearCache()
-        dt
-      }
-      probe() // warm
-      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
-      med
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          graft.llm.LlmOps.annIvfKmIndexed(annQ, ixDir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sqlContext.clearCache()
+          dt
+        }
+        probe() // warm
+        (1 to 3).map(_ => probe()).sorted.apply(1)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixDir))
     }
     val kmIxBase = kmIdx(sfDir)
     val kmIxScaled = kmIdx(out)
+    // the PRODUCTION cell count: C ≈ √n per corpus (the FAISS IVF
+    // convention), so cell size — and therefore per-probe scan mass —
+    // grows only as √(scale factor): the honest expectation for the
+    // 10× ratio here is ~√10 ≈ 3.2 against the fixed-cell scenario's
+    // ~linear, and at a real 100 TB deployment the probe reads
+    // nprobe·(n/√n) rows however large the corpus grows
+    def sqrtCells(dir: String): Int = math.max(graft.llm.LlmOps.KmCells,
+      math.sqrt(Tables.embeddings(spark, dir).count().toDouble).round.toInt)
+    val kmSqCellsBase = sqrtCells(sfDir)
+    val kmSqCellsScaled = sqrtCells(out)
+    val kmSqBase = kmIdx(sfDir, kmSqCellsBase)
+    val kmSqScaled = kmIdx(out, kmSqCellsScaled)
 
     // semantic-gate probe off the stored cells: fixed batch (parquet,
     // immune to the clearCache), index rebuilt per corpus size; the
@@ -702,7 +717,7 @@ object ScaleBench {
     val chainIters = graft.llm.LlmOps.lastClusterIterations.get()
 
     val qs = rows.map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"payload_indexed":{"base_sec":$pyBase,"scaled_sec":$pyScaled,"ratio":${pyScaled / pyBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"km_indexed":{"base_sec":$kmIxBase,"scaled_sec":$kmIxScaled,"ratio":${kmIxScaled / kmIxBase}},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"idf_stored":{"base_sec":$idfBase,"scaled_sec":$idfScaled,"ratio":${idfScaled / idfBase}},"qclf_stored":{"base_sec":$qclfBase,"scaled_sec":$qclfScaled,"ratio":${qclfScaled / qclfBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"curdelta_full":{"base_sec":$curDeltaFullBase,"scaled_sec":$curDeltaFullScaled,"ratio":${curDeltaFullScaled / curDeltaFullBase}},"curdelta_apply":{"base_sec":$curDeltaApplyBase,"scaled_sec":$curDeltaApplyScaled,"ratio":${curDeltaApplyScaled / curDeltaApplyBase}},"lmlang_stored":{"base_sec":$lmLangBase,"scaled_sec":$lmLangScaled,"ratio":${lmLangScaled / lmLangBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
+    println(s"""{"metric":"scaleup","factor":$factor,"sf":"$sfDir","queries":$qs,"chain1k_iters":$chainIters,"chain1k_sec":$chainSec,"cc_minhash_iters":{"base":$ccBaseIters,"scaled":$ccScaledIters},"incmh_indexed":{"base_sec":$ixBase,"scaled_sec":$ixScaled,"ratio":${ixScaled / ixBase}},"payload_indexed":{"base_sec":$pyBase,"scaled_sec":$pyScaled,"ratio":${pyScaled / pyBase}},"ann_indexed":{"base_sec":$annIxBase,"scaled_sec":$annIxScaled,"ratio":${annIxScaled / annIxBase},"inquery_scaled_sec":$annInqScaled},"km_indexed":{"base_sec":$kmIxBase,"scaled_sec":$kmIxScaled,"ratio":${kmIxScaled / kmIxBase}},"km_sqrtn":{"base_sec":$kmSqBase,"scaled_sec":$kmSqScaled,"ratio":${kmSqScaled / kmSqBase},"cells_base":$kmSqCellsBase,"cells_scaled":$kmSqCellsScaled},"semidx":{"base_sec":$semIxBase,"scaled_sec":$semIxScaled,"ratio":${semIxScaled / semIxBase}},"semidx_cells":{"base_sec":$semCellsBase,"scaled_sec":$semCellsScaled,"ratio":${semCellsScaled / semCellsBase}},"pq_indexed":{"base_sec":$pqIxBase,"scaled_sec":$pqIxScaled,"ratio":${pqIxScaled / pqIxBase}},"lm_stored":{"base_sec":$lmBase,"scaled_sec":$lmScaled,"ratio":${lmScaled / lmBase}},"idf_stored":{"base_sec":$idfBase,"scaled_sec":$idfScaled,"ratio":${idfScaled / idfBase}},"qclf_stored":{"base_sec":$qclfBase,"scaled_sec":$qclfScaled,"ratio":${qclfScaled / qclfBase}},"curdelta":{"base_sec":$curDeltaBase,"scaled_sec":$curDeltaScaled,"ratio":${curDeltaScaled / curDeltaBase}},"curdelta_lm":{"base_sec":$curDeltaLmBase,"scaled_sec":$curDeltaLmScaled,"ratio":${curDeltaLmScaled / curDeltaLmBase}},"curdelta_full":{"base_sec":$curDeltaFullBase,"scaled_sec":$curDeltaFullScaled,"ratio":${curDeltaFullScaled / curDeltaFullBase}},"curdelta_apply":{"base_sec":$curDeltaApplyBase,"scaled_sec":$curDeltaApplyScaled,"ratio":${curDeltaApplyScaled / curDeltaApplyBase}},"lmlang_stored":{"base_sec":$lmLangBase,"scaled_sec":$lmLangScaled,"ratio":${lmLangScaled / lmLangBase}},"tokfreq_hot":{"base_sec":$tokBase,"scaled_sec":$tokScaled,"ratio":${tokScaled / tokBase}},"bpe128":{"total_sec":$bpeSec,"rounds":${bpeRounds.size},"head16_mean":${if (bpeHead.nonEmpty) bpeHead.sum / bpeHead.size else 0.0},"tail16_mean":${if (bpeTail.nonEmpty) bpeTail.sum / bpeTail.size else 0.0},"tail_over_head":$bpeFlat},"domainmix_skew3":{"base_sec":$skewBase,"scaled_sec":$skewScaled,"ratio":${skewScaled / skewBase}}}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ixBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(semBatchDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(langBatchDir))

@@ -5466,6 +5466,18 @@ object LlmOps {
     * collect) is bounded by trainCap · m · K rows, independent of corpus
     * size; only the FINAL encode pass (shared with the hash-rank path)
     * is linear in the corpus.
+    *
+    * EAGER-COLLECT CONTRACT: with `iters > 0` this runs the bounded
+    * training job (sample TakeOrdered + the driver Lloyd loop) AT
+    * DATAFRAME-CONSTRUCTION TIME — merely building a frame through
+    * [[annPq]]/[[annRecallPq]]/[[annIvfKm]] with Lloyd iterations on
+    * triggers execution, and each call retrains from scratch. That is
+    * the deliberate trade for the training set staying a plain local
+    * array (the FAISS train-on-sample shape); callers that probe the
+    * same corpus repeatedly should go through the STORED artifact
+    * ([[buildPqIndex]]/[[buildKmAnnIndex]] + the `_idx` probes), which
+    * memoizes trained centroids on disk per (dataset, params) — the
+    * in-query forms are the diagnostic/one-shot path.
     */
   private def pqPivotsLloyd(base: DataFrame, kc: Int, trainMod: Long,
       m: Int, sub: Int, iters: Int = PqLloydIters,
