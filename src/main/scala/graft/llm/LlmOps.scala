@@ -3204,13 +3204,18 @@ object LlmOps {
     // the TRAINED-classifier gate rides with the stateless leaders
     // (three-surface parity: the live loop's qualityModelDir option,
     // now on the batch funnel too): the heuristic survivors score
-    // against the frozen [[buildQualityClassifier]] artifact —
-    // (qc-bucket-pruned weight scan, batch-side size-gated broadcast,
-    // the artifact never a build side) — and every later stage derives
-    // from the intersection, so the whole funnel downstream shrinks
+    // against the frozen [[buildQualityClassifier]] artifact in its
+    // CHURN/CORPUS-SCALE form (footprint = false — a corpus-sized
+    // batch's bucket footprint saturates every weight directory, so
+    // the eager footprint job would pay a corpus pass + driver barrier
+    // to prune nothing; AQE picks the scored join, the artifact never a
+    // build side) — and every later stage derives from the
+    // intersection, so the whole funnel downstream shrinks. The
+    // micro-batch serving path (llm_quality_clf_idx) keeps the pruned
+    // footprint form.
     val clfIds = qualityModelDir.map { qd =>
       qualityScoreStored(raw.join(qIds, Seq("doc_id"), "left_semi"),
-          qd, qualityTau, "doc_id", "text")
+          qd, qualityTau, "doc_id", "text", footprint = false)
         .filter(col("pred")).select("doc_id").persist(lvl)
     }
     val gateIds = clfIds.getOrElse(qIds)
