@@ -381,6 +381,12 @@ class LlmSpec extends SparkSpec {
       .filter(col("doc_id") % 4 === 0))
     assert(rows(LlmOps.qualityScoreStored(slice, dir)) === direct)
     assert(rows(LlmOps.qualityScoreStored(slice, dir, broadcastMaxRows = 0L)) === direct)
+    // the churn/corpus-scale form (footprint = false: no eager footprint
+    // job, weights unpruned, AQE join) is bit-identical too — the
+    // curateDelta/curationFunnelFull gate's scorer; the inner join drops
+    // the weight rows pruning would have removed, so the two forms can
+    // only ever differ by a bug
+    assert(rows(LlmOps.qualityScoreStored(slice, dir, footprint = false)) === direct)
     // an all-OOV doc scores 0 (below τ); a mixed doc folds only its
     // matched tokens over its FULL token count
     val probe = LlmOps.qualityScoreStored(
