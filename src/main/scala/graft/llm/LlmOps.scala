@@ -2351,9 +2351,11 @@ object LlmOps {
     * sets dedup inside the row, partial aggregation bounds the merge
     * buffer at 64 values, only a row's pos-0 bucket carries its doc's
     * token count so the sum counts each doc once. Field names are
-    * qc-prefixed so the row can crossJoin into [[curateDelta]]'s fused
+    * qc-prefixed so the row can crossJoin into an orchestrator's fused
     * footprint job alongside [[lmFpAgg]]'s (toks, buckets) without a
-    * name collision.
+    * name collision. (The batch funnel and the nightly delta now run
+    * the scorer in its footprint-less churn-scale form — this aggregate
+    * serves the micro-batch probe path.)
     */
   def qclfFpAgg(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -2402,8 +2404,8 @@ object LlmOps {
       if (!footprint) (weightsRaw, false)
       else {
         // an orchestrator that already fused this aggregate into its own
-        // eager job passes the row in ([[curateDelta]]'s fused collect) —
-        // name-based field access, the [[fluencyStored]] contract
+        // eager job passes the row in — name-based field access, the
+        // [[fluencyStored]] contract
         val fp = fpRow.getOrElse(qclfFpAgg(batch, idCol, textCol).collect()(0))
         val toksAt = fp.fieldIndex("qc_toks")
         val buckets = Option(fp.getSeq[Long](fp.fieldIndex("qc_buckets")))
