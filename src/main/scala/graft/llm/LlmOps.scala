@@ -3685,16 +3685,21 @@ object LlmOps {
     // below and the pinned id frame materializes CONCURRENTLY with the
     // minhash shingle chain instead of serially in the stage-count job
     // (measured quiet sf0.1 REPS=5: 4.52 → ~3 s)
+    // the scorer's batch is the WHOLE pinned churn, not the quality
+    // survivors: scores are per-doc against the frozen artifact
+    // (batch-independent — footprint = false has no size gate), so
+    // score(delta) restricted to the quality set ≡ score(qC) bit-exactly,
+    // and both scorer scans become plain cache reads instead of each
+    // re-deriving the qualityFlags chain (trigram shingles + two
+    // regexes per evaluation — the expensive part of this branch). The
+    // extra work is scoring the quality-dropped slice of the churn —
+    // linear in its tokens, cheaper than two flag re-derivations. The
+    // later-stage intersections need no quality filter (eC/kept are
+    // already quality-gated); only the 1b_clf literal intersects with
+    // qIds, inside the fused barrier below.
     val clfIds = qualityModelDir.map { qd =>
-      // the scorer's batch is the FILTER form of the quality survivors
-      // (keep derived in-row over the cached churn, the qualityFlags
-      // single-projection shape) — same doc set as qC (churn ids are
-      // unique), but each of the scorer's two scans pays a map-only
-      // predicate instead of a re-derived broadcast semi-join
-      val qCf = TextAnalysis.qualityFlags(delta)
-        .filter(col("keep")).select("doc_id", "text")
-      pin(qualityScoreStored(qCf, qd, qualityTau, "doc_id", "text",
-          footprint = false)
+      pin(qualityScoreStored(delta.select("doc_id", "text"), qd, qualityTau,
+          "doc_id", "text", footprint = false)
         .filter(col("pred")).select("doc_id"))
     }
     val aggs = Seq(mhFpAgg(bBands)) ++
@@ -3703,8 +3708,11 @@ object LlmOps {
       cleanIds.map(_.agg(count(lit(1)).as("dc_n"))) ++
       // the trained-classifier gate's survivor count — materializes the
       // pinned clfIds cache inside this barrier (concurrent with the
-      // shingle chain), and doubles as the 1b_clf stage literal
-      clfIds.map(_.agg(count(lit(1)).as("clf_n"))) ++
+      // shingle chain), and doubles as the 1b_clf stage literal; the
+      // qIds intersection restricts the full-churn scored set to the
+      // quality survivors (clfkeep — the oracle's nested count)
+      clfIds.map(_.join(qIds, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("clf_n"))) ++
       // the 0_delta / 1_quality stage counts ride the same barrier as
       // literals: the churn cache is being materialized here anyway and
       // the quality predicate is a map-only pass over it — serially
