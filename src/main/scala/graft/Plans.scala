@@ -59,7 +59,7 @@ object Plans {
       "llm_dedup_spans_apply" -> "span cutting without the count join: occ ≥ 2 under the per-hash rank already implies duplication, so the fingerprint table shuffles ONCE into the rank window and the count aggregate + join + persist of the report form drop out — cut lists are (doc_id, positions) only, the text is rebuilt by one per-row higher-order filter",
       "mm_decode_header" -> "REAL byte-level media decode fully inside WholeStageCodegen: format from magic bytes, dims from each format's own header layout (PNG BE u32s, JPEG SOF0/1/2 located by a bounded SEGMENT WALK — marker→marker hops by declared length, so an FFC0 decoy inside an APPn payload or past SOS is never misread as the frame header — GIF LE u16s); only the first 256 payload bytes are ever hexed (the Exif-realistic header window), so per-row cost is independent of asset size; no UDF, no custom expression, no shuffle",
       "llm_curate_full_clf" -> "the COMPLETE batch pipeline with the TRAINED quality-classifier gate riding the funnel as an id-intersection: the weight scan bucket-pruned by the survivors' token footprint, per-occurrence likelihood ratios joined with the batch tokens (size-gated broadcast), the vocabulary-sized artifact streamed and never a build side — six gates, one plan",
-      "llm_curate_delta_clf" -> "the nightly delta with the trained-clf gate FUSED into the one eager barrier: the scorer runs in its churn-scale form (no footprint job — a nightly's bucket footprint saturates every weight directory, so the prune would pay a barrier to prune nothing; AQE picks the scored join from runtime sizes) and the pinned clf-survivor id frame materializes CONCURRENTLY with the minhash shingle chain via its count riding the fused crossJoin row; 0_delta/1_quality/1b_clf stage counts come back as fused-row literals, never re-counted subtrees",
+      "llm_curate_delta_clf" -> "the nightly delta with the trained-clf gate FUSED into the one eager barrier: the scorer runs in its churn-scale form (no footprint job — a nightly's bucket footprint saturates every weight directory, so the prune would pay a barrier to prune nothing; AQE picks the scored join from runtime sizes), scores the PINNED CHURN CACHE directly (per-doc scores are batch-independent, so the quality restriction applies as id intersections — both scorer scans are cache reads, no qualityFlags re-derivation), and the pinned clf-survivor id frame materializes CONCURRENTLY with the minhash shingle chain via its count riding the fused crossJoin row; 0_delta/1_quality/1b_clf stage counts come back as fused-row literals, never re-counted subtrees",
       "llm_ann_ivf_km"    -> "IVF over TRAINED cells: the bounded Lloyd trainer (≤1024-row sample, driver loop — the FAISS train-on-sample shape) yields a C-row centroid table that broadcasts twice (corpus assignment + query assignment); candidates prune to the query's cell before the cosine rank — at equal cell count, trained cells carry 3-4× the recall of label cells",
       "llm_ann_ivfkm_idx" -> "the trained-cell ANN probe off the STORED index (frozen centroids + cell-partitioned vectors): the query batch's probe-cell set — bounded by |batch|×nprobe — pins a STATIC .isin partition filter on the cells scan (plan-asserted), so unprobed cell directories are never opened; queries assign against the broadcast C-row centroid table, norms precomputed at build",
       "llm_ann_ivfkm_idx_p2" -> "the same stored probe at nprobe = 2 — the serving dial a deployment actually runs (recall@5 0.28 → 0.43 at sf0.1 for 2× scanned cells; the scaladoc's recall/cost table): each query's TWO nearest cells enter the static partition pin, scan mass ∝ nprobe, never the index size",
