@@ -3205,20 +3205,25 @@ object LlmOps {
       .filter(col("keep")).select("doc_id").persist(lvl)
     // the TRAINED-classifier gate rides with the stateless leaders
     // (three-surface parity: the live loop's qualityModelDir option,
-    // now on the batch funnel too): the heuristic survivors score
-    // against the frozen [[buildQualityClassifier]] artifact in its
+    // now on the batch funnel too): the corpus scores against the
+    // frozen [[buildQualityClassifier]] artifact in its
     // CHURN/CORPUS-SCALE form (footprint = false — a corpus-sized
     // batch's bucket footprint saturates every weight directory, so
     // the eager footprint job would pay a corpus pass + driver barrier
     // to prune nothing; AQE picks the scored join, the artifact never a
-    // build side) — and every later stage derives from the
-    // intersection, so the whole funnel downstream shrinks. The
-    // micro-batch serving path (llm_quality_clf_idx) keeps the pruned
-    // footprint form.
+    // build side). The scorer's batch is RAW, not the heuristic
+    // survivors: per-doc scores are batch-independent, so restricting
+    // to the quality set via one id-only semi join AFTER scoring is
+    // bit-identical while each of the scorer's two corpus scans drops
+    // its broadcast semi join (the curateDelta lesson). Every later
+    // stage derives from the intersection, so the whole funnel
+    // downstream shrinks. The micro-batch serving path
+    // (llm_quality_clf_idx) keeps the pruned footprint form.
     val clfIds = qualityModelDir.map { qd =>
-      qualityScoreStored(raw.join(qIds, Seq("doc_id"), "left_semi"),
+      qualityScoreStored(raw.select(col("doc_id"), col("text")),
           qd, qualityTau, "doc_id", "text", footprint = false)
-        .filter(col("pred")).select("doc_id").persist(lvl)
+        .filter(col("pred")).select("doc_id")
+        .join(qIds, Seq("doc_id"), "left_semi").persist(lvl)
     }
     val gateIds = clfIds.getOrElse(qIds)
     // ONE shingling of the gate survivors (the [[StreamingIngest]]
