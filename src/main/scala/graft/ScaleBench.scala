@@ -284,8 +284,21 @@ object ScaleBench {
     // 10× ratio here is ~√10 ≈ 3.2 against the fixed-cell scenario's
     // ~linear, and at a real 100 TB deployment the probe reads
     // nprobe·(n/√n) rows however large the corpus grows
-    def sqrtCells(dir: String): Int = math.max(graft.llm.LlmOps.KmCells,
-      math.sqrt(Tables.embeddings(spark, dir).count().toDouble).round.toInt)
+    // clamped to the trainer's effective sample bound: Lloyd trains on
+    // the trainMod id-slice capped at PqLloydTrainCap rows and can't
+    // produce more centroids than training rows — without the clamp the
+    // published cells_base/cells_scaled would overstate the trained
+    // count for corpora where √n exceeds the sample, and the √n-scaling
+    // reading of the ratio would silently break
+    def sqrtCells(dir: String): Int = {
+      val emb = Tables.embeddings(spark, dir)
+      val req = math.max(graft.llm.LlmOps.KmCells,
+        math.sqrt(emb.count().toDouble).round.toInt)
+      val trainRows = emb
+        .filter(col("vec_id") % graft.llm.LlmOps.PqTrainSliceMod === 0).count()
+      math.min(req.toLong,
+        math.min(trainRows, graft.llm.LlmOps.PqLloydTrainCap.toLong)).toInt
+    }
     val kmSqCellsBase = sqrtCells(sfDir)
     val kmSqCellsScaled = sqrtCells(out)
     val kmSqBase = kmIdx(sfDir, kmSqCellsBase)
@@ -577,31 +590,33 @@ object ScaleBench {
     // the corpus the model was trained on, so the ratio belongs in the
     // curdelta/curdelta_lm band.
     def curDeltaClf(dir: String): Double = {
+      // try/finally so a build or probe failure can't leak either temp
+      // dir — the kmIdx discipline
       val ixDir = java.nio.file.Files.createTempDirectory("graft-scale-cdcx").toString
       val qcDir = java.nio.file.Files.createTempDirectory("graft-scale-cdcq").toString
-      graft.llm.LlmOps.buildMinHashIndex(Tables.documents(spark, dir), ixDir)
-      graft.llm.LlmOps.buildQualityClassifier(
-        graft.llm.LlmOps.qclfCorpus(Tables.documents(spark, dir)), qcDir)
-      spark.sqlContext.clearCache()
-      val old = Tables.documents(spark, dir)
-      val next = old.select(col("doc_id"), col("text")).unionByName(
-        old.filter(col("doc_id") < keyShift && col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 90000000L).as("doc_id"),
-            concat(col("text"), lit(" drift")).as("text")))
-      def probe(): Double = {
-        val t0 = System.nanoTime()
-        graft.llm.LlmOps.curateDelta(old, next, ixDir,
-            qualityModelDir = Some(qcDir))
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        graft.llm.LlmOps.buildMinHashIndex(Tables.documents(spark, dir), ixDir)
+        graft.llm.LlmOps.buildQualityClassifier(
+          graft.llm.LlmOps.qclfCorpus(Tables.documents(spark, dir)), qcDir)
         spark.sqlContext.clearCache()
-        dt
-      }
-      probe() // warm
-      val med = (1 to 3).map(_ => probe()).sorted.apply(1)
-      Seq(ixDir, qcDir).foreach(d =>
+        val old = Tables.documents(spark, dir)
+        val next = old.select(col("doc_id"), col("text")).unionByName(
+          old.filter(col("doc_id") < keyShift && col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 90000000L).as("doc_id"),
+              concat(col("text"), lit(" drift")).as("text")))
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          graft.llm.LlmOps.curateDelta(old, next, ixDir,
+              qualityModelDir = Some(qcDir))
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sqlContext.clearCache()
+          dt
+        }
+        probe() // warm
+        (1 to 3).map(_ => probe()).sorted.apply(1)
+      } finally Seq(ixDir, qcDir).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
-      med
     }
     val curDeltaClfBase = curDeltaClf(sfDir)
     val curDeltaClfScaled = curDeltaClf(out)

@@ -204,6 +204,55 @@ object LlmOps {
   val GateBroadcastMaxRows: Long    = 4000000L
   val GateBroadcastMaxVecRows: Long = 262144L
 
+  /** Max distinct partition values a stored probe pins as a STATIC
+    * `IN (...)` literal on the index scan. The static pin is the
+    * preferred regime (it lands in PartitionFilters unconditionally —
+    * no size-estimate heuristics, and it works through a cached batch
+    * relation DPP can't see into), but it is only sane while the
+    * footprint is plan-sized: a production query batch probing at ~√n
+    * cells could otherwise inflate the plan with 10⁴–10⁶ literals
+    * (quadratic optimizer/codegen cost, a driver-memory plan). Past
+    * this bound [[pruneToCells]] falls back to a left-semi join against
+    * the DISTINCT probe frame — an Aggregate side, which Spark's
+    * dynamic-partition-pruning rule treats as selective, so pruning
+    * degrades to a runtime `dynamicpruningexpression` on the scan
+    * instead of disappearing. The size-gated-broadcast discipline
+    * ([[GateBroadcastMaxRows]]), applied to plan literals.
+    */
+  val StaticPinMaxCells: Int = 1024
+
+  /** The shared two-regime pruning of a cell-partitioned stored table
+    * to a probe footprint (the trained-cell / IVF-PQ / semantic-gate
+    * probes): `pinned` is the collected distinct footprint — the caller
+    * collects with a `limit(maxPin + 1)` where the footprint isn't
+    * already bounded, so an oversized one never lands on the driver in
+    * full — and `probeCells` the lazily-built single-column (named
+    * `partCol`, possibly duplicated) probe frame the overflow regime
+    * semi-joins against. Empty footprint ⇒ empty probe (scan eliminated
+    * entirely).
+    *
+    * The overflow regime's `count ≥ 1` guard is vacuously true but
+    * structurally necessary: Spark's PartitionPruning rule only treats
+    * the filtering side as prune-worthy when it contains a Filter node
+    * whose condition `isLikelySelective` — a bare Aggregate (a plain
+    * `.distinct()`) never qualifies, so the scan would stream every
+    * cell directory. Referencing the count pins the guard ABOVE the
+    * aggregate, where no pushdown can fold it into a local or cached
+    * relation; cost is one counter per distinct cell, and the scan
+    * receives a runtime `dynamicpruningexpression` via the semi join's
+    * own broadcast (reuse — no extra job).
+    */
+  private def pruneToCells(stored: DataFrame, partCol: String,
+      pinned: Seq[Any], maxPin: Int,
+      probeCells: => DataFrame): DataFrame =
+    if (pinned.isEmpty) stored.filter(lit(false))
+    else if (pinned.length <= maxPin)
+      stored.filter(col(partCol).isin(pinned: _*))
+    else stored.join(
+      broadcast(probeCells.groupBy(partCol).agg(count(lit(1)).as("pc_n"))
+        .filter(col("pc_n") >= 1L).select(partCol)),
+      Seq(partCol), "left_semi")
+
   /** Band-key directory bucket: first hex char of the md5 band key —
     * uniform by construction, and transparent (a directory name tells you
     * which keys it holds).
@@ -5491,13 +5540,18 @@ object LlmOps {
     * training job (sample TakeOrdered + the driver Lloyd loop) AT
     * DATAFRAME-CONSTRUCTION TIME — merely building a frame through
     * [[annPq]]/[[annRecallPq]]/[[annIvfKm]] with Lloyd iterations on
-    * triggers execution, and each call retrains from scratch. That is
-    * the deliberate trade for the training set staying a plain local
-    * array (the FAISS train-on-sample shape); callers that probe the
-    * same corpus repeatedly should go through the STORED artifact
-    * ([[buildPqIndex]]/[[buildKmAnnIndex]] + the `_idx` probes), which
-    * memoizes trained centroids on disk per (dataset, params) — the
-    * in-query forms are the diagnostic/one-shot path.
+    * triggers execution. Trained centroids are MEMOIZED per (dataset
+    * fingerprint, params) within the JVM — the [[graft.llm.LlmQueries]]
+    * index-memo discipline brought in-process — so a session that
+    * constructs several frames over the same corpus (the pq_lloyd/ivfkm
+    * gauge family) trains exactly once; only the first construction
+    * pays the sample job + driver loop. The fingerprint folds the
+    * source files' (path, size, mtime) with the canonicalized plan, so
+    * a regenerated corpus under the same path retrains. Callers that
+    * probe the same corpus repeatedly ACROSS processes should still go
+    * through the STORED artifact ([[buildPqIndex]]/[[buildKmAnnIndex]]
+    * + the `_idx` probes), which memoizes trained centroids on disk —
+    * the in-query forms are the diagnostic/one-shot path.
     */
   private def pqPivotsLloyd(base: DataFrame, kc: Int, trainMod: Long,
       m: Int, sub: Int, iters: Int = PqLloydIters,
@@ -5510,65 +5564,107 @@ object LlmOps {
     // training cut them to ~1.3 s), and production PQ trainers are
     // single-node over a sample for the same reason (FAISS's
     // train-on-sample). Corpus-scale work — assignment, encoding — stays
-    // distributed; only the bounded sample crosses to the driver, once.
+    // distributed; only the bounded sample crosses to the driver, once
+    // per (dataset fingerprint, params) per JVM.
     // Arithmetic is bit-exact vs the distributed form and the oracle:
     // same (pri, vec_id) training order, same left-fold ssd in element
     // order, argmin ties to the lowest cid (strict <), means as
     // vec_id-ordered left folds divided by count, empty cells keep the
     // previous centroid.
     val spark = base.sparkSession
-    // ONE bounded collect, (pri, vec_id)-ordered: init = the first kc
-    // rows (pqPivots's codebook exactly); vec_ids ride along because
-    // the mean folds below must run in vec_id order
-    val rows = base
-      .filter(col("vec_id") % trainMod === 0)
-      .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
-      .orderBy(col("pri"), col("vec_id")).limit(trainCap)
-      .select("vec_id", "e")
-      .collect()
-    val ids: Array[Long] = rows.map(_.getLong(0))
-    val train: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
-    def ssdLocal(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
-      var acc = 0.0; var i = 0
-      while (i < sub) { val v = (a(ao + i) - b(bo + i)) * (a(ao + i) - b(bo + i)); acc += v; i += 1 }
-      acc
-    }
-    // centroids as full-width vectors: subspace s of cents(cid) is the
-    // (s, cid) subspace centroid — the reassembled (cid, ce) layout
-    var cents: Array[Array[Double]] =
-      (0 until math.min(kc, train.length)).map(i => train(i).clone()).toArray
-    for (_ <- 1 to iters) {
-      val next = cents.map(_.clone())
-      for (s <- 0 until m) {
-        val off = s * sub
-        // assign each training subvector to its nearest centroid
-        val memb = Array.fill(cents.length)(List.newBuilder[Int])
-        for (t <- train.indices) {
-          var bestD = Double.PositiveInfinity; var bestC = 0; var c = 0
-          while (c < cents.length) {
-            val d = ssdLocal(train(t), off, cents(c), off)
-            if (d < bestD) { bestD = d; bestC = c }
-            c += 1
-          }
-          memb(bestC) += t
-        }
-        for (c <- cents.indices) {
-          val members = memb(c).result()
-          if (members.nonEmpty) {
-            // vec_id-ordered left fold (the oracle's list(seg ORDER BY
-            // vec_id) + list_reduce), then per-element division
-            val sorted = members.sortBy(ids(_))
-            val acc = new Array[Double](sub)
-            for (t <- sorted; j <- 0 until sub) acc(j) += train(t)(off + j)
-            for (j <- 0 until sub) next(c)(off + j) = acc(j) / members.size.toDouble
-          } // empty cell: keep previous centroid (next already a copy)
-        }
+    val key = memoKey("lloyd", base, s"$kc|$trainMod|$m|$sub|$iters|$trainCap")
+    val cents = lloydCentroidCache.computeIfAbsent(key, _ => {
+      // ONE bounded collect, (pri, vec_id)-ordered: init = the first kc
+      // rows (pqPivots's codebook exactly); vec_ids ride along because
+      // the mean folds below must run in vec_id order
+      val rows = base
+        .filter(col("vec_id") % trainMod === 0)
+        .withColumn("pri", expr(h56("concat('pq|', cast(vec_id as string))")))
+        .orderBy(col("pri"), col("vec_id")).limit(trainCap)
+        .select("vec_id", "e")
+        .collect()
+      val ids: Array[Long] = rows.map(_.getLong(0))
+      val train: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+      def ssdLocal(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
+        var acc = 0.0; var i = 0
+        while (i < sub) { val v = (a(ao + i) - b(bo + i)) * (a(ao + i) - b(bo + i)); acc += v; i += 1 }
+        acc
       }
-      cents = next
-    }
+      // centroids as full-width vectors: subspace s of cents(cid) is the
+      // (s, cid) subspace centroid — the reassembled (cid, ce) layout
+      var cs: Array[Array[Double]] =
+        (0 until math.min(kc, train.length)).map(i => train(i).clone()).toArray
+      for (_ <- 1 to iters) {
+        val next = cs.map(_.clone())
+        for (s <- 0 until m) {
+          val off = s * sub
+          // assign each training subvector to its nearest centroid
+          val memb = Array.fill(cs.length)(List.newBuilder[Int])
+          for (t <- train.indices) {
+            var bestD = Double.PositiveInfinity; var bestC = 0; var c = 0
+            while (c < cs.length) {
+              val d = ssdLocal(train(t), off, cs(c), off)
+              if (d < bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            memb(bestC) += t
+          }
+          for (c <- cs.indices) {
+            val members = memb(c).result()
+            if (members.nonEmpty) {
+              // vec_id-ordered left fold (the oracle's list(seg ORDER BY
+              // vec_id) + list_reduce), then per-element division
+              val sorted = members.sortBy(ids(_))
+              val acc = new Array[Double](sub)
+              for (t <- sorted; j <- 0 until sub) acc(j) += train(t)(off + j)
+              for (j <- 0 until sub) next(c)(off + j) = acc(j) / members.size.toDouble
+            } // empty cell: keep previous centroid (next already a copy)
+          }
+        }
+        cs = next
+      }
+      cs
+    })
     import spark.implicits._
     cents.toSeq.zipWithIndex.map { case (ce, cid) => (cid, ce.toSeq) }
       .toDF("cid", "ce")
+  }
+
+  /** Trained-centroid memo backing [[pqPivotsLloyd]] — centroid payload
+    * is kc × (m·sub) doubles (KBs per entry), bounded by the number of
+    * distinct (corpus, params) pairs one process trains over.
+    */
+  private val lloydCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** In-session memo key for results derived from a dataset: md5 over
+    * the frame's canonicalized plan (captures the transformation chain,
+    * exprIds normalized) folded with every file-backed leaf's (path,
+    * size, mtime) — the [[graft.llm.LlmQueries]] fingerprint discipline,
+    * so a corpus REGENERATED under the same path within one JVM misses
+    * the memo instead of serving stale results. Local-path best-effort
+    * on the stat (a non-local URI contributes its path string only —
+    * still plan-distinct, just not regeneration-sensitive).
+    */
+  private def memoKey(kind: String, df: DataFrame, params: String): String = {
+    val plan = df.queryExecution.analyzed
+    val files = plan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq.sorted.map { p =>
+              val f = new java.io.File(p.stripPrefix("file:"))
+              s"$p:${f.length}:${f.lastModified}"
+            }
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(
+      (plan.canonicalized.toString + "§" + files.mkString(","))
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$kind|$h|$params"
   }
 
   /** Nearest-centroid assignment against a FROZEN codebook — (vec_id, s,
@@ -5728,11 +5824,43 @@ object LlmOps {
       .withColumn("recall_at_k", col("n_hits").cast("double") / k)
   }
 
+  /** Truth-pair memo backing [[exactTruth]]: (qid, vec_id) rows + their
+    * schema — ≤ nQueries × k rows per entry by construction.
+    */
+  private val exactTruthCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]()
+
+  /** The recall gauges' SHARED exact-cosine truth side: every gauge in
+    * the family ([[annRecall]] lsh/multiprobe, [[annRecallPq]] hash-rank
+    * and Lloyd) compares a different approximate ranking against the
+    * SAME brute-force top-k over the same query set — so the truth
+    * derivation (the one corpus-linear pass each gauge pays) is
+    * memoized per (dataset fingerprint, k, nQueries) within the JVM and
+    * rebuilt as a local relation on later constructions. The collect is
+    * nQueries × k rows, bounded by construction (the footprint-collect
+    * class), and EAGER at frame-construction time — the
+    * [[pqPivotsLloyd]] contract; values are exact longs, so the rebuilt
+    * truth side is bit-identical to the in-query derivation and every
+    * gauge's hash is unchanged. ([[annRecallIvfKm]] stays on its fused
+    * one-window form — its truth side never materializes separately.)
+    */
+  private def exactTruth(emb: DataFrame, k: Int, idCol: String,
+      vecCol: String, nQueries: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val key = memoKey("truth", emb, s"$k|$idCol|$vecCol|$nQueries")
+    val (rows, schema) = exactTruthCache.computeIfAbsent(key, _ => {
+      val df = annTopK(emb, k, idCol, vecCol, nQueries)
+        .select(col("qid"), col("vec_id"))
+      (df.collect(), df.schema)
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   def annRecall(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       bucketBits: Int = 8, multiprobe: Boolean = false): DataFrame = {
-    val exact = annTopK(emb, k, idCol, vecCol, nQueries)
-      .select(col("qid"), col("vec_id"))
+    val exact = exactTruth(emb, k, idCol, vecCol, nQueries)
     val approxFrame =
       if (multiprobe) annMultiprobe(emb, k, idCol, vecCol, nQueries, bucketBits)
       else annLsh(emb, k, idCol, vecCol, nQueries, bucketBits)
@@ -5755,8 +5883,7 @@ object LlmOps {
       m: Int = PqSubspaces, kc: Int = PqCentroids,
       sub: Int = PqSubDim, trainMod: Long = PqTrainSliceMod,
       lloydIters: Int = 0): DataFrame = {
-    val exact = annTopK(emb, k, idCol, vecCol, nQueries)
-      .select(col("qid"), col("vec_id"))
+    val exact = exactTruth(emb, k, idCol, vecCol, nQueries)
     recallAgainst(exact,
       annPq(emb, k, idCol, vecCol, nQueries, m, kc, sub, trainMod,
         lloydIters), k)
@@ -6076,6 +6203,11 @@ object LlmOps {
     * assignment — pins a STATIC `.isin` partition filter on the cells
     * scan: unprobed cell directories are never opened, so an nprobe=2
     * batch at ~√n cells reads 2·|batch| directories, not all of them.
+    * The pin is SIZE-GATED ([[StaticPinMaxCells]]): a corpus-sized
+    * query batch whose footprint exceeds the bound falls back to the
+    * dynamic-pruning semi join instead of inflating the plan with
+    * 10⁴–10⁶ literals — the collect itself is limit-guarded, so the
+    * driver never holds the oversized set either.
     *
     * Serving dial (what a deployer reads before picking nprobe):
     * recall@5 vs exact cosine over the 64-query gauge at C = [[KmCells]]
@@ -6094,7 +6226,8 @@ object LlmOps {
     */
   def annIvfKmIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = KmDim, nprobe: Int = 1): DataFrame = {
+      dim: Int = KmDim, nprobe: Int = 1,
+      staticPinMaxCells: Int = StaticPinMaxCells): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cells = spark.read.parquet(s"$indexDir/cells")
@@ -6106,10 +6239,10 @@ object LlmOps {
       if (nprobe <= 1) kmAssign(qb, cents, dim)
         .withColumnRenamed("cell", "probe")
       else kmProbes(qb, cents, nprobe)
-    val probeCells = qp.select("probe").distinct().collect().map(_.get(0))
-    val pruned =
-      if (probeCells.isEmpty) cells.filter(lit(false))
-      else cells.filter(col("cell").isin(probeCells: _*))
+    val probeCells = qp.select("probe").distinct()
+      .limit(staticPinMaxCells + 1).collect().map(_.get(0)).toSeq
+    val pruned = pruneToCells(cells, "cell", probeCells, staticPinMaxCells,
+      qp.select(col("probe").as("cell")))
     val q = qb.join(qp, Seq("vec_id"))
       .withColumn("qnrm", expr(s"sqrt(${dotSql("e", "e")})"))
       .select(col("vec_id").as("qid"), col("e").as("qe"),
@@ -6259,7 +6392,8 @@ object LlmOps {
     */
   def incrementalDedupCosineIndexedFrom(b: DataFrame, indexDir: String,
       threshold: Double = 0.99, excludeBatchIds: Boolean = false,
-      broadcastMaxVecRows: Long = GateBroadcastMaxVecRows): DataFrame = {
+      broadcastMaxVecRows: Long = GateBroadcastMaxVecRows,
+      staticPinMaxCells: Int = StaticPinMaxCells): DataFrame = {
     val cells = b.sparkSession.read.parquet(s"$indexDir/cells")
     // STATIC partition pruning, the incrementalDedupMinHashIndexedFrom
     // discipline: collect the batch's distinct cells (bounded by the cell
@@ -6285,9 +6419,12 @@ object LlmOps {
       broadcastMaxVecRows > 0 && fpRow.getLong(1) <= broadcastMaxVecRows
     def hintedV(df: DataFrame): DataFrame =
       if (smallBatch) broadcast(df) else df
-    val pruned0 =
-      if (batchCells.isEmpty) cells.filter(lit(false))
-      else cells.filter(col("label").isin(batchCells: _*))
+    // size-gated static pin ([[StaticPinMaxCells]]): the collected set
+    // is ⊆ the index's cell count (driver-bounded), but a plan literal
+    // per cell is not free — past the bound the probe semi-joins the
+    // batch's distinct-label frame (an Aggregate — DPP-selective)
+    val pruned0 = pruneToCells(cells, "label", batchCells,
+      staticPinMaxCells, b.select(col("label")))
     // the epoch's own committed rows (full OR partial append) become
     // invisible via an anti-join on the batch id set — the id frame is
     // batch-sized and broadcasts; the index side stays streamed
@@ -6449,7 +6586,8 @@ object LlmOps {
     */
   def annIvfPqIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label", sub: Int = PqSubDim): DataFrame = {
+      labelCol: String = "label", sub: Int = PqSubDim,
+      staticPinMaxCells: Int = StaticPinMaxCells): DataFrame = {
     val spark = queries.sparkSession
     val pivots = spark.read.parquet(s"$indexDir/codebooks")
     val codes = spark.read.parquet(s"$indexDir/codes")
@@ -6458,10 +6596,12 @@ object LlmOps {
     // scans, a persisted copy would outlive the call in the block manager
     val q = queries.select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qe"), col(labelCol).as("qlabel"))
-    val qCells = q.select("qlabel").distinct().collect().map(_.get(0))
-    val pruned =
-      if (qCells.isEmpty) codes.filter(lit(false))
-      else codes.filter(col("label").isin(qCells: _*))
+    // size-gated static pin (the [[StaticPinMaxCells]] discipline):
+    // limit-guarded collect, dynamic-pruning semi join past the bound
+    val qCells = q.select("qlabel").distinct()
+      .limit(staticPinMaxCells + 1).collect().map(_.get(0)).toSeq
+    val pruned = pruneToCells(codes, "label", qCells, staticPinMaxCells,
+      q.select(col("qlabel").as("label")))
     val approx = pqReconstructStored(pruned, pivots, sub)
     val scored = approx.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))

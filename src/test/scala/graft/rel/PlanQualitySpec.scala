@@ -342,19 +342,82 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.substring(cellsAt, math.min(p.length, cellsAt + 160)).contains("cell"),
         s"$q: cells partition filter must pin the probe-cell set")
       // the C-row centroid table broadcasting is CORRECT (bounded by
-      // construction); the cell-partitioned vector table must not be
+      // construction); the cell-partitioned vector table must not be.
+      // Strict form: the centroid/query sides never read /cells at all,
+      // so ANY /cells leaf on a build side is the raw index being
+      // broadcast (the mixed-leaf allowance other probes need does not
+      // apply here — a regression joining cells into a build subtree
+      // must fail, not slip through as "mixed")
       val phys = df.queryExecution.sparkPlan
       for (j <- phys.collect { case jj: BroadcastHashJoinExec => jj }) {
         val build = j.buildSide match {
           case BuildLeft => j.left
           case BuildRight => j.right
         }
-        val leaves = build.collectLeaves()
-        val idx = leaves.count(_.toString.contains("/cells"))
-        assert(idx == 0 || idx < leaves.size,
-          s"$q: raw cells table is the broadcast build side:\n${j.toString.take(800)}")
+        val idx = build.collectLeaves().count(_.toString.contains("/cells"))
+        assert(idx == 0,
+          s"$q: cells table reached a broadcast build side:\n${j.toString.take(800)}")
       }
     }
+  }
+
+  test("stored probes: an oversized cell footprint falls back to dynamic pruning, never a literal pin") {
+    // the StaticPinMaxCells gate's overflow regime, asserted for all
+    // three unbounded-footprint probes (trained-cell, IVF-PQ, semantic
+    // gate): with the pin bound forced below the batch's footprint the
+    // cells/codes scan must carry a runtime dynamicpruningexpression —
+    // never a literal IN over the partition column (a production batch
+    // at ~√n cells would pin 10⁴–10⁶ literals into the plan), and never
+    // an unpruned scan. The registered queries keep the static regime —
+    // the earlier tests in this suite assert that side of the gate.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    def pf(p: String, table: String): String = {
+      val at = p.indexOf(s"/$table], PartitionFilters: [")
+      assert(at >= 0, s"$table scan missing partition filters:\n${p.take(1500)}")
+      p.substring(at, math.min(p.length, at + 300))
+    }
+    val emb = (0L to 39L).map(i =>
+        (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7)), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+
+    val kmDir = java.nio.file.Files.createTempDirectory("graft-pqs-km").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqs-pq").toString
+    val annDir = java.nio.file.Files.createTempDirectory("graft-pqs-ann").toString
+    try {
+      graft.llm.LlmOps.buildKmAnnIndex(emb, kmDir, c = 4, trainMod = 1L, dim = 2)
+      val km = graft.llm.LlmOps.annIvfKmIndexed(
+        emb.filter(col("vec_id") < 8), kmDir, dim = 2, nprobe = 2,
+        staticPinMaxCells = 1)
+      val kmF = pf(km.queryExecution.executedPlan.toString, "cells")
+      assert(kmF.contains("dynamicpruningexpression"),
+        s"km overflow regime must prune dynamically: $kmF")
+      assert(!kmF.contains(" IN ("), s"km overflow regime must not pin literals: $kmF")
+      assert(km.count() > 0, "overflow-regime probe must still return rows")
+
+      graft.llm.LlmOps.buildPqIndex(emb, pqDir, m = 1, sub = 2)
+      val pq = graft.llm.LlmOps.annIvfPqIndexed(
+        emb.filter(col("vec_id") < 8), pqDir, sub = 2, staticPinMaxCells = 1)
+      val pqF = pf(pq.queryExecution.executedPlan.toString, "codes")
+      assert(pqF.contains("dynamicpruningexpression"),
+        s"pq overflow regime must prune dynamically: $pqF")
+      assert(!pqF.contains(" IN ("), s"pq overflow regime must not pin literals: $pqF")
+
+      graft.llm.LlmOps.buildAnnIndex(emb, annDir, vecCol = "embedding")
+      val vb = emb.filter(col("vec_id") >= 30)
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+        .withColumn("nrm", expr("sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x))"))
+        .persist()
+      try {
+        val sem = graft.llm.LlmOps.incrementalDedupCosineIndexedFrom(
+          vb, annDir, staticPinMaxCells = 1)
+        val semF = pf(sem.queryExecution.executedPlan.toString, "cells")
+        assert(semF.contains("dynamicpruningexpression"),
+          s"sem overflow regime must prune dynamically: $semF")
+        assert(!semF.contains(" IN ("), s"sem overflow regime must not pin literals: $semF")
+      } finally vb.unpersist()
+    } finally Seq(kmDir, pqDir, annDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
   test("fluency: both corpus-count windows share one w1 exchange, no count-table join") {
