@@ -3614,6 +3614,7 @@ object LlmOps {
       delta: DataFrame, deltaCount: Long, qIds: DataFrame, qCount: Long,
       clfIds: Option[DataFrame], clfCount: Option[Long],
       cleanIds: Option[DataFrame], cleanCount: Option[Long],
+      ecCount: Long, dcClfCount: Option[Long],
       eC: DataFrame, kept: DataFrame, fluentIds: Option[DataFrame],
       bSig: DataFrame, bBands: DataFrame, survivors: DataFrame)
 
@@ -3756,6 +3757,12 @@ object LlmOps {
           "doc_id", "text", footprint = false)
         .filter(col("pred")).select("doc_id"))
     }
+    // the per-doc decontam/clf gates apply to any frame as id-only
+    // semi intersections (the commuting-gates argument above)
+    def cleanOf(df: DataFrame): DataFrame = {
+      val c = cleanIds.fold(df)(ci => df.join(ci, Seq("doc_id"), "left_semi"))
+      clfIds.fold(c)(ci => c.join(ci, Seq("doc_id"), "left_semi"))
+    }
     val aggs = Seq(mhFpAgg(bBands)) ++
       lmDir.map(_ => lmFpAgg(eC)) ++
       lmLangDir.map(_ => lmLangFpAggDocs(eC)) ++
@@ -3767,17 +3774,30 @@ object LlmOps {
       // quality survivors (clfkeep — the oracle's nested count)
       clfIds.map(_.join(qIds, Seq("doc_id"), "left_semi")
         .agg(count(lit(1)).as("clf_n"))) ++
-      // the 0_delta / 1_quality stage counts ride the same barrier as
-      // literals: the churn cache is being materialized here anyway and
-      // the quality predicate is a map-only pass over it — serially
-      // re-counting both in the stage-union job was pure added wall
+      // with BOTH end-stage gates on, the nested 2_decontam stage count
+      // carries the clf intersection — a semi join of two pinned id
+      // frames, so it rides this barrier as one more literal branch
+      (if (cleanIds.isDefined && clfIds.isDefined)
+        Seq(cleanOf(cleanIds.get).agg(count(lit(1)).as("dcq_n"))) else Nil) ++
+      // the 0_delta / 1_quality / exact stage counts ride the same
+      // barrier as literals: the churn and exact-survivor caches are
+      // being materialized here anyway, and every stage count folded
+      // into this crossJoin is one full gate-chain subtree the final
+      // read-out plan no longer carries (Catalyst re-plans each union
+      // branch's whole lineage — at churn scale the planning is a
+      // measurable slice of the nightly's wall time)
       Seq(delta.agg(count(lit(1)).as("delta_n")),
-        qIds.agg(count(lit(1)).as("q_n")))
+        qIds.agg(count(lit(1)).as("q_n")),
+        cleanOf(eC).agg(count(lit(1)).as("ec_n")))
     val fused = aggs.reduce(_ crossJoin _).collect()(0)
     val cleanCount = cleanIds.map(_ => fused.getLong(fused.fieldIndex("dc_n")))
     val clfCount = clfIds.map(_ => fused.getLong(fused.fieldIndex("clf_n")))
+    val dcClfCount =
+      if (cleanIds.isDefined && clfIds.isDefined)
+        Some(fused.getLong(fused.fieldIndex("dcq_n"))) else None
     val deltaCount = fused.getLong(fused.fieldIndex("delta_n"))
     val qCount = fused.getLong(fused.fieldIndex("q_n"))
+    val ecCount = fused.getLong(fused.fieldIndex("ec_n"))
     // kept is persisted: the stage read-out, the LM intersect, and the
     // apply's survivor set all consume it — an id-only frame, never
     // corpus-sized
@@ -3811,7 +3831,8 @@ object LlmOps {
     }
     val survivors = eC.join(survivorIds, Seq("doc_id"), "left_semi")
     DeltaGates(delta, deltaCount, qIds, qCount, clfIds, clfCount,
-      cleanIds, cleanCount, eC, kept, fluentIds, bSig, bBands, survivors)
+      cleanIds, cleanCount, ecCount, dcClfCount, eC, kept, fluentIds,
+      bSig, bBands, survivors)
   }
 
   private def curateDeltaPinned(oldSnap: DataFrame, newSnap: DataFrame,
@@ -3828,9 +3849,6 @@ object LlmOps {
       lmLangDir, langCol, qualityModelDir, qualityTau)
     val spark = g.delta.sparkSession
     import spark.implicits._
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
     // the decontam and trained-classifier filters apply as id
     // intersections on every later stage's read-out (per-doc gates
     // commute — counts are identical to the nested form, see deltaGates)
@@ -3851,33 +3869,45 @@ object LlmOps {
     val (nearName, fluentName) =
       if (g.cleanIds.isDefined) ("4_near", "5_fluent")
       else ("3_near", "4_fluent")
-    // churn / quality / clf counts were collected by the fused footprint
-    // job — literal rows, the decontam-count convention
-    val base1 = Seq(("0_delta", g.deltaCount), ("1_quality", g.qCount))
-      .toDF("stage", "n_docs")
-    val base0 = g.clfCount.fold(base1)(n =>
-      base1.unionByName(Seq(("1b_clf", n)).toDF("stage", "n_docs")))
-    val base = g.cleanCount match {
-      case Some(n) if g.clfIds.isEmpty => base0
-        // the decontam count was collected by the fused footprint job —
-        // re-emitting it as a literal row avoids re-running the gram gate
-        .unionByName(Seq(("2_decontam", n)).toDF("stage", "n_docs"))
-        .unionByName(stage("3_exact", clean(g.eC)))
-      case Some(_) => base0
-        // with the clf gate on too, the nested stage-2 count must carry
-        // the clf intersection — the fused literal doesn't, so count the
-        // (churn-sized, pinned) id frames' intersection lazily instead
-        .unionByName(stage("2_decontam", clean(g.cleanIds.get)))
-        .unionByName(stage("3_exact", clean(g.eC)))
-      case None => base0.unionByName(stage("2_exact", clean(g.eC)))
-    }
+    // every stage count UP TO the exact gate was collected by the fused
+    // footprint job — literal rows. What remains lazy is exactly the
+    // part whose plan is the operator's evidence (the stored-index probe
+    // and the LM chain); each literal is one full gate-chain subtree the
+    // final plan no longer re-plans per union branch.
+    val exactName = if (g.cleanIds.isDefined) "3_exact" else "2_exact"
+    val base = (
+      Seq(("0_delta", g.deltaCount), ("1_quality", g.qCount)) ++
+      g.clfCount.map(("1b_clf", _)) ++
+      // with the clf gate on too, the nested stage-2 count carries the
+      // clf intersection (dcClfCount — fused); decontam-only keeps the
+      // plain fused decontam count
+      (g.cleanCount match {
+        case Some(n) => Seq(("2_decontam", g.dcClfCount.getOrElse(n)))
+        case None    => Nil
+      }) ++
+      Seq((exactName, g.ecCount))
+    ).toDF("stage", "n_docs")
+    // the near and fluent stages fold into ONE branch: a left join of
+    // the cleaned kept ids against the fluent ids counts both in a
+    // single pass (count(1) = near survivors, count(fl) = the
+    // intersection — fl ids are unique per doc, so the join preserves
+    // row count), and the read-out plan carries the probe + LM chains
+    // ONCE instead of once per stage row
     g.fluentIds match {
       case Some(fl) =>
-        base.unionByName(stage(nearName, clean(g.kept)))
-          .unionByName(stage(fluentName,
-            clean(fl.join(g.kept, Seq("doc_id"), "left_semi"))))
+        base.unionByName(
+          clean(g.kept)
+            .join(fl.select(col("doc_id"), lit(1).as("fl_hit")),
+              Seq("doc_id"), "left")
+            .agg(count(lit(1)).as("n_near"), count(col("fl_hit")).as("n_fluent"))
+            .select(explode(array(
+              struct(lit(nearName).as("stage"), col("n_near").as("n_docs")),
+              struct(lit(fluentName).as("stage"), col("n_fluent").as("n_docs"))))
+              .as("s"))
+            .select(col("s.stage"), col("s.n_docs")))
       case None =>
-        base.unionByName(stage(nearName, clean(g.kept)))
+        base.unionByName(clean(g.kept).agg(count(lit(1)).as("n_docs"))
+          .select(lit(nearName).as("stage"), col("n_docs")))
     }
   }
 
