@@ -425,7 +425,16 @@ object Bench {
     // bloat it past the budget; the counts are always complete.
     def cap(xs: Seq[String]): String =
       xs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries_n":${results.size},"reps_n":$reps,"rerep_n":${rerepped.size + rereppedPrior.size},"sentinel_disp":${r(sentDisp, 2)},"noisy":$noisyRun,"failed_n":${failed.size},"failed":${cap(failed.toSeq)},"partial_failed_n":${partialFailed.size},"partial_failed":${cap(partialFailed.toSeq)}}"""
+    // per-query load annotation, self-flagging in the artifact: a query
+    // whose ADJACENT sentinel reading ran >1.5× the run's sentinel median
+    // was measured inside a load spike — its median is the first place a
+    // cross-round comparison should suspect before calling a regression
+    // (the round-16 driver window produced four phantom regressions that
+    // each re-measured at or below their prior quiet value)
+    val suspect = sentAfter.collect {
+      case (name, s) if sentMed > 0 && s > 1.5 * sentMed => name
+    }.toSeq
+    val summary = s"""{"metric":"total","value":${r(total, 2)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries_n":${results.size},"reps_n":$reps,"rerep_n":${rerepped.size + rereppedPrior.size},"sentinel_disp":${r(sentDisp, 2)},"noisy":$noisyRun,"suspect_n":${suspect.size},"failed_n":${failed.size},"failed":${cap(failed.toSeq)},"partial_failed_n":${partialFailed.size},"partial_failed":${cap(partialFailed.toSeq)}}"""
 
     // full-precision detail for humans/the judge (repo file, not stdout)
     val repsJson = repTimes.map { case (k, ts) =>
@@ -437,7 +446,16 @@ object Bench {
     val rereppedPriorJson = rereppedPrior.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentAfterJson = sentAfter.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"rerepped_prior":$rereppedPriorJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"ingest_docs":$ingestN,"ingest_batches":$ingestBatches,"ingest_docs_per_sec":$ingestRate,"ingest_epoch_sec":$ingestEpochSec,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
+    // first-rep (cold) time per query, alongside the median: the suite's
+    // shared warm state (JIT, OS page cache, shuffle dirs) is worth ~20%
+    // on the delta family vs a solo run — publishing the cold rep makes
+    // that bias visible in the artifact instead of surfacing as a
+    // cross-round "X → Y s" discrepancy between suite and solo windows
+    val coldJson = repTimes.flatMap { case (k, ts) =>
+      ts.collectFirst { case (dt, true) => "\"" + k + "\":" + dt }
+    }.mkString("{", ",", "}")
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"cold_sec":$coldJson,"suspect":$suspectJson,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"rerepped_prior":$rereppedPriorJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"ingest_docs":$ingestN,"ingest_batches":$ingestBatches,"ingest_docs_per_sec":$ingestRate,"ingest_epoch_sec":$ingestEpochSec,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
     try {
       // a SPARK_GRAFT_QUERIES-restricted run must not overwrite the full
       // suite's detail: the cross-round re-rep pass reads it as the
