@@ -40,9 +40,9 @@ object Plans {
       "llm_fluency_idx"   -> "fluency off the STORED reference LM: the batch's wb bucket footprint pinned as a static partition filter on the model scan, batch bigrams (in-row RLE encode, no reduce shuffle) broadcast into the probability join (size-gated), unmatched transitions recovered by unioning plain size(t)-1 mass rows into ONE per-doc fold — the model is streamed, pruned, and never a build side",
       "llm_curate_funnel" -> "the composed curation pipeline as one DAG: quality ids persisted once for two consumers, survivor sets chained as id-only semi joins, minhash+CC over the stage-2 survivors, four stage counts unioned — nothing collected to the driver",
       "llm_curate_lm"     -> "the CCNet-shaped funnel: quality → exact → near → stored-LM fluency bar in ONE plan — the LM stage probes the frozen bigram artifact exactly like llm_fluency_idx (bucket-pruned streamed model scan, survivor bigrams broadcast), and runs last so every earlier gate shrinks what it scores",
-      "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan",
+      "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan; every pre-near stage count rides the fused barrier as a literal, so the read-out plan shown here is the probe chain once, not once per stage row",
       "llm_curate_apply"  -> "the funnel's terminal materialization: stage chain identical to llm_curate_funnel but ending in the kept rows themselves — corpus anti-joined against resolved non-keepers (ids only on the drop side), dumped as (doc_id, n_chars), text never in a build-side shuffle",
-      "llm_curate_delta_lm" -> "the composed nightly with the LM bar: ONE fused eager footprint job (LSH band footprint × LM bucket footprint crossJoined into a single collected row), then ONE final job where the stored-index probe chain and the LM chain run CONCURRENTLY off the shared exact-survivor cache (the LM scores stage-2 survivors and intersects with the kept ids — same counts, no serial barrier behind the probe); model scan bucket-pruned and streamed, bands scan statically partition-pruned",
+      "llm_curate_delta_lm" -> "the composed nightly with the LM bar: ONE fused eager footprint job (LSH band footprint × LM bucket footprint × every pre-near stage count crossJoined into a single collected row), then ONE final job where the stored-index probe chain and the LM chain run CONCURRENTLY off the shared exact-survivor cache — the near and fluent stages fold into a single left-join branch (count(1)/count(fl) in one pass), so the plan carries each chain ONCE; model scan bucket-pruned and streamed, bands scan statically partition-pruned",
       "mm_payload_inc_idx" -> "the media ingest gate off the STORED payload-simhash index: batch chunk footprint pinned as a static (chunk_idx, ck_bucket) partition filter on the chunk scan, batch chunk rows broadcast into the Hamming verify (bit_count over the joined simhashes — no second table, no verify join), survivors by anti-join — unprobed chunk directories never opened",
       "llm_lm_partition"  -> "CCNet head/middle/tail off the STORED partitioner: the frozen cut tuples enter as literals (artifact collected like the BPE merge table), corpus scores in ONE llm_fluency_idx-shaped probe pass (full-corpus scoring visits every bucket, so no footprint job and no broadcast hint — AQE picks the build side), bucket CASE fused into the probe's output projection — no second pass, no window, no global sort",
       "llm_lm_partition_apply" -> "the CCNet selection rule (keep head, hash-sample middle, drop tail) fused onto llm_lm_partition's one probe pass as a stateless predicate — same plan plus a filter, nothing new shuffles",
@@ -52,14 +52,14 @@ object Plans {
       "llm_keywords_idx"  -> "batch keyword scoring off the STORED IDF model: the batch's token-bucket footprint pinned as a static partition filter on the df scan, batch tf broadcast into the scored join — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_quality_clf_idx" -> "batch scoring off the STORED quality classifier: the batch's token-bucket footprint pinned as a static partition filter on the weight scan, per-occurrence likelihood ratios joined with the batch tokens broadcast (size-gated), unmatched tokens recovered by unioning plain token-count mass rows into ONE per-doc value-sorted fold — the vocabulary-sized artifact is streamed, pruned, and never a build side",
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",
-      "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage applied as an END-STAGE id intersection (per-doc gates commute) — the exact-survivor/footprint chain no longer waits on the gram join + groupBy; the fused barrier crossJoins band footprint × LM footprint × decontam count into ONE collected row, so the shingle chain and the gram-gate chain materialize concurrently; bare anti-membership gram gate (AQE build side), near probe re-shingling the cached exact survivors as in-stage map work, band and model scans partition-pruned, no text on any top-level exchange",
+      "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage applied as an END-STAGE id intersection (per-doc gates commute) — the exact-survivor/footprint chain no longer waits on the gram join + groupBy; the fused barrier crossJoins band footprint × LM footprint × decontam count × every pre-near stage count into ONE collected row, so the shingle chain and the gram-gate chain materialize concurrently and the read-out re-plans no stage subtree; bare anti-membership gram gate (AQE build side), near probe re-shingling the cached exact survivors as in-stage map work, band and model scans partition-pruned, no text on any top-level exchange",
       "llm_curate_delta_apply" -> "the nightly's TERMINAL ADMIT read-back: the committed epoch partition scanned with a single epoch partition filter (pure pruning — sibling epochs never opened); the commit itself reuses the delta chain verbatim plus one dynamic-partition-overwrite write of the survivors and one index append ∝ survivors — the stored corpus is never rewritten, the index never rebuilt",
       "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) pairs (a batch never opens another language's directories; asserted on the scan exec since the nested disjunction exceeds the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions",
       "llm_curate_full_lang" -> "the COMPLETE batch pipeline under the PER-LANGUAGE bar (three-surface parity closed): llm_curate_full's chain stage for stage, stage 5 swapped for the per-language probe — the (lang, wb) footprint pinned as a static partition filter on the model scan, survivor lang-bigrams size-gate-broadcast, the artifact streamed and never a build side",
       "llm_dedup_spans_apply" -> "span cutting without the count join: occ ≥ 2 under the per-hash rank already implies duplication, so the fingerprint table shuffles ONCE into the rank window and the count aggregate + join + persist of the report form drop out — cut lists are (doc_id, positions) only, the text is rebuilt by one per-row higher-order filter",
       "mm_decode_header" -> "REAL byte-level media decode fully inside WholeStageCodegen: format from magic bytes, dims from each format's own header layout (PNG BE u32s, JPEG SOF0/1/2 located by a bounded SEGMENT WALK — marker→marker hops by declared length, so an FFC0 decoy inside an APPn payload or past SOS is never misread as the frame header — GIF LE u16s); only the first 256 payload bytes are ever hexed (the Exif-realistic header window), so per-row cost is independent of asset size; no UDF, no custom expression, no shuffle",
       "llm_curate_full_clf" -> "the COMPLETE batch pipeline with the TRAINED quality-classifier gate riding the funnel as an id-intersection: the weight scan bucket-pruned by the survivors' token footprint, per-occurrence likelihood ratios joined with the batch tokens (size-gated broadcast), the vocabulary-sized artifact streamed and never a build side — six gates, one plan",
-      "llm_curate_delta_clf" -> "the nightly delta with the trained-clf gate FUSED into the one eager barrier: the scorer runs in its churn-scale form (no footprint job — a nightly's bucket footprint saturates every weight directory, so the prune would pay a barrier to prune nothing; AQE picks the scored join from runtime sizes), scores the PINNED CHURN CACHE directly (per-doc scores are batch-independent, so the quality restriction applies as id intersections — both scorer scans are cache reads, no qualityFlags re-derivation), and the pinned clf-survivor id frame materializes CONCURRENTLY with the minhash shingle chain via its count riding the fused crossJoin row; 0_delta/1_quality/1b_clf stage counts come back as fused-row literals, never re-counted subtrees",
+      "llm_curate_delta_clf" -> "the nightly delta with the trained-clf gate FUSED into the one eager barrier: the scorer runs in its churn-scale form (no footprint job — a nightly's bucket footprint saturates every weight directory, so the prune would pay a barrier to prune nothing; AQE picks the scored join from runtime sizes), scores the PINNED CHURN CACHE directly (per-doc scores are batch-independent, so the quality restriction applies as id intersections — both scorer scans are cache reads, no qualityFlags re-derivation), and the pinned clf-survivor id frame materializes CONCURRENTLY with the minhash shingle chain via its count riding the fused crossJoin row; every stage count up to the exact gate comes back as a fused-row literal, never a re-counted subtree, and the near read-out is the probe chain once",
       "llm_ann_ivf_km"    -> "IVF over TRAINED cells: the bounded Lloyd trainer (≤1024-row sample, driver loop — the FAISS train-on-sample shape) yields a C-row centroid table that broadcasts twice (corpus assignment + query assignment); candidates prune to the query's cell before the cosine rank — at equal cell count, trained cells carry 3-4× the recall of label cells",
       "llm_ann_ivfkm_idx" -> "the trained-cell ANN probe off the STORED index (frozen centroids + cell-partitioned vectors): the query batch's probe-cell set — bounded by |batch|×nprobe — pins a STATIC .isin partition filter on the cells scan (plan-asserted), so unprobed cell directories are never opened; queries assign against the broadcast C-row centroid table, norms precomputed at build",
       "llm_ann_ivfkm_idx_p2" -> "the same stored probe at nprobe = 2 — the serving dial a deployment actually runs (recall@5 0.28 → 0.43 at sf0.1 for 2× scanned cells; the scaladoc's recall/cost table): each query's TWO nearest cells enter the static partition pin, scan mass ∝ nprobe, never the index size",

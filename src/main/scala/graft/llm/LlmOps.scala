@@ -1492,6 +1492,16 @@ object LlmOps {
       buckets: Array[Int], small: Boolean): DataFrame = {
     val spark = bg.sparkSession
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // NO row-level model pruning beyond the bucket pins: semi-joining
+    // the model against the batch's distinct-w1 set first (the "let the
+    // churn's prefixes prune the weight rows" idea) was measured WORSE
+    // on the nightly — llm_curate_delta_lm 3.83 → 4.20 s solo median at
+    // sf0.1 (matched A/B) — because the probability join below is
+    // already the row filter: the bucket-pruned model streams through
+    // the broadcast hash probe once, and a pre-prune adds a distinct +
+    // second join stage to save hash lookups that cost nothing. At
+    // production scale the wb partition pins bound what is read; rows
+    // within probed buckets are cheapest dropped AT the join.
     val model = spark.read.parquet(s"$modelDir/bigrams")
       .filter(col("wb").isin(buckets.map(Integer.valueOf): _*))
     // ONE aggregation serves both outputs: matched rows carry their
@@ -3552,11 +3562,18 @@ object LlmOps {
     *
     * Cache lifecycle: the stage frames (fingerprints, delta, survivors,
     * batch signatures/bands — all churn-sized or narrower, never corpus
-    * text) back the returned lazy counts and live until the caller's
+    * text) back the returned counts and live until the caller's
     * post-materialization `clearCache` (the Bench/Verify rep discipline)
     * or session end; a long-running service embedding this call should
     * use [[curateDeltaReport]], which materializes the counts and
-    * releases exactly the caches the run pinned.
+    * releases exactly the caches the run pinned. Every stage count up
+    * to the exact gate comes back as a LITERAL collected by the fused
+    * footprint barrier; only the near/fluent read-out stays lazy — the
+    * part whose plan (the stored-index probe + LM chain) is the
+    * operator's scale evidence. Catalyst re-plans each union branch's
+    * full lineage, so each literal is one whole gate-chain subtree the
+    * read-out plan no longer pays for — measured at sf0.1 this planning
+    * plus the redundant count jobs was ~0.8 s of the nightly's wall.
     */
   def curateDelta(oldSnap: DataFrame, newSnap: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
