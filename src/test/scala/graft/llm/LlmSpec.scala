@@ -3192,4 +3192,39 @@ class LlmSpec extends SparkSpec {
     assert(out.length === 3,
       "builder and probe must run on the extension-less session via the UDF fallback")
   }
+
+  test("Lloyd/truth memo is regeneration-sensitive: a corpus rewritten in place retrains") {
+    // the in-session trained-centroid and exact-truth memos key on the
+    // source files' (path, size, mtime) fingerprint — the staleness
+    // hazard is a harness that REGENERATES the parquet under the same
+    // directory in one JVM and then probes stale centroids. Ground
+    // truth: the same shifted corpus written to a NEVER-SEEN path (a
+    // fresh memo key, genuine training). The in-place rewrite must
+    // produce bit-identical output to that fresh-path run — a stale
+    // memo hit would reuse shift-0 centroids and diverge.
+    def vecs(shift: Double) = (0L to 59L).map(i =>
+      (i, Seq(math.cos(i * 0.7 + shift), math.sin(i * 0.7 + shift))))
+    def write(p: String, shift: Double): Unit =
+      vecs(shift).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    val root = java.nio.file.Files.createTempDirectory("graft-lloyd-regen").toString
+    try {
+      def km(p: String) = LlmOps.annIvfKm(spark.read.parquet(p),
+          k = 3, nQueries = 4, c = 4, trainMod = 1L, dim = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+        .toSeq.sorted
+      def truth(p: String) = LlmOps.annRecall(spark.read.parquet(p),
+          k = 3, nQueries = 4, bucketBits = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      write(s"$root/emb", 0.0)
+      val cold = (km(s"$root/emb"), truth(s"$root/emb")) // seed the memos at shift 0
+      write(s"$root/emb", 1.5) // in-place regeneration
+      val regen = (km(s"$root/emb"), truth(s"$root/emb"))
+      write(s"$root/fresh", 1.5) // same data, never-memoized path
+      val fresh = (km(s"$root/fresh"), truth(s"$root/fresh"))
+      assert(regen === fresh,
+        "in-place regeneration must miss the memo and retrain on the new data")
+      assert(regen !== cold, "the shifted corpus must actually change the output")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
