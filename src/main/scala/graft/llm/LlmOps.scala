@@ -3152,18 +3152,44 @@ object LlmOps {
     (corpus, qIds, eCorpus)
   }
 
+  /** One-pass stage read-out for a funnel whose survivor sets form a
+    * SUBSET CHAIN (raw ⊇ quality ⊇ … ⊇ fluent, each frame unique on
+    * doc_id): instead of unioning one count-aggregate branch per stage —
+    * where Catalyst re-plans every branch's full lineage and the deepest
+    * stage's chain is embedded once per row it appears under — left-join
+    * a presence mark per stage onto the base ids and take every count in
+    * ONE aggregate (`count(1)` = base, `count(m_k)` = stage k; unique
+    * right keys preserve row multiplicity, so the counts are identical
+    * to the per-stage form — hash-green, spec'd). The read-out plan then
+    * carries each gate chain exactly once, the theoretical minimum, and
+    * stays fully declarative: nothing is collected to the driver.
+    */
+  private def stageCountsOnePass(base: (String, DataFrame),
+      stages: Seq[(String, DataFrame)]): DataFrame = {
+    val marked = stages.zipWithIndex.foldLeft(
+        base._2.select(col("doc_id"))) { case (acc, ((_, df), i)) =>
+      acc.join(df.select(col("doc_id"), lit(1).as(s"m_$i")),
+        Seq("doc_id"), "left")
+    }
+    val aggs = count(lit(1)).as("c_base") +:
+      stages.indices.map(i => count(col(s"m_$i")).as(s"c_$i"))
+    val structs = (base._1 +: stages.map(_._1)).zipWithIndex.map {
+      case (n, i) => struct(lit(n).as("stage"),
+        col(if (i == 0) "c_base" else s"c_${i - 1}").as("n_docs"))
+    }
+    marked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("s"))
+      .select(col("s.stage"), col("s.n_docs"))
+  }
+
   def curationFunnel(corpus: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val (raw, qIds, eCorpus) = funnelStages(corpus, idCol, textCol,
       persistQIds = true)
     val kept = dedupApply(eCorpus, dedupMinHash(eCorpus))
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_raw", raw)
-      .unionByName(stage("1_quality", qIds))
-      .unionByName(stage("2_exact_dedup", eCorpus))
-      .unionByName(stage("3_near_dedup", kept))
+    stageCountsOnePass(("0_raw", raw), Seq(
+      "1_quality" -> qIds, "2_exact_dedup" -> eCorpus,
+      "3_near_dedup" -> kept))
   }
 
   /** The funnel's terminal materialization — the curated corpus itself
@@ -3206,14 +3232,9 @@ object LlmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fluent = fluencyStored(kept, lmDir)
       .filter(col("fluency") >= threshold).select("doc_id")
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_raw", raw)
-      .unionByName(stage("1_quality", qIds))
-      .unionByName(stage("2_exact_dedup", eCorpus))
-      .unionByName(stage("3_near_dedup", kept))
-      .unionByName(stage("4_fluent", fluent))
+    stageCountsOnePass(("0_raw", raw), Seq(
+      "1_quality" -> qIds, "2_exact_dedup" -> eCorpus,
+      "3_near_dedup" -> kept, "4_fluent" -> fluent))
   }
 
   /** The COMPLETE batch pipeline — [[curationFunnelLm]] plus the
@@ -3347,16 +3368,11 @@ object LlmOps {
     val (raw, qIds, clfIds, clean, eIds, kept, fluent) = fullStages(
       corpus, lmDir, decontamDir, threshold, maxSharedGrams, idCol, textCol,
       qualityModelDir = qualityModelDir, qualityTau = qualityTau)
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    val head = stage("0_raw", raw)
-      .unionByName(stage("1_quality", qIds))
-    clfIds.fold(head)(ci => head.unionByName(stage("1b_clf", ci)))
-      .unionByName(stage("2_decontam", clean))
-      .unionByName(stage("3_exact_dedup", eIds))
-      .unionByName(stage("4_near_dedup", kept))
-      .unionByName(stage("5_fluent", fluent))
+    stageCountsOnePass(("0_raw", raw),
+      Seq("1_quality" -> qIds) ++
+      clfIds.map("1b_clf" -> _) ++
+      Seq("2_decontam" -> clean, "3_exact_dedup" -> eIds,
+        "4_near_dedup" -> kept, "5_fluent" -> fluent))
   }
 
   /** [[curationFunnelFull]] with the PER-LANGUAGE fluency bar — the last
@@ -3377,15 +3393,9 @@ object LlmOps {
     val (raw, qIds, _, clean, eIds, kept, fluent) = fullStages(
       corpus, "", decontamDir, threshold, maxSharedGrams, idCol, textCol,
       lmLangDir = Some(lmLangDir), langCol = langCol)
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    stage("0_raw", raw)
-      .unionByName(stage("1_quality", qIds))
-      .unionByName(stage("2_decontam", clean))
-      .unionByName(stage("3_exact_dedup", eIds))
-      .unionByName(stage("4_near_dedup", kept))
-      .unionByName(stage("5_fluent", fluent))
+    stageCountsOnePass(("0_raw", raw), Seq(
+      "1_quality" -> qIds, "2_decontam" -> clean, "3_exact_dedup" -> eIds,
+      "4_near_dedup" -> kept, "5_fluent" -> fluent))
   }
 
   /** The full pipeline's terminal materialization — the corpus a training
