@@ -38,7 +38,7 @@ object Plans {
       "llm_ann_ivfpq_idx" -> "IVF-PQ off the STORED serving index: query cells pinned as a static partition filter on the packed-codes scan, K-row codebook broadcast into the reconstruction, ADC rank — raw vectors never read",
       "llm_fluency"       -> "corpus-as-LM bigram fluency: occurrences reduce to (doc,w1,w2,n) INSIDE each doc's row (sort+RLE — no reduce shuffle), both corpus counts are window sums sharing ONE w1 exchange (c1 plans first; (w1,w2) clustering satisfied) — no count table, no join, two exchanges total",
       "llm_fluency_idx"   -> "fluency off the STORED reference LM: the batch's wb bucket footprint pinned as a static partition filter on the model scan, batch bigrams (in-row RLE encode, no reduce shuffle) broadcast into the probability join (size-gated), unmatched transitions recovered by unioning plain size(t)-1 mass rows into ONE per-doc fold — the model is streamed, pruned, and never a build side",
-      "llm_curate_funnel" -> "the composed curation pipeline as one DAG: quality ids persisted once for two consumers, survivor sets chained as id-only semi joins, minhash+CC over the stage-2 survivors, four stage counts unioned — nothing collected to the driver",
+      "llm_curate_funnel" -> "the composed curation pipeline as one DAG: quality ids persisted once for two consumers, survivor sets chained as id-only semi joins, minhash+CC over the stage-2 survivors, the four stage counts folded into ONE mark-join pass (subset-chain survivor sets ⇒ one aggregate, each gate chain planned exactly once) — nothing collected to the driver",
       "llm_curate_lm"     -> "the CCNet-shaped funnel: quality → exact → near → stored-LM fluency bar in ONE plan — the LM stage probes the frozen bigram artifact exactly like llm_fluency_idx (bucket-pruned streamed model scan, survivor bigrams broadcast), and runs last so every earlier gate shrinks what it scores",
       "llm_curate_delta"  -> "nightly incremental curation: old generation hashed ONCE into persisted 48-byte fingerprints (shared by the churn decision and the exact anti-join), quality on delta rows only, near gate is the partition-pruned stored-index probe — all gate work ∝ churn, the corpus enters only as the narrow fingerprint scan; every pre-near stage count rides the fused barrier as a literal, so the read-out plan shown here is the probe chain once, not once per stage row",
       "llm_curate_apply"  -> "the funnel's terminal materialization: stage chain identical to llm_curate_funnel but ending in the kept rows themselves — corpus anti-joined against resolved non-keepers (ids only on the drop side), dumped as (doc_id, n_chars), text never in a build-side shuffle",
