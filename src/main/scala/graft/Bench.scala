@@ -451,11 +451,19 @@ object Bench {
     // on the delta family vs a solo run — publishing the cold rep makes
     // that bias visible in the artifact instead of surfacing as a
     // cross-round "X → Y s" discrepancy between suite and solo windows
+    // cold_sec is ALWAYS rep 1's wall time, pass or fail — publishing a
+    // later (suite-warm) rep as "cold" would misstate the bias exactly
+    // for the flaky queries where the annotation matters. Queries whose
+    // first rep failed are named in cold_failed so a reader knows that
+    // cold time includes a failure path, not a clean evaluation.
     val coldJson = repTimes.flatMap { case (k, ts) =>
-      ts.collectFirst { case (dt, true) => "\"" + k + "\":" + dt }
+      ts.headOption.map { case (dt, _) => "\"" + k + "\":" + dt }
     }.mkString("{", ",", "}")
+    val coldFailedJson = repTimes.collect {
+      case (k, ts) if ts.headOption.exists(!_._2) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"cold_sec":$coldJson,"suspect":$suspectJson,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"rerepped_prior":$rereppedPriorJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"ingest_docs":$ingestN,"ingest_batches":$ingestBatches,"ingest_docs_per_sec":$ingestRate,"ingest_epoch_sec":$ingestEpochSec,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"cold_sec":$coldJson,"cold_failed":$coldFailedJson,"suspect":$suspectJson,"reps_n":$reps,"rep_times":$repsJson,"failed":$failedJson,"partial_failed":$partialJson,"rerepped":$rereppedJson,"rerepped_prior":$rereppedPriorJson,"sf":"$sfDir","floor_noop_sec":$floorNoop,"floor_scan_sec":$floorScan,"floor_total_sec":${floorScan * results.size},"stream_events":$streamN,"stream_sec":$streamSec,"stream_events_per_sec":$streamRate,"stream_routed_events_per_sec":$routedRate,"ingest_docs":$ingestN,"ingest_batches":$ingestBatches,"ingest_docs_per_sec":$ingestRate,"ingest_epoch_sec":$ingestEpochSec,"scaleup_factor":$scaleFactor,"scaleup_q1_base_sec":$scaleBase,"scaleup_q1_scaled_sec":$scaleScaled,"scaleup_q1_ratio":$scaleRatio,"sentinel_med_sec":$sentMed,"sentinel_p90_sec":$sentP90,"sentinel_load_disp":$sentDisp,"sentinel_times":$sentJson,"sentinel_after_query":$sentAfterJson}"""
     try {
       // a SPARK_GRAFT_QUERIES-restricted run must not overwrite the full
       // suite's detail: the cross-round re-rep pass reads it as the

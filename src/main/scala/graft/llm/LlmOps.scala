@@ -241,6 +241,25 @@ object LlmOps {
     * relation; cost is one counter per distinct cell, and the scan
     * receives a runtime `dynamicpruningexpression` via the semi join's
     * own broadcast (reuse — no extra job).
+    *
+    * The overflow broadcast hint is itself SIZE-GATED (the
+    * [[GateBroadcastMaxRows]] discipline, applied to the probe's
+    * distinct-cell frame): the regime is entered precisely because the
+    * footprint exceeded `maxPin`, and its ceiling is the table's cell
+    * count — ~√n for the ANN layouts, which a partitioned table keeps
+    * filesystem-sane (≤10⁶ directories) but which is not "plan-sized by
+    * construction" the way a micro-batch footprint is. A bounded count
+    * job (`limit(bound + 1)` — only the counter crosses to the driver)
+    * decides: within the bound the hint stays and the scan gets its
+    * `dynamicpruningexpression` through the reused broadcast; past it
+    * the hint drops and AQE plans the semi join off runtime stats.
+    * Pruning may then lapse (with `dynamicPartitionPruning
+    * .reuseBroadcastOnly` = true, DPP won't build its own subquery) —
+    * the safe degradation: at >4M probed cells the footprint is no
+    * longer selective enough for pruning to matter, while a forced
+    * multi-GB broadcast would be a driver/executor OOM. The count job
+    * runs only in the overflow regime, where the caller already paid an
+    * eager footprint collect.
     */
   private def pruneToCells(stored: DataFrame, partCol: String,
       pinned: Seq[Any], maxPin: Int,
@@ -248,10 +267,14 @@ object LlmOps {
     if (pinned.isEmpty) stored.filter(lit(false))
     else if (pinned.length <= maxPin)
       stored.filter(col(partCol).isin(pinned: _*))
-    else stored.join(
-      broadcast(probeCells.groupBy(partCol).agg(count(lit(1)).as("pc_n"))
-        .filter(col("pc_n") >= 1L).select(partCol)),
-      Seq(partCol), "left_semi")
+    else {
+      val probe = probeCells.groupBy(partCol).agg(count(lit(1)).as("pc_n"))
+        .filter(col("pc_n") >= 1L).select(partCol)
+      val withinBound = probe.limit(
+        (GateBroadcastMaxRows + 1).toInt).count() <= GateBroadcastMaxRows
+      stored.join(if (withinBound) broadcast(probe) else probe,
+        Seq(partCol), "left_semi")
+    }
 
   /** Band-key directory bucket: first hex char of the md5 band key —
     * uniform by construction, and transparent (a directory name tells you
@@ -5630,7 +5653,7 @@ object LlmOps {
     // previous centroid.
     val spark = base.sparkSession
     val key = memoKey("lloyd", base, s"$kc|$trainMod|$m|$sub|$iters|$trainCap")
-    val cents = lloydCentroidCache.computeIfAbsent(key, _ => {
+    val cents = lloydCentroidCache.getOrCompute(key) {
       // ONE bounded collect, (pri, vec_id)-ordered: init = the first kc
       // rows (pqPivots's codebook exactly); vec_ids ride along because
       // the mean folds below must run in vec_id order
@@ -5681,27 +5704,53 @@ object LlmOps {
         cs = next
       }
       cs
-    })
+    }
     import spark.implicits._
     cents.toSeq.zipWithIndex.map { case (ce, cid) => (cid, ce.toSeq) }
       .toDF("cid", "ce")
   }
 
+  /** Max entries either in-session memo ([[lloydCentroidCache]],
+    * [[exactTruthCache]]) retains. Entries are KB-sized, so the cap is
+    * about LIFETIME, not memory pressure at rest: a long-lived service
+    * re-fingerprinting a nightly-regenerated corpus mints one key per
+    * generation forever, and an uncapped map is an unbounded leak at
+    * service cadence. 64 distinct (corpus, params) pairs is far above
+    * what one process legitimately trains over; past it the
+    * least-recently-USED entry evicts and a later probe simply retrains
+    * (the memo is a pure cost cache — eviction can never change a
+    * result).
+    */
+  val MemoMaxEntries: Int = 64
+
   /** Trained-centroid memo backing [[pqPivotsLloyd]] — centroid payload
-    * is kc × (m·sub) doubles (KBs per entry), bounded by the number of
-    * distinct (corpus, params) pairs one process trains over.
+    * is kc × (m·sub) doubles (KBs per entry), LRU-bounded at
+    * [[MemoMaxEntries]]. Values compute OUTSIDE the map lock
+    * ([[BoundedMemo.getOrCompute]]) so one session's multi-second
+    * training job never serializes another session's unrelated lookup.
     */
   private val lloydCentroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new BoundedMemo[Array[Array[Double]]](MemoMaxEntries)
 
   /** In-session memo key for results derived from a dataset: md5 over
     * the frame's canonicalized plan (captures the transformation chain,
     * exprIds normalized) folded with every file-backed leaf's (path,
     * size, mtime) — the [[graft.llm.LlmQueries]] fingerprint discipline,
     * so a corpus REGENERATED under the same path within one JVM misses
-    * the memo instead of serving stale results. Local-path best-effort
-    * on the stat (a non-local URI contributes its path string only —
-    * still plan-distinct, just not regeneration-sensitive).
+    * the memo instead of serving stale results. The plan serializes via
+    * `treeString` with `maxFields = Int.MaxValue`: the default
+    * `toString` elides columns past `spark.sql.debug.maxToStringFields`
+    * (25) as "... N more fields", so two frames differing only in
+    * truncated fields would collide on one key and serve each other's
+    * centroids/truth rows — a bit-exactness break no output check in
+    * the colliding session could catch. Two documented best-effort
+    * edges: a non-local URI contributes its path string only (still
+    * plan-distinct, just not regeneration-sensitive), and `lastModified`
+    * carries the local filesystem's mtime granularity (often 1 ms, some
+    * filesystems 1 s) — an in-place same-length rewrite WITHIN that
+    * resolution window is indistinguishable from the original. Harness
+    * corpora are write-once per generation; cross-process reuse goes
+    * through the stored artifacts, which re-list files on every read.
     */
   private def memoKey(kind: String, df: DataFrame, params: String): String = {
     val plan = df.queryExecution.analyzed
@@ -5717,9 +5766,12 @@ object LlmOps {
         }
       case _ => Nil
     }
+    val planStr = plan.canonicalized.treeString(
+      verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false)
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(
-      (plan.canonicalized.toString + "§" + files.mkString(","))
+      (planStr + "§" + files.mkString(","))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"$kind|$h|$params"
   }
@@ -5882,11 +5934,13 @@ object LlmOps {
   }
 
   /** Truth-pair memo backing [[exactTruth]]: (qid, vec_id) rows + their
-    * schema — ≤ nQueries × k rows per entry by construction.
+    * schema — ≤ nQueries × k rows per entry by construction, LRU-bounded
+    * at [[MemoMaxEntries]] with the compute-outside-the-lock discipline
+    * ([[lloydCentroidCache]]'s rationale).
     */
-  private val exactTruthCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType)]()
+  private val exactTruthCache = new BoundedMemo[
+    (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)](MemoMaxEntries)
 
   /** The recall gauges' SHARED exact-cosine truth side: every gauge in
     * the family ([[annRecall]] lsh/multiprobe, [[annRecallPq]] hash-rank
@@ -5906,14 +5960,22 @@ object LlmOps {
       vecCol: String, nQueries: Int): DataFrame = {
     val spark = emb.sparkSession
     val key = memoKey("truth", emb, s"$k|$idCol|$vecCol|$nQueries")
-    val (rows, schema) = exactTruthCache.computeIfAbsent(key, _ => {
+    val (rows, schema) = exactTruthCache.getOrCompute(key) {
       val df = annTopK(emb, k, idCol, vecCol, nQueries)
         .select(col("qid"), col("vec_id"))
       (df.collect(), df.schema)
-    })
+    }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** CONSTRUCTION-TIME EAGERNESS: building this frame (and
+    * [[annRecallPq]]'s) runs the shared exact-truth derivation — one
+    * corpus-linear job — via [[exactTruth]] BEFORE any action on the
+    * returned frame; callers that previously relied on the gauges being
+    * fully lazy (constructing speculatively, acting conditionally) now
+    * pay that job at construction. Subsequent constructions over the
+    * same (corpus, k, nQueries) are memo hits and stay job-free.
+    */
   def annRecall(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
       bucketBits: Int = 8, multiprobe: Boolean = false): DataFrame = {
@@ -5933,7 +5995,10 @@ object LlmOps {
     * corpus ⇒ L2² = 2−2·cos, so the exact-cosine truth ranking IS the
     * exact-L2 ranking the ADC approximates — the comparison is
     * apples-to-apples. Same shape as [[annRecall]]: per query,
-    * |exact∩approx|/k.
+    * |exact∩approx|/k. Construction is EAGER ([[annRecall]]'s note):
+    * the shared truth job — and with `lloydIters > 0` the Lloyd
+    * training job ([[pqPivotsLloyd]]) — runs when the frame is BUILT,
+    * memoized thereafter.
     */
   def annRecallPq(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding", nQueries: Int = 8,
@@ -6462,14 +6527,24 @@ object LlmOps {
     // ONE single-row aggregate serves the footprint AND the size gate
     // (the fused-eager-job discipline of the minhash gate): collect_set
     // keeps the merge buffer bounded at the cell count, and the row
-    // count rides the same row. Size gate (the [[GateBroadcastMaxRows]]
-    // rationale): micro-batches keep the pinned broadcast shape; an
-    // unbounded batch drops the hints and AQE decides. One knob governs
-    // BOTH hints: the id frame is ~3 orders smaller than the vector
-    // frame, so sharing the vector bound is conservative for it — past
-    // the bound AQE still broadcasts the id frame off runtime stats, it
-    // just isn't forced.
-    val fpRow = b.agg(collect_set(col("label")).as("fp"),
+    // count rides the same row. The DRIVER side is limit-guarded like
+    // the km/pq probes' `limit(maxPin + 1)` collects: the slice projects
+    // at most maxPin + 1 labels out of the final merge buffer, so a
+    // degenerate labeling (label ≈ id — a footprint the "⊆ cell count"
+    // bound no longer keeps plan-sized) lands a bounded prefix on the
+    // driver, never the whole set; maxPin + 1 elements is exactly enough
+    // to distinguish "pinnable" from "overflow → dynamic pruning".
+    // sort_array makes WHICH prefix deterministic (collect_set order is
+    // not), so the pinned plan is stable across runs. Size gate (the
+    // [[GateBroadcastMaxRows]] rationale): micro-batches keep the pinned
+    // broadcast shape; an unbounded batch drops the hints and AQE
+    // decides. One knob governs BOTH hints: the id frame is ~3 orders
+    // smaller than the vector frame, so sharing the vector bound is
+    // conservative for it — past the bound AQE still broadcasts the id
+    // frame off runtime stats, it just isn't forced.
+    val fpRow = b.agg(
+      slice(sort_array(collect_set(col("label"))),
+        1, staticPinMaxCells + 1).as("fp"),
       count(lit(1)).as("n")).collect()(0)
     val batchCells = fpRow.getSeq[Any](0)
     val smallBatch =

@@ -415,6 +415,23 @@ class PlanQualitySpec extends SparkSpec {
         assert(semF.contains("dynamicpruningexpression"),
           s"sem overflow regime must prune dynamically: $semF")
         assert(!semF.contains(" IN ("), s"sem overflow regime must not pin literals: $semF")
+        // the footprint collect is limit-guarded (slice to maxPin + 1 in
+        // the fused agg — the km/pq probes' discipline): the bounded
+        // prefix must be a pure REGIME decision, never a semantic one —
+        // overflow output is row-identical to the default pinned regime
+        val pinnedOut = graft.llm.LlmOps.incrementalDedupCosineIndexedFrom(
+          vb, annDir).collect().map(_.getLong(0)).sorted
+        val overflowOut = sem.collect().map(_.getLong(0)).sorted
+        assert(overflowOut.sameElements(pinnedOut),
+          s"overflow regime changed the survivor set: " +
+            s"${overflowOut.mkString(",")} vs ${pinnedOut.mkString(",")}")
+        // and the pinned regime's literal IN never carries more than the
+        // bound: with maxPin back at default the 4-label footprint pins
+        val pinnedPlan = graft.llm.LlmOps.incrementalDedupCosineIndexedFrom(
+          vb, annDir).queryExecution.executedPlan.toString
+        val pinF = pf(pinnedPlan, "cells")
+        assert(pinF.contains(" IN ("),
+          s"default regime must keep the static pin: $pinF")
       } finally vb.unpersist()
     } finally Seq(kmDir, pqDir, annDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
