@@ -444,6 +444,17 @@ object LlmQueries {
     // oracle
     "llm_ann_ivfkm_idx" -> ((s, d) => LlmOps.annIvfKmIndexed(
       Tables.embeddings(s, d).filter(col("vec_id") < IdxNq), kmIndexDir(s, d))),
+    // the SAME probe with the static pin FORCED into the overflow
+    // regime (staticPinMaxCells = 0): the production shape for a query
+    // batch whose cell footprint exceeds the plan-literal budget — the
+    // cells scan prunes via a runtime dynamicpruningexpression instead
+    // of a literal IN (the PlanQualitySpec-asserted fallback), and the
+    // output is row-identical, so it shares llm_ann_ivf_km's oracle —
+    // the regime gate is a pure plan decision, proven hash-green here
+    // end-to-end rather than only spec-shape-asserted
+    "llm_ann_ivfkm_idx_dyn" -> ((s, d) => LlmOps.annIvfKmIndexed(
+      Tables.embeddings(s, d).filter(col("vec_id") < IdxNq), kmIndexDir(s, d),
+      staticPinMaxCells = 0)),
     // the stored probe at nprobe = 2 — the serving dial a deployment
     // actually runs (recall@5 0.28 → 0.43 at sf0.1 for 2× scanned
     // cells; see the annIvfKmIndexed scaladoc's recall/cost table);
@@ -1083,6 +1094,7 @@ object LlmQueries {
     "llm_km_drift" -> Seq(col("cell")),
     "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
+    "llm_ann_ivfkm_idx_dyn" -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx_p2" -> Seq(col("qid"), col("rnk")),
     "llm_bpe_apply"     -> Seq(col("doc_id")),
     "llm_bpe_apply_idx" -> Seq(col("doc_id")),
@@ -1721,7 +1733,8 @@ object LlmQueries {
     ("llm_dedup_inc_mh_idx" -> oracleBase("llm_dedup_inc_minhash")) +
     ("llm_ann_ivf_idx" -> oracleBase("llm_ann_ivf")) +
     ("llm_ann_ivfpq_idx" -> oracleBase("llm_ann_ivfpq")) +
-    ("llm_ann_ivfkm_idx" -> oracleBase("llm_ann_ivf_km"))
+    ("llm_ann_ivfkm_idx" -> oracleBase("llm_ann_ivf_km")) +
+    ("llm_ann_ivfkm_idx_dyn" -> oracleBase("llm_ann_ivf_km"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "llm_dedup_exact" ->

@@ -160,7 +160,8 @@ class PlanQualitySpec extends SparkSpec {
       // the trained-cell IVF family crosses the C-row broadcast centroid
       // table for assignment (the PQ codebook shape) and the bounded
       // query set for the probe/truth sides
-      "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_ivfkm_idx_p2",
+      "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_ivfkm_idx_dyn",
+      "llm_ann_ivfkm_idx_p2",
       "llm_ann_recall_ivfkm", "llm_ann_recall_ivfkm_p2",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
@@ -359,6 +360,20 @@ class PlanQualitySpec extends SparkSpec {
           s"$q: cells table reached a broadcast build side:\n${j.toString.take(800)}")
       }
     }
+    // the REGISTERED overflow-regime dial (llm_ann_ivfkm_idx_dyn,
+    // staticPinMaxCells = 0): same probe, but the cells scan must prune
+    // via a runtime dynamicpruningexpression — never a literal IN and
+    // never unpruned — so the fallback path the synthetic-fixture test
+    // below exercises is also asserted on the driver-visible query
+    val dyn = SparkEntry.queries("llm_ann_ivfkm_idx_dyn")(spark, sf)
+    val dp = dyn.queryExecution.executedPlan.toString
+    val dynAt = dp.indexOf("/cells], PartitionFilters: [")
+    assert(dynAt >= 0, s"dyn: cells scan missing partition filters:\n${dp.take(1500)}")
+    val dynF = dp.substring(dynAt, math.min(dp.length, dynAt + 300))
+    assert(dynF.contains("dynamicpruningexpression"),
+      s"dyn regime must prune at runtime: $dynF")
+    assert(!dynF.contains(" IN ("),
+      s"dyn regime must not pin literals: $dynF")
   }
 
   test("stored probes: an oversized cell footprint falls back to dynamic pruning, never a literal pin") {
