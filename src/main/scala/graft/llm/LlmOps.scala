@@ -6339,12 +6339,14 @@ object LlmOps {
     *   nprobe   recall@5 (sf0.001)   recall@5 (sf0.1)   cells scanned
     *     1            0.36                0.28               1×
     *     2            0.54                0.43               2×
-    *     3            —                   0.57               3×
+    *     3            0.64                0.57               3×
     * }}}
     * The label-cell baseline at the same cell count reads 0.10-0.12 —
     * training the quantizer buys 3-4× recall before the dial is touched
     * ([[annRecallIvfKm]] and the trained-vs-label A/B spec are the
-    * measured sources; `llm_ann_ivfkm_idx_p2` serves the nprobe=2 point).
+    * measured sources; `llm_ann_ivfkm_idx_p2` serves the nprobe=2 point,
+    * and `llm_ann_recall_ivfkm_p3` hash-checks the nprobe=3 quality-tier
+    * row — cost is linear in nprobe, the cells-scanned column).
     */
   def annIvfKmIndexed(queries: DataFrame, indexDir: String, k: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",

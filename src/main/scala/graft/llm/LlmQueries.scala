@@ -480,6 +480,14 @@ object LlmQueries {
     "llm_ann_recall_ivfkm_p2" -> ((s, d) =>
       LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nQueries = RecallNq,
         nprobe = 2)),
+    // the QUALITY-TIER dial (nprobe = 3): recall@5 0.43 → 0.57 at sf0.1
+    // for 3× candidate mass vs nprobe=1's 1× — the point a deployment
+    // serves latency-tolerant traffic at; registering it makes the
+    // recall/cost curve's third point hash-checked instead of a
+    // scaladoc transcription (the annIvfKmIndexed table is the curve)
+    "llm_ann_recall_ivfkm_p3" -> ((s, d) =>
+      LlmOps.annRecallIvfKm(Tables.embeddings(s, d), nQueries = RecallNq,
+        nprobe = 3)),
     "llm_ann_lsh"       -> ((s, d) => LlmOps.annLsh(Tables.embeddings(s, d))),
     "llm_ann_multiprobe" -> ((s, d) => LlmOps.annMultiprobe(Tables.embeddings(s, d))),
     "llm_ann_pq"        -> ((s, d) => LlmOps.annPq(Tables.embeddings(s, d))),
@@ -1091,6 +1099,7 @@ object LlmQueries {
     "llm_ann_recall_pq_lloyd" -> Seq(col("qid")),
     "llm_ann_recall_ivfkm" -> Seq(col("qid")),
     "llm_ann_recall_ivfkm_p2" -> Seq(col("qid")),
+    "llm_ann_recall_ivfkm_p3" -> Seq(col("qid")),
     "llm_km_drift" -> Seq(col("cell")),
     "llm_ann_ivf_km"    -> Seq(col("qid"), col("rnk")),
     "llm_ann_ivfkm_idx" -> Seq(col("qid"), col("rnk")),
@@ -2457,6 +2466,24 @@ object LlmQueries {
     // recall@5 (64 queries) of the trained-cell IVF at nprobe = 2
     "llm_ann_recall_ivfkm_p2" ->
       s"""WITH ${kmChainDuck(RecallNq, nprobe = 2)},
+         |qx AS (SELECT qid, qe, qnrm FROM q),
+         |exs AS (
+         |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine
+         |  FROM bn b CROSS JOIN qx q WHERE b.vec_id <> q.qid
+         |),
+         |exk AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM exs)
+         |  WHERE rnk <= 5),
+         |apk AS (SELECT qid, vec_id FROM r WHERE rnk <= 5)
+         |SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / 5 AS recall_at_k
+         |FROM exk e LEFT JOIN apk a ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // recall@5 (64 queries) of the trained-cell IVF at nprobe = 3 —
+    // the quality-tier dial (same chain, three nearest cells per query)
+    "llm_ann_recall_ivfkm_p3" ->
+      s"""WITH ${kmChainDuck(RecallNq, nprobe = 3)},
          |qx AS (SELECT qid, qe, qnrm FROM q),
          |exs AS (
          |  SELECT q.qid, b.vec_id, ${dotDuck("q.qe", "b.e")} / (q.qnrm * b.nrm) AS cosine

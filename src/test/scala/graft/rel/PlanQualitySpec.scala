@@ -163,6 +163,7 @@ class PlanQualitySpec extends SparkSpec {
       "llm_ann_ivf_km", "llm_ann_ivfkm_idx", "llm_ann_ivfkm_idx_dyn",
       "llm_ann_ivfkm_idx_p2",
       "llm_ann_recall_ivfkm", "llm_ann_recall_ivfkm_p2",
+      "llm_ann_recall_ivfkm_p3",
       "llm_dedup_recall", "llm_sem_recall", "llm_pack_shards",
       "llm_quality_clf", "llm_qclf_agreement")
     for ((q, _) <- SparkEntry.queries) {
