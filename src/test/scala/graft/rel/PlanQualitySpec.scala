@@ -495,9 +495,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(bandsAt >= 0, s"bands scan missing partition filters:\n${p.take(1500)}")
     // the LM probe's model scan carries the churn's bucket footprint.
     // Checked on the scan EXEC's partitionFilters expressions, not the
-    // plan text: the scan node's metadata string truncates at 100 chars
-    // and the per-language form's nested (lang = x AND wb = y)
-    // disjunction blows that budget with parentheses alone.
+    // plan text: the scan node's metadata string truncates at 100 chars,
+    // which a multi-literal pin (the per-language form carries lang IN
+    // (...) AND wb IN (...)) can overflow.
     val lmAt = p.indexOf("/bigrams], PartitionFilters: [")
     assert(lmAt >= 0, s"model scan missing partition filters:\n${p.take(1500)}")
     val lmScans = df.queryExecution.sparkPlan.collect {
