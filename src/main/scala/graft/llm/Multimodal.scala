@@ -275,10 +275,16 @@ object Multimodal {
     val smallBatch = broadcastMaxRows > 0 &&
       fpRow.getLong(fpRow.fieldIndex("n")) <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
+    // cross-product relaxation of the (chunk_idx, ck_bucket) footprint —
+    // the [[graft.llm.LlmOps.fluencyStoredByLangFrom]] rationale: the
+    // dup join is exact on (chunk_idx, ck_bucket, chunk_val), so the
+    // filter is pure pruning; two flat IN lists replace the
+    // chunk_idx × bucket pair OR tree, over-read bounded by the
+    // [[PayloadSimChunks]] × [[PayloadChunkBuckets]] directory grid
     val pruned = spark.read.parquet(s"$indexDir/chunks").filter(
-      footprint.map { case (ci, ck) =>
-        col("chunk_idx") === ci && col("ck_bucket") === ck
-      }.reduceOption(_ || _).getOrElse(lit(false)))
+      if (footprint.isEmpty) lit(false)
+      else col("chunk_idx").isin(footprint.map(_._1).distinct: _*) &&
+        col("ck_bucket").isin(footprint.map(_._2).distinct: _*))
     val dup = pruned.as("ox").join(hinted(bChunks.as("nx")),
         col("nx.chunk_idx") === col("ox.chunk_idx") &&
           col("nx.ck_bucket") === col("ox.ck_bucket") &&

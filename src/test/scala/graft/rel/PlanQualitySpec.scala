@@ -243,13 +243,16 @@ class PlanQualitySpec extends SparkSpec {
     val df = SparkEntry.queries("llm_dedup_inc_mh_idx")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
 
-    // the band scan carries the batch's STATIC bucket disjunction as a
-    // partition filter — unprobed (band_idx, bk_bucket) directories are
+    // the band scan carries the batch's STATIC bucket footprint as a
+    // partition filter (two flat IN lists — the cross-product
+    // relaxation) — unprobed (band_idx, bk_bucket) directories are
     // never opened
     val bandsAt = p.indexOf("/bands], PartitionFilters: [")
     assert(bandsAt >= 0, s"bands scan missing partition filters:\n${p.take(1500)}")
     val bandsFilter = p.substring(bandsAt, math.min(p.length, bandsAt + 120))
-    assert(bandsFilter.contains("band_idx") && bandsFilter.contains("="),
+    assert(bandsFilter.contains("band_idx") && bandsFilter.contains("bk_bucket") &&
+        (bandsFilter.contains(" IN") || bandsFilter.contains("INSET") ||
+          bandsFilter.contains("=")),
       s"bands partition filter must pin the batch's bucket set: $bandsFilter")
     // the signature scan is dynamically pruned to candidate buckets (DPP
     // reusing the verify join's broadcast of the candidate set)
