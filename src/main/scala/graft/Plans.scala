@@ -54,7 +54,7 @@ object Plans {
       "llm_curate_full"   -> "the COMPLETE batch pipeline in one plan — quality → benchmark decontam (frozen gram artifact broadcast, the one inverted-broadcast stored table) → exact dedup → near dedup → stored-LM bar: stateless gates lead and shrink everything, survivor sets pass as id-only semi joins, the LM scores the smallest set last",
       "llm_curate_delta_full" -> "the every-gate nightly: delta_lm's churn-only shape plus the gram-bar decontam stage applied as an END-STAGE id intersection (per-doc gates commute) — the exact-survivor/footprint chain no longer waits on the gram join + groupBy; the fused barrier crossJoins band footprint × LM footprint × decontam count × every pre-near stage count into ONE collected row, so the shingle chain and the gram-gate chain materialize concurrently and the read-out re-plans no stage subtree; bare anti-membership gram gate (AQE build side), near probe re-shingling the cached exact survivors as in-stage map work, band and model scans partition-pruned, no text on any top-level exchange",
       "llm_curate_delta_apply" -> "the nightly's TERMINAL ADMIT read-back: the committed epoch partition scanned with a single epoch partition filter (pure pruning — sibling epochs never opened); the commit itself reuses the delta chain verbatim plus one dynamic-partition-overwrite write of the survivors and one index append ∝ survivors — the stored corpus is never rewritten, the index never rebuilt",
-      "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) pairs (a batch never opens another language's directories; asserted on the scan exec since the nested disjunction exceeds the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions",
+      "llm_curate_delta_lang" -> "the PER-LANGUAGE nightly: delta_lm's churn-only shape with the language label riding the chain — the model scan prunes on the churn's (lang, wb) footprint as two flat IN lists (the cross-product relaxation: the probability join is exact on (lang, w1, w2), so the pruning-only filter sheds the ~640-node pair disjunction Catalyst re-analyzed per plan; asserted on the scan exec since multi-literal pins exceed the plan text's 100-char metadata budget), the lang-bigram frame pinned once for the fused footprint AND the scoring probe, survivors scored under their own language's frozen transitions",
       "llm_curate_full_lang" -> "the COMPLETE batch pipeline under the PER-LANGUAGE bar (three-surface parity closed): llm_curate_full's chain stage for stage, stage 5 swapped for the per-language probe — the (lang, wb) footprint pinned as a static partition filter on the model scan, survivor lang-bigrams size-gate-broadcast, the artifact streamed and never a build side",
       "llm_dedup_spans_apply" -> "span cutting without the count join: occ ≥ 2 under the per-hash rank already implies duplication, so the fingerprint table shuffles ONCE into the rank window and the count aggregate + join + persist of the report form drop out — cut lists are (doc_id, positions) only, the text is rebuilt by one per-row higher-order filter",
       "mm_decode_header" -> "REAL byte-level media decode fully inside WholeStageCodegen: format from magic bytes, dims from each format's own header layout (PNG BE u32s, JPEG SOF0/1/2 located by a bounded SEGMENT WALK — marker→marker hops by declared length, so an FFC0 decoy inside an APPn payload or past SOS is never misread as the frame header — GIF LE u16s); only the first 256 payload bytes are ever hexed (the Exif-realistic header window), so per-row cost is independent of asset size; no UDF, no custom expression, no shuffle",
@@ -63,6 +63,7 @@ object Plans {
       "llm_ann_ivf_km"    -> "IVF over TRAINED cells: the bounded Lloyd trainer (≤1024-row sample, driver loop — the FAISS train-on-sample shape) yields a C-row centroid table that broadcasts twice (corpus assignment + query assignment); candidates prune to the query's cell before the cosine rank — at equal cell count, trained cells carry 3-4× the recall of label cells",
       "llm_ann_ivfkm_idx" -> "the trained-cell ANN probe off the STORED index (frozen centroids + cell-partitioned vectors): the query batch's probe-cell set — bounded by |batch|×nprobe — pins a STATIC .isin partition filter on the cells scan (plan-asserted), so unprobed cell directories are never opened; queries assign against the broadcast C-row centroid table, norms precomputed at build",
       "llm_ann_ivfkm_idx_p2" -> "the same stored probe at nprobe = 2 — the serving dial a deployment actually runs (recall@5 0.28 → 0.43 at sf0.1 for 2× scanned cells; the scaladoc's recall/cost table): each query's TWO nearest cells enter the static partition pin, scan mass ∝ nprobe, never the index size",
+      "llm_ann_ivfkm_idx_dyn" -> "the stored trained-cell probe FORCED into the overflow regime (staticPinMaxCells = 0) — the production shape for a query batch whose cell footprint exceeds the plan-literal budget: the cells scan prunes via a runtime dynamicpruningexpression through the semi join's reused broadcast instead of a static IN, output row-identical to llm_ann_ivfkm_idx (shared oracle, hash-green) — the fallback path proven end-to-end, not only spec-shape-asserted",
       "llm_ann_recall_pq_lloyd" -> "ADC recall under the Lloyd-refined codebook: ONE all-pairs cosine frame and ONE window pass feed BOTH rankings (exact rank and in-probe running count under the same total order), the k-means refinement itself bounded to the ≤1024-row training sample — corpus-scale work is the single scored pass, training cost is sample-sized")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `runMain graft.Plans`, sf0.1)\n")
