@@ -74,7 +74,11 @@ object Tables {
     // measured a wash-to-loss on the funnel family (the exchange re-prices
     // every eager job's scan side without moving the hot stages).
     if (!fanOutOn(spark)) return df
-    val want = spark.sparkContext.defaultParallelism
+    // spark.graft.scanFanOutParts: target width (default = the session's
+    // core count); a lower value trades per-stage scheduling overhead
+    // against CPU parallelism on the many-eager-job operators
+    val want = spark.conf.getOption("spark.graft.scanFanOutParts")
+      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
     val bytes = {
       def sz(f: java.io.File): Long =
         if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
@@ -98,7 +102,11 @@ object Tables {
     }
     // the fan-out flag joins the memo key so a runtime toggle (the AbBench
     // protocol) is honored instead of serving the first call's shape
-    perSession.computeIfAbsent((s"$sfDir|${fanOutOn(spark)}", table), _ => {
+    val fanKey =
+      if (fanOutOn(spark))
+        "t" + spark.conf.getOption("spark.graft.scanFanOutParts").getOrElse("")
+      else "f"
+    perSession.computeIfAbsent((s"$sfDir|$fanKey", table), _ => {
       val path = s"$sfDir/$table.parquet"
       val df = fanOutScan(spark, path, spark.read.parquet(path))
       if (table == "events") normalizeTs(df) else df
